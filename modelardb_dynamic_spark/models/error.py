@@ -1,0 +1,49 @@
+"""ModelarDB percentage-error semantics.
+
+Behavioral contract (reference: core/utility/Static.java:105-118, pinned by
+src/test/scala/.../PercentageErrorTest.scala):
+
+    percentage_error(approx, real) = 0                     if approx == real
+                                   = |(real-approx)/real| * 100  otherwise
+
+The exact-equality short circuit makes (0, 0) -> 0; real == 0 with
+approx != 0 -> +inf; (0, x) -> 100. All arithmetic is IEEE double.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def percentage_error(approximation: float, real: float) -> float:
+    """Scalar double-precision percentage error."""
+    approximation = float(approximation)
+    real = float(real)
+    if approximation == real:
+        return 0.0
+    diff = real - approximation
+    with np.errstate(divide="ignore"):
+        return abs(diff / real) * 100.0 if real != 0.0 else float("inf")
+
+
+def percentage_error_vec(approx: np.ndarray, real: np.ndarray) -> np.ndarray:
+    """Vectorized percentage error in float64."""
+    approx = np.asarray(approx, dtype=np.float64)
+    real = np.asarray(real, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        err = np.abs((real - approx) / real) * 100.0
+    # real == 0, approx != 0 -> abs(approx/0)*100 = inf already; the equality
+    # short-circuit handles 0/0 and exact matches.
+    return np.where(approx == real, 0.0, err)
+
+
+def outside_error_bound_vec(
+    error_bound: float, approx: np.ndarray, real: np.ndarray
+) -> np.ndarray:
+    """Vectorized `percentage_error(approx, real) > error_bound`.
+
+    error_bound is compared as the reference does: the configured float
+    error bound widened to double (Static.java:105-107).
+    """
+    bound = float(np.float32(error_bound))
+    return percentage_error_vec(approx, real) > bound

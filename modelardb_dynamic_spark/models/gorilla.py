@@ -1,0 +1,138 @@
+"""Gorilla XOR float compression (lossless), bit-compatible with the
+reference's encoder/decoder.
+
+Behavioral contract (reference: core/models/FacebookGorillaModelType.java:
+46-140 compress, 210-241 decompress; bit packing MSB-first within each byte,
+core/utility/BitBuffer.java:51-132):
+
+- first value: raw 32 bits of the IEEE-754 float
+- each next value: XOR with previous 32-bit pattern
+    * xor == 0            -> '0'
+    * reuse stored window -> '1' '0' + significant bits (xor >>> storedTZ)
+      when leadingZeros >= storedLZ and trailingZeros >= storedTZ
+    * new window          -> '1' '1' + 5-bit LZ + 6-bit significant-bit
+      count + significant bits; LZ capped at 31; a significant count of 32
+      wraps to '100000' (decoder maps 0 -> 32)
+- stream is padded with zero bits to a whole byte
+
+The packer uses a single Python big integer (MSB-first shift/or), which is
+equivalent to the reference's byte-at-a-time buffer and fast for the <=
+length_bound (default 50) values a segment may hold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK32 = 0xFFFFFFFF
+
+
+def _nlz32(x: int) -> int:
+    """Integer.numberOfLeadingZeros for a 32-bit value (x > 0)."""
+    return 32 - x.bit_length()
+
+
+def _ntz32(x: int) -> int:
+    """Integer.numberOfTrailingZeros for a 32-bit value (x > 0)."""
+    return (x & -x).bit_length() - 1
+
+
+def gorilla_encode(values: np.ndarray) -> tuple[bytes, int]:
+    """Encode float32 values; returns (stream bytes, size in bytes).
+
+    The byte size equals the reference's BitBuffer.size() (partial final
+    byte counts as one byte).
+    """
+    v = np.ascontiguousarray(values, dtype=np.float32)
+    bits = v.view(np.uint32).tolist()
+    acc = bits[0]
+    nbits = 32
+    last = bits[0]
+    stored_lz = 1 << 30  # sentinel: Integer.MAX_VALUE semantics
+    stored_tz = 0
+    for cur in bits[1:]:
+        xor = (cur ^ last) & _MASK32
+        if xor == 0:
+            acc <<= 1
+            nbits += 1
+        else:
+            lz = _nlz32(xor)
+            if lz >= 32:  # unreachable for xor != 0, kept for parity
+                lz = 31
+            tz = _ntz32(xor)
+            if lz >= stored_lz and tz >= stored_tz:
+                sig = 32 - stored_lz - stored_tz
+                acc = (acc << 2) | 0b10
+                acc = (acc << sig) | ((xor >> stored_tz) & ((1 << sig) - 1))
+                nbits += 2 + sig
+            else:
+                sig = 32 - lz - tz
+                acc = (acc << 2) | 0b11
+                acc = (acc << 5) | lz
+                acc = (acc << 6) | (sig & 0x3F)
+                acc = (acc << sig) | ((xor >> tz) & ((1 << sig) - 1))
+                nbits += 13 + sig
+                stored_lz = lz
+                stored_tz = tz
+        last = cur
+    pad = (-nbits) % 8
+    acc <<= pad
+    total_bytes = (nbits + pad) // 8
+    return acc.to_bytes(total_bytes, "big"), total_bytes
+
+
+def gorilla_size_bytes(values: np.ndarray) -> int:
+    """Stream size in bytes without materializing it (same walk, no pack)."""
+    v = np.ascontiguousarray(values, dtype=np.float32)
+    bits = v.view(np.uint32)
+    if len(bits) == 1:
+        return 4
+    xors = (bits[1:] ^ bits[:-1]).tolist()
+    nbits = 32
+    stored_lz = 1 << 30
+    stored_tz = 0
+    for xor in xors:
+        if xor == 0:
+            nbits += 1
+        else:
+            lz = _nlz32(xor)
+            tz = _ntz32(xor)
+            if lz >= stored_lz and tz >= stored_tz:
+                nbits += 2 + (32 - stored_lz - stored_tz)
+            else:
+                nbits += 13 + (32 - lz - tz)
+                stored_lz = lz
+                stored_tz = tz
+    return (nbits + 7) // 8
+
+
+def gorilla_decode(model: bytes, n: int) -> np.ndarray:
+    """Decode n float32 values from a Gorilla stream."""
+    total = len(model) * 8
+    acc = int.from_bytes(model, "big")
+    pos = 0
+
+    def read(k: int) -> int:
+        nonlocal pos
+        val = (acc >> (total - pos - k)) & ((1 << k) - 1)
+        pos += k
+        return val
+
+    out = np.empty(n, dtype=np.uint32)
+    last = read(32)
+    out[0] = last
+    stored_lz = 1 << 30
+    stored_tz = 0
+    for i in range(1, n):
+        if read(1):
+            if read(1):
+                stored_lz = read(5)
+                sig = read(6)
+                if sig == 0:
+                    sig = 32
+                stored_tz = 32 - sig - stored_lz
+            value = read(32 - stored_lz - stored_tz)
+            value = (value << stored_tz) & _MASK32
+            last = last ^ value
+        out[i] = last
+    return out.view(np.float32)

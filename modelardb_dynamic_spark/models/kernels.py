@@ -1,0 +1,353 @@
+"""Segmentation kernels: greedy model prefixes + the cascade/selection
+semantics of the reference's SegmentGenerator, restated functionally.
+
+Key reduction (derived from core/SegmentGenerator.java:152-304): every model
+type's state is a pure function of the current buffer contents because
+`initialize` replays `append` from an empty state and append is fail-sticky.
+Therefore, per gap-free run of regularly-sampled points:
+
+- a finalized segment is emitted the first time the buffer size B satisfies
+  B > pmc_prefix, B > swing_prefix and B > length_bound (the Gorilla /
+  Uncompressed cap) — i.e. at B* = max(p, s, length_bound) + 1 — or when the
+  run ends (flush, SegmentGenerator.java:213-236);
+- the emitted model is chosen by the literal loop
+  `best = (ratio(m) < ratio(best)) ? best : m` over the cascade order, which
+  makes ties and NaN ratios go to the LATER model
+  (SegmentGenerator.java:266-269);
+- compressionRatio = 16*len / (24 + size + 4*gaps) in float32 arithmetic
+  (core/models/ModelType.java:65-70); with one series per group gaps == 0;
+- if the winner's ratio is NaN or its length is 0, the Uncompressed fallback
+  is fitted to the whole buffer (SegmentGenerator.java:271-279);
+- exactly `length(best)` points are dropped from the buffer head and the
+  cascade restarts (SegmentGenerator.java:281-283).
+
+Float discipline notes (the bit-match-sensitive spots):
+- PMC-Mean keeps float32 min/max, float64 sum, and casts avg = (float)(sum/n)
+  before the error check (PMC_MeanModelType.java:48-75); the stored model is
+  that float32 mean (4 bytes, big-endian).
+- Swing uses double bounds anchored at an averaged first point, a deviation
+  of abs(value * errorBound/100.1) (SwingFilterModelType.java:77), stores the
+  midline (a, b) as 8/12/16 bytes depending on whether float32 round-trips
+  exactly (:131-143), and size() re-verifies every gridded float32 point
+  against the error bound, returning NaN on violation (:156-186).
+- Gorilla appends are capped at length_bound and are otherwise lossless.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from modelardb_dynamic_spark.config import (
+    EngineConfig,
+    MTID_GORILLA,
+    MTID_PMC_MEAN,
+    MTID_SWING,
+    MTID_UNCOMPRESSED,
+)
+from modelardb_dynamic_spark.models.error import outside_error_bound_vec
+from modelardb_dynamic_spark.models.gorilla import gorilla_encode
+
+
+@dataclass
+class Segment:
+    """One emitted segment of a single series (group size 1)."""
+
+    start_ts: int  # epoch millis, first represented point
+    end_ts: int  # epoch millis, last represented point (inclusive)
+    mtid: int
+    model: bytes
+    cnt: int
+    vmin: float  # float32 value domain
+    vmax: float
+    vsum: float  # float64
+
+
+def pmc_prefix(v: np.ndarray, error_bound: float) -> tuple[int, float]:
+    """Length of the maximal prefix PMC-Mean accepts, plus its float32 mean.
+
+    Vectorized with geometrically growing windows: prefix cummin/cummax in
+    float32, prefix cumsum in float64, avg cast to float32 before the error
+    check — matching PMC_MeanModelType.java:48-75 op for op.
+    """
+    n = len(v)
+    base_sum = 0.0
+    carry_min = np.float32(np.inf)
+    carry_max = np.float32(-np.inf)
+    start = 0
+    chunk = 64
+    while start < n:
+        end = min(n, start + chunk)
+        w = v[start:end]
+        mins = np.minimum(np.minimum.accumulate(w), carry_min)
+        maxs = np.maximum(np.maximum.accumulate(w), carry_max)
+        sums = base_sum + np.cumsum(w, dtype=np.float64)
+        counts = np.arange(start + 1, end + 1, dtype=np.float64)
+        avg = (sums / counts).astype(np.float32).astype(np.float64)
+        fail = outside_error_bound_vec(
+            error_bound, avg, mins.astype(np.float64)
+        ) | outside_error_bound_vec(error_bound, avg, maxs.astype(np.float64))
+        idx = np.argmax(fail) if fail.any() else -1
+        if idx >= 0:
+            p = start + int(idx)
+            mean_sum = sums[idx - 1] if idx > 0 else base_sum
+            mean = float(np.float32(mean_sum / p)) if p > 0 else float("nan")
+            return p, mean
+        base_sum = float(sums[-1])
+        carry_min = mins[-1]
+        carry_max = maxs[-1]
+        start = end
+        chunk *= 4
+    mean = float(np.float32(base_sum / n))
+    return n, mean
+
+
+def swing_prefix(
+    t: np.ndarray, v: np.ndarray, error_bound: float
+) -> tuple[int, tuple[float, float, float, float] | None]:
+    """Length of the maximal prefix the Swing filter accepts, plus the final
+    (upper_a, upper_b, lower_a, lower_b) double bounds (None while < 2 pts).
+
+    Sequential double recurrence per SwingFilterModelType.java:48-116; the
+    loop is plain Python over native floats, bounded by the segment length
+    (runs amortize to ~1 visit/point because emission consumes the prefix).
+    """
+    n = len(v)
+    if n == 0:
+        return 0, None
+    y0 = float(v[0])
+    t0 = int(t[0])
+    if n == 1:
+        return 1, None
+    ebdiv = float(np.float32(error_bound)) / 100.1
+    tl = t.tolist()
+    vl = v.astype(np.float64).tolist()
+    t1, v1 = tl[1], vl[1]
+    dev = abs(v1 * ebdiv)
+    ua = (v1 + dev - y0) / (t1 - t0)
+    ub = y0 - ua * t0
+    la = (v1 - dev - y0) / (t1 - t0)
+    lb = y0 - la * t0
+    for i in range(2, n):
+        ti = tl[i]
+        vi = vl[i]
+        dev = abs(vi * ebdiv)
+        uba = ua * ti + ub
+        lba = la * ti + lb
+        if uba + dev < vi or lba - dev > vi:
+            return i, (ua, ub, la, lb)
+        if uba - dev > vi:
+            ua = (vi + dev - y0) / (ti - t0)
+            ub = y0 - ua * t0
+        if lba + dev < vi:
+            la = (vi - dev - y0) / (ti - t0)
+            lb = y0 - la * t0
+    return n, (ua, ub, la, lb)
+
+
+def _f32_roundtrips(x: float) -> bool:
+    return float(np.float32(x)) == x
+
+
+def _swing_encode(bounds: tuple[float, float, float, float]) -> bytes:
+    """Midline encode, 8/12/16 bytes (SwingFilterModelType.java:131-143)."""
+    ua, ub, la, lb = bounds
+    a = (la + ua) / 2.0
+    b = (lb + ub) / 2.0
+    if _f32_roundtrips(a) and _f32_roundtrips(b):
+        return struct.pack(">ff", a, b)
+    elif _f32_roundtrips(a):
+        return struct.pack(">fd", a, b)
+    else:
+        return struct.pack(">dd", a, b)
+
+
+def swing_decode(model: bytes) -> tuple[float, float]:
+    """Decode (a, b) honoring the 8/12/16-byte widths
+    (SwingFilterSegment ctor, SwingFilterModelType.java:200-215)."""
+    if len(model) == 16:
+        return struct.unpack(">dd", model)
+    if len(model) == 12:
+        a, b = struct.unpack(">fd", model)
+        return float(a), b
+    a, b = struct.unpack(">ff", model)
+    return float(a), float(b)
+
+
+def _swing_size(
+    bounds: tuple[float, float, float, float],
+    t: np.ndarray,
+    v: np.ndarray,
+    error_bound: float,
+) -> float:
+    """Swing size(): NaN if the float32-cast midline violates the bound at
+    any gridded point, else the encoded width (SwingFilterModelType.java:
+    156-186)."""
+    ua, ub, la, lb = bounds
+    a = (la + ua) / 2.0
+    b = (lb + ub) / 2.0
+    approx = (a * t.astype(np.float64) + b).astype(np.float32).astype(np.float64)
+    if outside_error_bound_vec(error_bound, approx, v.astype(np.float64)).any():
+        return float("nan")
+    if _f32_roundtrips(a) and _f32_roundtrips(b):
+        return 8.0
+    elif _f32_roundtrips(a):
+        return 12.0
+    else:
+        return 16.0
+
+
+def _ratio(length: int, size: float) -> np.float32:
+    """compressionRatio in float32 arithmetic (ModelType.java:65-70);
+    gaps == 0 with one series per group."""
+    if length == 0 or np.isnan(size):
+        return np.float32("nan")
+    return np.float32(16.0 * length) / (np.float32(24.0) + np.float32(size))
+
+
+def _seq_sum64(v: np.ndarray) -> float:
+    """Left-to-right float64 accumulation of float32 values (Java's
+    `double += float` loop), not numpy pairwise summation."""
+    if len(v) == 0:
+        return 0.0
+    return float(np.cumsum(v.astype(np.float64))[-1])
+
+
+def _emit(
+    mtid: int,
+    model: bytes,
+    t: np.ndarray,
+    v: np.ndarray,
+    length: int,
+) -> Segment:
+    """Build the segment row incl. pre-computed summary columns.
+
+    Summaries use the reference's decompress-side closed forms so that
+    rollups computed from summaries match rollups computed from grid():
+    PMC min=max=value, sum=(double)(length*value) as float math
+    (PMC_MeanModelType.java:137-150); Swing endpoint min/max by slope sign
+    and sum=(f(start)+f(end))/2*length in doubles (SwingFilterModelType.java:
+    220-248); Gorilla/Uncompressed loop over the (losslessly stored) floats.
+    """
+    start_ts = int(t[0])
+    end_ts = int(t[length - 1])
+    if mtid == MTID_PMC_MEAN:
+        value = struct.unpack(">f", model)[0]
+        vmin = vmax = float(np.float32(value))
+        vsum = float(np.float32(length) * np.float32(value))
+    elif mtid == MTID_SWING:
+        a, b = swing_decode(model)
+        first = a * start_ts + b
+        last = a * end_ts + b
+        vsum = (first + last) / 2.0 * length
+        f_start = float(np.float32(first))
+        f_end = float(np.float32(last))
+        if a == 0:
+            vmin = vmax = float(np.float32(b))
+        elif a > 0:
+            vmin, vmax = f_start, f_end
+        else:
+            vmin, vmax = f_end, f_start
+    else:  # Gorilla / Uncompressed store the exact float32 values
+        w = v[:length]
+        vmin = float(w.min())
+        vmax = float(w.max())
+        vsum = _seq_sum64(w)
+    return Segment(start_ts, end_ts, mtid, model, length, vmin, vmax, vsum)
+
+
+def compress_run(
+    t: np.ndarray, v: np.ndarray, cfg: EngineConfig
+) -> list[Segment]:
+    """Compress one gap-free run (regular sampling interval) of one series.
+
+    t: int64 epoch-millis (regularly spaced), v: float32 values.
+    Implements the reduced emission semantics documented in the module
+    docstring for the reference cascade PMC-Mean -> Swing -> Gorilla with
+    the Uncompressed fallback.
+    """
+    assert cfg.models == (MTID_PMC_MEAN, MTID_SWING, MTID_GORILLA), (
+        "v1 implements the reference's default cascade"
+    )
+    eb = cfg.error_bound
+    lb = cfg.length_bound
+    n = len(v)
+    segments: list[Segment] = []
+    i = 0
+    while i < n:
+        rem = n - i
+        tw = t[i:]
+        vw = v[i:]
+        p, pmc_mean = pmc_prefix(vw, eb)
+        s, swing_bounds = swing_prefix(tw, vw, eb)
+        if max(p, s, lb) + 1 <= rem:
+            bsize = max(p, s, lb) + 1  # emission point: all models stuck
+        else:
+            bsize = rem  # run ended: flush
+        len_p = min(p, bsize)
+        len_s = min(s, bsize)
+        len_g = min(lb, bsize)
+
+        # candidate sizes / ratios, cascade order PMC, Swing, Gorilla
+        size_p = 4.0 if len_p > 0 else float("nan")
+        if len_s >= 2 and swing_bounds is not None:
+            size_s = _swing_size(swing_bounds, tw[:len_s], vw[:len_s], eb)
+        else:
+            size_s = float("nan")
+        g_model, g_bytes = gorilla_encode(vw[:len_g])
+        size_g = float(g_bytes)
+
+        candidates = (
+            (MTID_PMC_MEAN, len_p, _ratio(len_p, size_p)),
+            (MTID_SWING, len_s, _ratio(len_s, size_s)),
+            (MTID_GORILLA, len_g, _ratio(len_g, size_g)),
+        )
+        best = candidates[0]
+        for cand in candidates:
+            # literal reference loop: keep best only on strict less-than,
+            # so NaNs and ties fall through to the later model
+            if not (cand[2] < best[2]):
+                best = cand
+        mtid, blen, bratio = best
+        if np.isnan(bratio) or blen == 0:
+            # Uncompressed fallback fitted to the whole buffer
+            mtid = MTID_UNCOMPRESSED
+            blen = min(lb, bsize)
+            model = np.ascontiguousarray(vw[:blen], dtype=">f4").tobytes()
+        elif mtid == MTID_PMC_MEAN:
+            model = struct.pack(">f", pmc_mean)
+        elif mtid == MTID_SWING:
+            model = _swing_encode(swing_bounds)
+        else:
+            model = g_model
+        segments.append(_emit(mtid, model, tw, vw, blen))
+        i += blen
+    return segments
+
+
+def split_runs(t: np.ndarray, si_ms: int) -> list[tuple[int, int]]:
+    """[start, end) index ranges of gap-free runs: a boundary wherever the
+    timestamp delta differs from the sampling interval (the reference
+    flushes on gaps, SegmentGenerator.java:165-185)."""
+    n = len(t)
+    if n == 0:
+        return []
+    breaks = np.nonzero(np.diff(t) != si_ms)[0] + 1
+    starts = np.concatenate(([0], breaks))
+    ends = np.concatenate((breaks, [n]))
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def compress_series(
+    t: np.ndarray, v: np.ndarray, cfg: EngineConfig
+) -> list[Segment]:
+    """Compress a whole (sorted, deduplicated) series: split into gap-free
+    runs, compress each run independently."""
+    t = np.ascontiguousarray(t, dtype=np.int64)
+    v = np.ascontiguousarray(v, dtype=np.float32)
+    out: list[Segment] = []
+    for a, b in split_runs(t, cfg.sampling_interval_ms):
+        out.extend(compress_run(t[a:b], v[a:b], cfg))
+    return out

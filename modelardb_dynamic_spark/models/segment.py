@@ -33,8 +33,12 @@ def seg_length(start_ts: int, end_ts: int, si_ms: int) -> int:
 
 
 def restrict_start(start_ts: int, end_ts: int, si_ms: int, new_start: int) -> int:
-    """START(#, newStart): round newStart up to the grid
-    (Segment.java:56-67). Returns the new start_ts."""
+    """START(#, newStart) per the reference formula (Segment.java:56-67).
+
+    NOTE: despite the Java comment saying "rounded up", the formula
+    `newStart + (SI - diff) - SI` simplifies to `newStart - diff`, i.e. an
+    off-grid newStart rounds DOWN to the previous grid point. We pin the
+    formula, not the comment."""
     if new_start <= start_ts or end_ts < new_start:
         return start_ts
     diff = (new_start - start_ts) % si_ms
@@ -42,7 +46,10 @@ def restrict_start(start_ts: int, end_ts: int, si_ms: int, new_start: int) -> in
 
 
 def restrict_end(start_ts: int, end_ts: int, si_ms: int, new_end: int) -> int:
-    """END(#, newEnd): round newEnd down to the grid (Segment.java:69-78)."""
+    """END(#, newEnd) per the reference formula (Segment.java:69-78).
+
+    Symmetric quirk to START: an off-grid newEnd rounds UP to the next grid
+    point (`newEnd + (SI - diff2)` where diff2 = (end-newEnd) % SI)."""
     if new_end < start_ts or end_ts <= new_end:
         return end_ts
     diff = (end_ts - new_end) % si_ms
@@ -89,13 +96,19 @@ def subrange_aggregate(
     """Closed-form (cnt, vmin, vmax, vsum) over the grid points of
     [lo_ts, hi_ts] ∩ [start_ts, end_ts].
 
-    lo/hi are rounded onto the grid with the START/END rules; PMC and Swing
-    aggregate analytically (no decode), Gorilla/Uncompressed decode once and
-    slice. Returns cnt == 0 with NaN aggregates when the ranges are disjoint.
+    Containment semantics (the two-phase prune-then-exact shape of
+    ViewDataPoint.scala:47-73): first grid point >= lo_ts, last <= hi_ts —
+    NOT the START/END UDF rounding quirk. PMC and Swing aggregate
+    analytically (no decode), Gorilla/Uncompressed decode once and slice.
+    Returns cnt == 0 with NaN aggregates when the ranges are disjoint.
     """
-    lo = restrict_start(start_ts, end_ts, si_ms, lo_ts)
-    hi = restrict_end(start_ts, end_ts, si_ms, hi_ts)
-    if hi < lo or hi_ts < start_ts or lo_ts > end_ts:
+    lo = max(lo_ts, start_ts)
+    hi = min(hi_ts, end_ts)
+    if hi < lo:
+        return 0, float("nan"), float("nan"), float("nan")
+    lo = start_ts + -((start_ts - lo) // si_ms) * si_ms  # ceil to grid
+    hi = start_ts + ((hi - start_ts) // si_ms) * si_ms  # floor to grid
+    if hi < lo:
         return 0, float("nan"), float("nan"), float("nan")
     cnt = seg_length(lo, hi, si_ms)
     if mtid == MTID_PMC_MEAN:

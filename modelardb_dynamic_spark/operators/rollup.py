@@ -1,0 +1,200 @@
+"""Continuous aggregates: segment table -> per-bucket rollup tiers with
+gap-fill.
+
+This replaces the reference's 40 time-bucketed UDAFs
+({COUNT,MIN,MAX,SUM,AVG}_{YEAR..SECOND}, engines/spark/SparkUDAF.scala:
+189-342 walking Segment.cube, core/models/Segment.java:135-168) with two
+parameterized operators:
+
+- rollup(segments, bucket_ms): splits each segment at bucket boundaries
+  ANALYTICALLY — PMC and Swing sub-ranges aggregate in closed form from
+  model parameters without decoding (PMC_MeanModelType.java:137-150,
+  SwingFilterModelType.java:220-248); Gorilla/Uncompressed decode once per
+  segment and aggregate per bucket via np.*.reduceat. The mapInPandas emits
+  per-(segment x bucket) partials; a plain groupBy merges them (map-side
+  partial aggregation + one shuffle on (sid, metric, bucket_ts)).
+- downsample(tier, k): tier k -> coarser tier by pure columnar groupBy
+  (count/sum/min/max compose), no decode at all.
+- gap_fill(tier, bucket_ms): explicit gap materialization per series via
+  sequence(min_bucket, max_bucket) + left join — missing buckets appear
+  with cnt = 0 and NULL aggregates (FIXTURES.md §4).
+
+Tier schema: sid, metric, bucket_ts long, cnt long, vsum double,
+vmin float, vmax float (avg = vsum/cnt is a view-level expression).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from modelardb_dynamic_spark.config import (
+    MTID_GORILLA,
+    MTID_PMC_MEAN,
+    MTID_SWING,
+    MTID_UNCOMPRESSED,
+)
+from modelardb_dynamic_spark.models.gorilla import gorilla_decode
+from modelardb_dynamic_spark.models.kernels import swing_decode
+
+TIER_SCHEMA = (
+    "sid string, metric string, bucket_ts long, cnt long, vsum double, "
+    "vmin float, vmax float"
+)
+
+
+def _bucket_partials(pdf: pd.DataFrame, bucket_ms: int) -> pd.DataFrame:
+    n_seg = len(pdf)
+    start = pdf["start_ts"].to_numpy().astype(np.int64)
+    end = pdf["end_ts"].to_numpy().astype(np.int64)
+    si = pdf["si"].to_numpy().astype(np.int64)
+    mtid = pdf["mtid"].to_numpy()
+
+    first_b = (start // bucket_ms) * bucket_ms
+    last_b = (end // bucket_ms) * bucket_ms
+    k = ((last_b - first_b) // bucket_ms + 1).astype(np.int64)
+    seg_idx = np.repeat(np.arange(n_seg), k)
+    offs = np.concatenate(([0], np.cumsum(k)[:-1]))
+    j = np.arange(int(k.sum())) - np.repeat(offs, k)
+    bucket_ts = np.repeat(first_b, k) + j * bucket_ms
+
+    st = start[seg_idx]
+    en = end[seg_idx]
+    s_i = si[seg_idx]
+    lo = np.maximum(st, bucket_ts)
+    hi = np.minimum(en, bucket_ts + bucket_ms - 1)
+    # ceil/floor containment onto each segment's grid
+    lo_g = st + -((st - lo) // s_i) * s_i
+    hi_g = st + ((hi - st) // s_i) * s_i
+    cnt = (hi_g - lo_g) // s_i + 1
+    valid = cnt > 0
+
+    m = mtid[seg_idx]
+    vmin = np.empty(len(seg_idx), dtype=np.float32)
+    vmax = np.empty(len(seg_idx), dtype=np.float32)
+    vsum = np.empty(len(seg_idx), dtype=np.float64)
+
+    is_pmc_seg = mtid == MTID_PMC_MEAN
+    if is_pmc_seg.any():
+        pmc_vals = np.zeros(n_seg, dtype=np.float32)
+        for i in np.flatnonzero(is_pmc_seg):
+            pmc_vals[i] = np.frombuffer(pdf["model"].iat[i], dtype=">f4")[0]
+        mask = m == MTID_PMC_MEAN
+        v = pmc_vals[seg_idx[mask]]
+        vmin[mask] = v
+        vmax[mask] = v
+        # (double)(length * value) in float32 math, PMC_MeanModelType.java:148-150
+        vsum[mask] = (cnt[mask].astype(np.float32) * v).astype(np.float64)
+    is_swing_seg = mtid == MTID_SWING
+    if is_swing_seg.any():
+        ab = np.zeros((n_seg, 2), dtype=np.float64)
+        for i in np.flatnonzero(is_swing_seg):
+            ab[i] = swing_decode(pdf["model"].iat[i])
+        mask = m == MTID_SWING
+        sidx = seg_idx[mask]
+        a = ab[sidx, 0]
+        b = ab[sidx, 1]
+        fst = a * lo_g[mask] + b
+        lst = a * hi_g[mask] + b
+        vsum[mask] = (fst + lst) / 2.0 * cnt[mask]
+        f_lo = fst.astype(np.float32)
+        f_hi = lst.astype(np.float32)
+        b32 = b.astype(np.float32)
+        vmin[mask] = np.where(a == 0, b32, np.where(a > 0, f_lo, f_hi))
+        vmax[mask] = np.where(a == 0, b32, np.where(a > 0, f_hi, f_lo))
+    for i in np.flatnonzero((mtid == MTID_GORILLA) | (mtid == MTID_UNCOMPRESSED)):
+        n_i = int((end[i] - start[i]) // si[i]) + 1
+        if mtid[i] == MTID_GORILLA:
+            vals = gorilla_decode(pdf["model"].iat[i], n_i)
+        else:
+            vals = np.frombuffer(pdf["model"].iat[i], dtype=">f4")[:n_i]
+        # this segment's bucket rows are contiguous: [offs[i], offs[i]+k[i])
+        rows = np.arange(offs[i], offs[i] + k[i])
+        rows = rows[valid[rows]]
+        if len(rows) == 0:
+            continue
+        pos = ((lo_g[rows] - start[i]) // si[i]).astype(np.int64)
+        vals64 = vals.astype(np.float64)
+        # within one segment the buckets partition the grid, so reduceat
+        # slice [pos_j, pos_{j+1}) is exactly bucket j; the last runs to the
+        # segment end which equals its hi_g by construction
+        vsum[rows] = np.add.reduceat(vals64, pos)
+        vmin[rows] = np.minimum.reduceat(vals, pos)
+        vmax[rows] = np.maximum.reduceat(vals, pos)
+    out = pd.DataFrame(
+        {
+            "sid": pdf["sid"].to_numpy()[seg_idx],
+            "metric": pdf["metric"].to_numpy()[seg_idx],
+            "bucket_ts": bucket_ts,
+            "cnt": cnt,
+            "vsum": vsum,
+            "vmin": vmin,
+            "vmax": vmax,
+        }
+    )
+    return out[valid]
+
+
+def rollup(segments: DataFrame, bucket_ms: int) -> DataFrame:
+    """Segment table -> tier table at bucket_ms granularity."""
+
+    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _bucket_partials(pdf, bucket_ms)
+
+    partials = segments.select(
+        "sid", "metric", "start_ts", "end_ts", "si", "mtid", "model"
+    ).mapInPandas(map_fn, schema=TIER_SCHEMA)
+    return partials.groupBy("sid", "metric", "bucket_ts").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def downsample(tier: DataFrame, bucket_ms: int) -> DataFrame:
+    """Coarser tier from a finer tier: pure columnar aggregation (the
+    aggregates compose: counts/sums add, min/max nest)."""
+    return (
+        tier.withColumn(
+            "bucket_ts", (F.col("bucket_ts") / bucket_ms).cast("long") * bucket_ms
+        )
+        .groupBy("sid", "metric", "bucket_ts")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+
+
+def gap_fill(tier: DataFrame, bucket_ms: int) -> DataFrame:
+    """Materialize missing buckets per (sid, metric) over
+    [min_bucket, max_bucket] with cnt = 0 and NULL value aggregates."""
+    spans = tier.groupBy("sid", "metric").agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    all_buckets = spans.select(
+        "sid",
+        "metric",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(int(bucket_ms)))
+        ).alias("bucket_ts"),
+    )
+    return (
+        all_buckets.join(tier, ["sid", "metric", "bucket_ts"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+
+
+def with_avg(tier: DataFrame) -> DataFrame:
+    return tier.withColumn(
+        "vavg", F.when(F.col("cnt") > 0, F.col("vsum") / F.col("cnt"))
+    )

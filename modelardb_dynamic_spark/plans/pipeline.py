@@ -1,0 +1,211 @@
+"""The retention-tier pipeline: raw -> series -> segments -> 1m -> 1h -> 1d.
+
+Each stage is computed bucket-chunk by bucket-chunk (series-hash buckets,
+consistent across all stages because every table keys on the same sid), and
+every bucket commits a lineage manifest once its parquet directory is in
+place — so a killed pipeline resumes mid-tier, skipping completed buckets
+(plans/checkpoint.py). Chunks keep many buckets per Spark job so the
+cluster stays fully parallel while bounding re-work after a crash.
+
+Tiers (FIXTURES.md §4): tier_1m is rolled up from segments analytically;
+tier_1h and tier_1d are pure columnar downsamples of the previous tier.
+Retention: drop raw/segment data older than a horizon once the coarser
+tiers cover it (here: filter-rewrite per bucket; Iceberg deployment:
+overwrite-by-filter / partition drop).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modelardb_dynamic_spark.config import EngineConfig
+from modelardb_dynamic_spark.operators.compress import compress
+from modelardb_dynamic_spark.operators.rollup import downsample, gap_fill, rollup
+from modelardb_dynamic_spark.plans.checkpoint import Lineage
+from modelardb_dynamic_spark.sources.catalog import Warehouse, sid_bucket
+from modelardb_dynamic_spark.sources.timeseries import transcript_series
+
+MINUTE_MS = 60_000
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+TIERS = (("tier_1m", MINUTE_MS), ("tier_1h", HOUR_MS), ("tier_1d", DAY_MS))
+
+
+class TierPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: Warehouse,
+        cfg: EngineConfig,
+        chunk_buckets: int = 16,
+        salt_span_points: int | None = 1 << 20,
+    ):
+        self.spark = spark
+        self.wh = warehouse
+        self.cfg = cfg
+        self.chunk_buckets = chunk_buckets
+        self.salt_span_points = salt_span_points
+
+    # -- stage plumbing ------------------------------------------------------
+
+    def _run_stage(
+        self,
+        stage: str,
+        fingerprint: str,
+        build: "callable",
+        ts_col: str,
+        fail_after_chunks: int | None = None,
+    ) -> None:
+        """build(bucket_ids) -> DataFrame carrying an sbucket column.
+
+        Writes each chunk partitioned by sbucket, moves bucket dirs into the
+        stage table atomically, then commits one manifest per bucket.
+        fail_after_chunks injects a crash for resume tests.
+        """
+        root = self.wh.path(stage)
+        os.makedirs(root, exist_ok=True)
+        lineage = Lineage(root)
+        buckets = list(range(self.wh.n_buckets))
+        chunks = [
+            buckets[i : i + self.chunk_buckets]
+            for i in range(0, len(buckets), self.chunk_buckets)
+        ]
+        done_chunks = 0
+        for chunk in chunks:
+            pending = [b for b in chunk if not lineage.is_done(b, fingerprint)]
+            if not pending:
+                continue
+            t0 = time.time()
+            df = build(pending)
+            tmp = root + "." + uuid.uuid4().hex[:8] + ".tmp"
+            (
+                df.where(F.col("sbucket").isin(pending))
+                .write.mode("overwrite")
+                .partitionBy("sbucket")
+                .parquet(tmp)
+            )
+            stats = {}
+            tmp_df = self.spark.read.parquet(tmp)
+            hw_col = (
+                F.unix_millis(ts_col)
+                if dict(tmp_df.dtypes).get(ts_col) == "timestamp"
+                else F.col(ts_col)
+            )
+            for r in (
+                tmp_df.groupBy("sbucket")
+                .agg(F.count(F.lit(1)).alias("rows"), F.max(hw_col).alias("hw"))
+                .collect()
+            ):
+                stats[r["sbucket"]] = (r["rows"], r["hw"])
+            wall = time.time() - t0
+            for b in pending:
+                src = os.path.join(tmp, f"sbucket={b}")
+                dst = os.path.join(root, f"sbucket={b}")
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+                else:
+                    os.makedirs(dst, exist_ok=True)  # empty bucket
+                rows, hw = stats.get(b, (0, None))
+                lineage.commit(stage, b, rows, hw, fingerprint, wall / len(pending))
+            shutil.rmtree(tmp, ignore_errors=True)
+            done_chunks += 1
+            if fail_after_chunks is not None and done_chunks >= fail_after_chunks:
+                raise RuntimeError(f"injected failure after {done_chunks} chunks")
+
+    def _read_buckets(self, table: str, bucket_ids: list[int]) -> DataFrame:
+        df = self.spark.read.option("basePath", self.wh.path(table)).parquet(
+            *[
+                os.path.join(self.wh.path(table), f"sbucket={b}")
+                for b in bucket_ids
+                if os.path.exists(os.path.join(self.wh.path(table), f"sbucket={b}"))
+            ]
+        )
+        return df
+
+    # -- stages --------------------------------------------------------------
+
+    def ingest_raw(self, transcripts: DataFrame, fingerprint: str = "raw-v1") -> None:
+        """Persist the raw tier bucketed by conv_id (per-turn text survives
+        byte-identically; verified by tests under ORDER BY conv_id, turn_idx)."""
+
+        def build(bucket_ids: list[int]) -> DataFrame:
+            return transcripts.withColumn(
+                "sbucket", sid_bucket(F.col("conv_id"), self.wh.n_buckets)
+            )
+
+        self._run_stage("raw", fingerprint, build, ts_col="ts")
+
+    def build_series(self, fingerprint: str = "series-v1") -> None:
+        def build(bucket_ids: list[int]) -> DataFrame:
+            raw = self._read_buckets("raw", bucket_ids)
+            s = transcript_series(raw, self.cfg.sampling_interval_ms)
+            return s.withColumn("sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets))
+
+        self._run_stage("series", fingerprint, build, ts_col="ts_ms")
+
+    def build_segments(
+        self, fingerprint: str = "segments-v1", fail_after_chunks: int | None = None
+    ) -> None:
+        def build(bucket_ids: list[int]) -> DataFrame:
+            series = self._read_buckets("series", bucket_ids)
+            segs = compress(series, self.cfg, salt_span_points=self.salt_span_points)
+            return segs.withColumn(
+                "sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets)
+            )
+
+        self._run_stage(
+            "segments", fingerprint, build, ts_col="end_ts",
+            fail_after_chunks=fail_after_chunks,
+        )
+
+    def build_tiers(self, fingerprint: str = "tiers-v1") -> None:
+        prev = "segments"
+        for tier_name, bucket_ms in TIERS:
+            def build(bucket_ids: list[int], prev=prev, bucket_ms=bucket_ms) -> DataFrame:
+                src = self._read_buckets(prev, bucket_ids)
+                tier = rollup(src, bucket_ms) if prev == "segments" else downsample(
+                    src, bucket_ms
+                )
+                return tier.withColumn(
+                    "sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets)
+                )
+
+            self._run_stage(tier_name, fingerprint, build, ts_col="bucket_ts")
+            prev = tier_name
+
+    def run(self, transcripts: DataFrame) -> None:
+        self.ingest_raw(transcripts)
+        self.build_series()
+        self.build_segments()
+        self.build_tiers()
+
+    # -- retention -----------------------------------------------------------
+
+    def retain_raw(self, horizon_ms: int, fingerprint_suffix: str = "") -> None:
+        """Drop raw turns older than horizon (coarser tiers retain the
+        aggregates). Filter-rewrite per bucket, lineage re-committed."""
+        fingerprint = f"raw-retained-{horizon_ms}{fingerprint_suffix}"
+
+        def build(bucket_ids: list[int]) -> DataFrame:
+            raw = self._read_buckets("raw", bucket_ids)
+            return raw.where(F.unix_millis("ts") >= horizon_ms)
+
+        self._run_stage("raw", fingerprint, build, ts_col="ts")
+
+    # -- views ---------------------------------------------------------------
+
+    def tier(self, name: str, gap_filled: bool = False) -> DataFrame:
+        df = self.wh.read(self.spark, name)
+        if gap_filled:
+            bucket_ms = dict(TIERS)[name]
+            df = gap_fill(df.drop("sbucket"), bucket_ms)
+        return df

@@ -1,0 +1,156 @@
+"""End-to-end pipeline tests: compress/reconstruct/rollup exactness on the
+synthetic transcript table, per-turn text equality, gap-fill, tier
+composition, and kill-and-resume via per-bucket lineage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modelardb_dynamic_spark.config import EngineConfig
+from modelardb_dynamic_spark.operators.compress import compress, compression_stats
+from modelardb_dynamic_spark.operators.reconstruct import datapoint_view
+from modelardb_dynamic_spark.operators.rollup import gap_fill, rollup, with_avg
+from modelardb_dynamic_spark.plans.pipeline import HOUR_MS, MINUTE_MS, TierPipeline
+from modelardb_dynamic_spark.sources.catalog import Warehouse
+from modelardb_dynamic_spark.sources.timeseries import transcript_series
+from modelardb_dynamic_spark.sources.transcripts import generate_transcripts
+
+CFG0 = EngineConfig(error_bound=0.0, sampling_interval_ms=60_000)
+CFG10 = EngineConfig(error_bound=10.0, sampling_interval_ms=60_000)
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = generate_transcripts(spark, n_convs=40, turns_base=48).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def series(spark, transcripts):
+    s = transcript_series(transcripts, 60_000).cache()
+    s.count()
+    return s
+
+
+def test_generator_deterministic(spark, transcripts):
+    again = generate_transcripts(spark, n_convs=40, turns_base=48)
+    assert transcripts.exceptAll(again).count() == 0
+    assert again.exceptAll(transcripts).count() == 0
+
+
+def test_roundtrip_exact_error_zero(spark, series):
+    segs = compress(series, CFG0)
+    rec = datapoint_view(segs).withColumnRenamed("value", "rec")
+    j = rec.join(series, ["sid", "metric", "ts_ms"], "full_outer")
+    bad = j.where("rec IS NULL OR value IS NULL OR rec != value")
+    assert bad.count() == 0
+
+
+def test_roundtrip_bounded_error_ten(spark, series):
+    segs = compress(series, CFG10)
+    rec = datapoint_view(segs).withColumnRenamed("value", "rec")
+    j = rec.join(series, ["sid", "metric", "ts_ms"], "inner")
+    # percentage error per the reference metric, NULL-safe count match
+    assert j.count() == series.count()
+    bad = j.where(
+        "NOT (rec = value OR abs((value - rec) / value) * 100.0 <= 10.0)"
+    )
+    assert bad.count() == 0
+
+
+@pytest.mark.parametrize("cfg", [CFG0, CFG10], ids=["eb0", "eb10"])
+def test_rollup_matches_point_oracle(spark, series, cfg):
+    """Tier aggregates from closed forms == aggregates of reconstructed
+    points (the §2.5 tier-match oracle)."""
+    segs = compress(series, cfg).cache()
+    tier = rollup(segs, HOUR_MS)
+    pts = datapoint_view(segs)
+    oracle = pts.groupBy(
+        "sid", "metric",
+        (F.floor(F.col("ts_ms") / HOUR_MS) * HOUR_MS).alias("bucket_ts"),
+    ).agg(
+        F.count("*").alias("ocnt"),
+        F.sum(F.col("value").cast("double")).alias("osum"),
+        F.min("value").alias("omin"),
+        F.max("value").alias("omax"),
+    )
+    j = tier.join(oracle, ["sid", "metric", "bucket_ts"], "full_outer")
+    bad = j.where(
+        "ocnt IS NULL OR cnt IS NULL OR cnt != ocnt OR vmin != omin "
+        "OR vmax != omax OR abs(vsum - osum) > 1e-6 * greatest(abs(osum), 1e-9)"
+    )
+    assert bad.count() == 0
+
+
+def test_salting_preserves_points_and_bounds(spark, series):
+    """Salted compression (forced flush at span edges) reconstructs the
+    same points."""
+    plain = datapoint_view(compress(series, CFG10))
+    salted = datapoint_view(
+        compress(series, CFG10, salt_span_points=16)
+    ).withColumnRenamed("value", "svalue")
+    j = plain.join(salted, ["sid", "metric", "ts_ms"], "full_outer")
+    assert j.where("value IS NULL OR svalue IS NULL").count() == 0
+    bad = j.where(
+        "NOT (value = svalue OR abs((value - svalue) / value) * 100.0 <= 20.0)"
+    )
+    assert bad.count() == 0
+
+
+def test_gap_fill_inserts_empty_buckets(spark, series):
+    segs = compress(series, CFG0)
+    tier = rollup(segs, MINUTE_MS)
+    filled = gap_fill(tier, MINUTE_MS)
+    assert filled.count() >= tier.count()
+    extra = filled.where("cnt = 0")
+    # injected ~2% gaps must appear as cnt=0 minutes
+    assert extra.count() > 0
+    assert extra.where("vsum IS NOT NULL").count() == 0
+    avg = with_avg(filled)
+    assert avg.where("cnt = 0 AND vavg IS NOT NULL").count() == 0
+
+
+def test_pipeline_resume_identical(spark, transcripts, tmp_path):
+    """Kill after the first segment chunk; resume; outputs must equal an
+    uninterrupted run (FIXTURES.md §5.11)."""
+    wh_a = Warehouse(str(tmp_path / "a"), n_buckets=8)
+    p_a = TierPipeline(spark, wh_a, CFG10, chunk_buckets=2, salt_span_points=None)
+    p_a.run(transcripts)
+
+    wh_b = Warehouse(str(tmp_path / "b"), n_buckets=8)
+    p_b = TierPipeline(spark, wh_b, CFG10, chunk_buckets=2, salt_span_points=None)
+    p_b.ingest_raw(transcripts)
+    p_b.build_series()
+    with pytest.raises(RuntimeError, match="injected failure"):
+        p_b.build_segments(fail_after_chunks=1)
+    # resume: completed buckets skipped, remaining rebuilt
+    p_b.build_segments()
+    p_b.build_tiers()
+
+    for table in ["segments", "tier_1m", "tier_1h", "tier_1d"]:
+        a = wh_a.read(spark, table).drop("sbucket")
+        b = wh_b.read(spark, table).drop("sbucket")
+        assert a.exceptAll(b).count() == 0, table
+        assert b.exceptAll(a).count() == 0, table
+
+
+def test_raw_tier_text_equality(spark, transcripts, tmp_path):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering
+    after the raw tier round-trips through the warehouse."""
+    wh = Warehouse(str(tmp_path / "t"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4)
+    p.ingest_raw(transcripts)
+    back = wh.read(spark, "raw")
+    orig = transcripts.orderBy("conv_id", "turn_idx").select(
+        "conv_id", "turn_idx", "text"
+    )
+    got = back.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text")
+    assert [r.asDict() for r in orig.collect()] == [r.asDict() for r in got.collect()]
+
+
+def test_compression_ratio_positive(spark, series):
+    row = compression_stats(compress(series, CFG10)).collect()[0]
+    assert row["n_points"] == series.count()
+    assert row["compression_ratio"] > 0

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k. The query set is broadcast as a
+  numpy matrix; each corpus partition computes a (batch x queries) float64
+  GEMM and emits only its per-batch top-k, so the shuffle carries
+  O(k * queries * partitions) rows, never the corpus.
+- ivf_topk: IVF-style scale path — corpus bucketed by nearest of C
+  deterministic centroids (train-free: hyperplane quadrant codes), queries
+  probe their own bucket(s); exact re-rank within buckets only.
+- hyperplane_signature: shared random-projection signature helper
+  (deterministic seed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hyperplane_signature(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    seed: int,
+) -> DataFrame:
+    """(id, vec, sig long): sign pattern of n_planes random projections."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            proj = m @ planes
+            sig = ((proj > 0) << np.arange(n_planes, dtype=np.int64)[None, :]).sum(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "vec": pdf[vec_col], "sig": sig}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        map_fn, schema=f"id long, vec array<float>, sig long"
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors (excluding self) for the given query
+    ids. Returns (qid, nid, rank) with deterministic (cosine DESC, nid)
+    ordering; float64 math."""
+    spark = corpus.sparkSession
+    qrows = (
+        corpus.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ q_mat.T  # (batch, nq)
+            sims[ids[:, None] == q_ids[None, :]] = -np.inf  # exclude self
+            kk = min(k, len(ids))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            rows = {
+                "qid": np.repeat(q_ids[None, :], kk, axis=0).ravel(),
+                "nid": ids[top].ravel(),
+                "cosine": np.take_along_axis(sims, top, axis=0).ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[np.isfinite(out["cosine"])]
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        map_fn, schema="qid long, nid long, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: hyperplane-quadrant bucketing (2^n_planes cells),
+    exact cosine re-rank within the query's cell. The scale path: the
+    pairwise work shrinks by the cell count at some recall cost."""
+    sig = hyperplane_signature(corpus, id_col, vec_col, n_planes, seed=23).cache()
+    q = sig.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec"), F.col("sig").alias("qsig")
+    )
+    cand = q.join(sig, F.col("qsig") == F.col("sig")).where(
+        F.col("qid") != F.col("id")
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "vec", lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = cand.withColumn(
+        "cosine", dot / (norm(F.col("qvec")) * norm(F.col("vec")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("id").alias("nid"), "rank")
+    )

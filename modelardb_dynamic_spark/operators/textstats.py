@@ -1,0 +1,180 @@
+"""Text analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting, sessionization, as-of join.
+
+Everything here is pure Spark SQL expressions (JVM-side, whole-stage
+codegen) except the rolling-hash fingerprint, which is a vectorized pandas
+UDF. The heuristics are deliberately SQL-expressible so each operator has a
+DuckDB oracle in the correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# -- token counting / quality --------------------------------------------------
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens, BPE-ish subword estimate (ceil(chars/4) per word),
+    character count, and quality ratios — all exact integer/div math."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(
+        F.col(id_col),
+        F.size(words).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("int")
+        ).alias("n_subwords"),
+        (F.size(words) / F.length(text_col)).alias("tokens_per_char"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("distinct_ratio"),
+    )
+
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-stopword language heuristic: score = number of the language's
+    marker words present as distinct tokens; argmax with ties broken by
+    language code order (deterministic, SQL-expressible)."""
+    words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    scores = [
+        F.size(
+            F.array_intersect(words, F.array(*[F.lit(w) for w in ws]))
+        ).alias(f"score_{lang}")
+        for lang, ws in sorted(_STOPWORDS.items())
+    ]
+    scored = docs.select(F.col(id_col), *scores)
+    langs = sorted(_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[
+            F.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang))
+            for lang in langs
+        ],
+        F.lit("unknown"),
+    )
+    return scored.select(id_col, *[f"score_{lang}" for lang in langs], pred.alias("pred_lang"))
+
+
+# -- fingerprinting --------------------------------------------------------------
+
+
+def md5_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+
+
+_POLY_P = (1 << 61) - 1
+_POLY_B = 131
+
+
+def rolling_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Polynomial rolling hash over UTF-8 bytes mod 2^61-1 (vectorized
+    Horner scheme per batch)."""
+
+    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = np.empty(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf[text_col]):
+                h = 0
+                for byte in t.encode("utf-8"):
+                    h = (h * _POLY_B + byte) % _POLY_P
+                fps[i] = h
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "rfp": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(map_fn, schema="id long, rfp long")
+
+
+# -- sessionization ---------------------------------------------------------------
+
+
+def sessionize(
+    events: DataFrame,
+    gap_ms: int = 30 * 60_000,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Window-function sessionization: a session breaks when the gap to the
+    previous event exceeds gap_ms. Returns one row per session with bounds
+    and event count."""
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    marked = events.withColumn(
+        "new_sess",
+        F.when(ms - F.lag(ms).over(w) > gap_ms, 1).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum(F.when(F.lag(ms).over(w).isNull(), 1).otherwise(F.col("new_sess"))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return marked.groupBy(id_col, "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ms).alias("start_ms"),
+        F.max(ms).alias("end_ms"),
+    )
+
+
+# -- as-of join -------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+) -> DataFrame:
+    """For every left row, attach the latest right row (by time) with
+    right_ts <= left_ts and the same key.
+
+    Spark lacks a native ASOF JOIN; instead of a per-group merge_asof this
+    uses the union-and-carry-forward trick: tag both streams, union, and
+    carry the last right value forward with a single window pass — one
+    shuffle on key, no pairwise join at all."""
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_side", F.lit(1)
+    ).withColumn("_rv", F.lit(None).cast(dict(right.dtypes)[right_val])).withColumn(
+        "_rts", F.lit(None).cast(dict(right.dtypes)[right_ts])
+    )
+    rt = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("_ts"),
+            F.lit(0).alias("_side"),
+            F.col(right_val).alias("_rv"),
+            F.col(right_ts).alias("_rts"),
+        )
+    )
+    lcols = [c for c in left.columns]
+    u = lt.select(key, "_ts", "_side", "_rv", "_rts", *[c for c in lcols if c != key]).unionByName(
+        rt, allowMissingColumns=True
+    )
+    # right rows sort before left rows at equal ts so "<=" semantics hold
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn("_last_rv", F.last("_rv", ignorenulls=True).over(w)).withColumn(
+        "_last_rts", F.last("_rts", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *lcols,
+        F.col("_last_rts").alias("asof_ts"),
+        F.col("_last_rv").alias("asof_" + right_val),
+    )

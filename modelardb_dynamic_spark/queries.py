@@ -1,0 +1,446 @@
+"""Driver-facing query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus, where expressible, the
+equivalent ANSI SQL a DuckDB oracle can run on the same parquet tables.
+
+Engine queries derive a regular event-count series from the `events` table
+(one series per user_id, 1-minute sampling interval — the testdata analog
+of the transcript turn_rate series), compress it with error bound 0, and
+answer everything from the segment table; the oracles compute the same
+answers directly from the raw rows. With error bound 0 every value is an
+exact small integer in float32, so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modelardb_dynamic_spark.config import EngineConfig
+from modelardb_dynamic_spark.operators import dedup, similarity, textstats
+from modelardb_dynamic_spark.operators.compress import compress
+from modelardb_dynamic_spark.operators.reconstruct import datapoint_view
+from modelardb_dynamic_spark.operators.rollup import downsample, gap_fill, rollup
+from modelardb_dynamic_spark.sources.timeseries import event_series
+
+SI_MS = 60_000
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+CFG0 = EngineConfig(error_bound=0.0, sampling_interval_ms=SI_MS)
+
+# a fixed window inside the events span (2024-01-05 .. 2024-01-12 UTC)
+RANGE_LO = 1_704_412_800_000
+RANGE_HI = 1_705_017_600_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _event_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compress(event_series(_t(spark, sf_dir, "events"), SI_MS), CFG0)
+
+
+# --- engine: segment-native aggregates (SparkUDAF.scala family) --------------
+
+
+def q_seg_count_s(spark, sf_dir):
+    """COUNT_S: points per series from segment bounds alone
+    (SparkUDAF.scala:35-56 -> pure column expression over the segment table)."""
+    segs = _event_segments(spark, sf_dir)
+    return segs.groupBy("sid").agg(
+        F.sum((F.col("end_ts") - F.col("start_ts")) / F.col("si") + 1)
+        .cast("long")
+        .alias("points")
+    )
+
+
+def q_seg_agg_s(spark, sf_dir):
+    """MIN_S/MAX_S/SUM_S/AVG_S from materialized segment summaries
+    (SparkUDAF.scala:59-185 -> columnar groupBy, no model objects)."""
+    segs = _event_segments(spark, sf_dir)
+    return segs.groupBy("sid").agg(
+        F.min("vmin").cast("double").alias("min_s"),
+        F.max("vmax").cast("double").alias("max_s"),
+        F.sum("vsum").alias("sum_s"),
+        (F.sum("vsum") / F.sum("cnt")).alias("avg_s"),
+    )
+
+
+def q_dp_restore_range(spark, sf_dir):
+    """DataPoint view with a timestamp range predicate: overlap-prune
+    segments, grid, exact re-filter (ViewDataPoint.scala two-phase shape)."""
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs, lo_ms=RANGE_LO, hi_ms=RANGE_HI - 1)
+    return pts.select("sid", "ts_ms", F.col("value").cast("double").alias("value"))
+
+
+def q_rollup_1h_gapfill(spark, sf_dir):
+    """Continuous aggregate: hourly count/sum/min/max of the per-minute
+    series, with missing hours materialized (cnt=0, NULL aggregates)."""
+    segs = _event_segments(spark, sf_dir)
+    tier = gap_fill(rollup(segs, HOUR_MS), HOUR_MS)
+    return tier.select(
+        "sid",
+        "bucket_ts",
+        "cnt",
+        "vsum",
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+    )
+
+
+def q_tier_1d(spark, sf_dir):
+    """Tier composition: 1d tier downsampled from the 1h tier (aggregates
+    compose columnar; equals direct daily aggregation)."""
+    segs = _event_segments(spark, sf_dir)
+    day = downsample(rollup(segs, HOUR_MS), DAY_MS)
+    return day.select(
+        "sid",
+        "bucket_ts",
+        "cnt",
+        "vsum",
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+    )
+
+
+def q_segment_restrict(spark, sf_dir):
+    """START/END segment restriction as column arithmetic (Segment.java:
+    56-78 formulas) followed by COUNT_S over the restricted segments."""
+    segs = _event_segments(spark, sf_dir)
+    lo, hi = RANGE_LO, RANGE_HI - SI_MS  # both on the minute grid
+    r = (
+        segs.where((F.col("end_ts") >= lo) & (F.col("start_ts") <= hi))
+        .withColumn("new_start", F.greatest(F.col("start_ts"), F.lit(lo)))
+        .withColumn("new_end", F.least(F.col("end_ts"), F.lit(hi)))
+    )
+    return r.groupBy("sid").agg(
+        F.sum((F.col("new_end") - F.col("new_start")) / F.col("si") + 1)
+        .cast("long")
+        .alias("points")
+    )
+
+
+# --- host-engine-delegated relational queries (SURVEY.md §2.7) ---------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_topk_orders_per_cust(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sess = textstats.sessionize(ev, gap_ms=30 * 60_000)
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_events"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+def q_asof_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = textstats.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_val="value",
+    )
+    return out.select(
+        "event_id",
+        F.unix_millis(F.col("asof_ts").cast("timestamp")).alias("asof_ms"),
+        "asof_value",
+    )
+
+
+# --- dedup family -------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.25, n=3
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_embedding_dups(spark, sf_dir):
+    # the synthetic embeddings have no true near-dups (max pairwise cosine
+    # ~0.51), so the demo threshold is loose; the operator is the point
+    return dedup.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4
+    ).select("ida", "idb", F.round("cosine", 6).alias("cosine"))
+
+
+# --- similarity search ---------------------------------------------------------
+
+
+def q_ann_topk(spark, sf_dir):
+    return similarity.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(20)), k=5
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(20)), k=5
+    )
+
+
+# --- text analysis --------------------------------------------------------------
+
+
+def q_token_stats(spark, sf_dir):
+    s = textstats.token_stats(_t(spark, sf_dir, "documents"))
+    return s.select(
+        "doc_id", "n_tokens", "n_chars", "n_subwords", "n_distinct_tokens",
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.md5_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    return textstats.rolling_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# --- transcript pipeline (rows-only smoke at driver scale) ----------------------
+
+
+def q_transcript_tiers(spark, sf_dir):
+    from modelardb_dynamic_spark.sources.timeseries import transcript_series
+    from modelardb_dynamic_spark.sources.transcripts import generate_transcripts
+
+    tr = generate_transcripts(spark, n_convs=30, turns_base=48)
+    series = transcript_series(tr, SI_MS)
+    segs = compress(series, EngineConfig(error_bound=10.0, sampling_interval_ms=SI_MS))
+    return gap_fill(rollup(segs, HOUR_MS), HOUR_MS)
+
+
+QUERIES = {
+    "seg_count_s": q_seg_count_s,
+    "seg_agg_s": q_seg_agg_s,
+    "dp_restore_range": q_dp_restore_range,
+    "rollup_1h_gapfill": q_rollup_1h_gapfill,
+    "tier_1d": q_tier_1d,
+    "segment_restrict": q_segment_restrict,
+    "tpch_q1": q_tpch_q1,
+    "topk_orders_per_cust": q_topk_orders_per_cust,
+    "sessionize": q_sessionize,
+    "asof_purchase": q_asof_purchase,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_dups": q_embedding_dups,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "transcript_tiers": q_transcript_tiers,
+}
+
+_MINUTE_BUCKETS = f"""
+    SELECT CAST(user_id AS VARCHAR) AS sid,
+           (epoch_ms(ts) // {SI_MS}) * {SI_MS} AS m,
+           count(*) AS v
+    FROM events GROUP BY 1, 2
+"""
+
+_HOURLY = f"""
+    SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS bucket_ts,
+           count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+           CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax
+    FROM b GROUP BY 1, 2
+"""
+
+ORACLES = {
+    "seg_count_s": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid, count(*) AS points FROM b GROUP BY sid
+    """,
+    "seg_agg_s": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid, CAST(min(v) AS DOUBLE) AS min_s, CAST(max(v) AS DOUBLE) AS max_s,
+               CAST(sum(v) AS DOUBLE) AS sum_s, avg(v) AS avg_s
+        FROM b GROUP BY sid
+    """,
+    "dp_restore_range": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid, m AS ts_ms, CAST(v AS DOUBLE) AS value
+        FROM b WHERE m >= {RANGE_LO} AND m < {RANGE_HI}
+    """,
+    "rollup_1h_gapfill": f"""
+        WITH b AS ({_MINUTE_BUCKETS}),
+        h AS ({_HOURLY}),
+        spans AS (SELECT sid, min(bucket_ts) lo, max(bucket_ts) hi FROM h GROUP BY sid),
+        allb AS (SELECT sid, unnest(range(lo, hi + 1, {HOUR_MS})) AS bucket_ts FROM spans)
+        SELECT a.sid, a.bucket_ts, coalesce(h.cnt, 0) AS cnt, h.vsum, h.vmin, h.vmax
+        FROM allb a LEFT JOIN h ON a.sid = h.sid AND a.bucket_ts = h.bucket_ts
+    """,
+    "tier_1d": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid, (m // {DAY_MS}) * {DAY_MS} AS bucket_ts,
+               count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+               CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax
+        FROM b GROUP BY 1, 2
+    """,
+    "segment_restrict": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid, count(*) AS points FROM b
+        WHERE m >= {RANGE_LO} AND m <= {RANGE_HI - SI_MS} GROUP BY sid
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "topk_orders_per_cust": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        FROM orders QUALIFY rk <= 3
+    """,
+    "sessionize": """
+        WITH marked AS (
+            SELECT user_id, epoch_ms(ts) AS ms,
+                   CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                        OR lag(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM marked
+        ), per AS (
+            SELECT user_id, sess_id, count(*) AS n FROM sess GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_sessions, max(n) AS max_events,
+               sum(n) AS total_events
+        FROM per GROUP BY user_id
+    """,
+    "asof_purchase": """
+        WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, epoch_ms(p.ts) AS asof_ms, p.value AS asof_value
+        FROM events e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    "ngram_jaccard": """
+        WITH sh AS (
+            SELECT doc_id AS id, unnest(list_distinct([
+                array_to_string(words[i : i + 2], ' ')
+                FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+            ])) AS s
+            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words
+                  FROM documents)
+        ), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        shared AS (
+            SELECT a.id AS ida, b.id AS idb, count(*) AS shared
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT ida, idb,
+               shared * 1.0 / (sa.sz + sb.sz - shared) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
+        WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.25
+    """,
+    "ann_topk": """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               CAST(row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS INT) AS rank
+        FROM e a JOIN e b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 20 QUALIFY rank <= 5
+    """,
+    "token_stats": """
+        SELECT doc_id,
+               len(words) AS n_tokens,
+               len(text) AS n_chars,
+               list_sum(list_transform(words,
+                   w -> CAST(ceil(len(w) / 4.0) AS INT))) AS n_subwords,
+               len(list_distinct(words)) AS n_distinct_tokens,
+               round(len(list_distinct(words)) * 1.0 / len(words), 6) AS distinct_ratio
+        FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS words
+              FROM documents)
+    """,
+    "lang_id": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_distinct(string_split_regex(lower(text), '\\s+')) AS words
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(list_intersect(words, ['der','die','und','das','ist'])) AS score_de,
+                   len(list_intersect(words, ['the','and','of','to','is'])) AS score_en,
+                   len(list_intersect(words, ['el','la','de','que','los'])) AS score_es,
+                   len(list_intersect(words, ['le','la','les','des','est'])) AS score_fr
+            FROM w
+        )
+        SELECT doc_id, score_de, score_en, score_es, score_fr,
+               CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0
+                    THEN 'unknown'
+                    WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                    WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                    WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
+    """,
+    "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+}

@@ -12,18 +12,24 @@ Output schema (the compressor input): one row per (series, metric, grid ts)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TURN_RATE = "turn_rate"
 TOKEN_RATE = "token_rate"
 
 
+def to_ms(col) -> Column:
+    """Epoch millis from timestamp OR timestamp_ntz columns (NTZ parquet
+    timestamps are interpreted in the session timezone, pinned to UTC)."""
+    return F.unix_millis(F.col(col).cast("timestamp") if isinstance(col, str) else col.cast("timestamp"))
+
+
 def transcript_series(transcripts: DataFrame, si_ms: int) -> DataFrame:
     """Per conv_id per SI bucket: turn_rate = count of turns, token_rate =
     sum of approx tokens (len(text) // 4). Both exact small integers, so
     float32 representation is lossless."""
-    bucket = (F.floor(F.unix_millis("ts") / si_ms) * si_ms).alias("ts_ms")
+    bucket = (F.floor(to_ms("ts") / si_ms) * si_ms).alias("ts_ms")
     per_bucket = (
         transcripts.select(
             F.col("conv_id").alias("sid"),
@@ -53,7 +59,7 @@ def event_series(
 ) -> DataFrame:
     """Event-count series per id per SI bucket (the events testdata analog
     of turn_rate). Counts are exact in float32."""
-    bucket = (F.floor(F.unix_millis(ts_col) / si_ms) * si_ms).alias("ts_ms")
+    bucket = (F.floor(to_ms(ts_col) / si_ms) * si_ms).alias("ts_ms")
     return (
         events.select(F.col(id_col).cast("string").alias("sid"), bucket)
         .groupBy("sid", "ts_ms")

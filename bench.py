@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Each timed query is forced end-to-end with a noop-format write (full
+computation on executors, no driver collect). The headline `pipeline`
+entry is the north-star path: synthetic transcript table -> per-conv
+series -> model compression -> 1m/1h/1d tiers with gap-fill; its
+turns/sec is reported separately. Scaling (local[8] vs local[32]) is
+measured by tools/scaling_bench.py and reported in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from modelardb_dynamic_spark import queries as Q  # noqa: E402
+from modelardb_dynamic_spark.config import EngineConfig  # noqa: E402
+from modelardb_dynamic_spark.session import build_session  # noqa: E402
+
+# queries() entries timed as-is (self-contained; include the compress step
+# where they use the segment table, which is exactly the engine's hot path)
+BENCH_QUERIES = [
+    "seg_count_s",
+    "seg_agg_s",
+    "dp_restore_range",
+    "rollup_1h_gapfill",
+    "tier_1d",
+    "segment_restrict",
+    "tpch_q1",
+    "topk_orders_per_cust",
+    "sessionize",
+    "asof_purchase",
+    "dedup_exact",
+    "minhash_pairs",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "token_stats",
+    "lang_id",
+    "fingerprint",
+    "ann_topk",
+    "ann_ivf",
+]
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_pipeline(spark, sf: float) -> tuple[float, int]:
+    """North-star path at a size proportional to sf: transcripts ->
+    series -> segments -> 1m -> 1h -> 1d (all forced)."""
+    from modelardb_dynamic_spark.operators.compress import compress
+    from modelardb_dynamic_spark.operators.rollup import downsample, gap_fill, rollup
+    from modelardb_dynamic_spark.sources.timeseries import transcript_series
+    from modelardb_dynamic_spark.sources.transcripts import generate_transcripts
+
+    n_convs = max(64, int(12800 * sf * 10))
+    tr = generate_transcripts(spark, n_convs=n_convs, turns_base=96).persist()
+    n_turns = tr.count()  # materialize input outside the timed window
+    t0 = time.time()
+    series = transcript_series(tr, 60_000)
+    segs = compress(
+        series,
+        EngineConfig(error_bound=10.0, sampling_interval_ms=60_000),
+        salt_span_points=1 << 16,
+    ).persist()
+    m1 = rollup(segs, 60_000)
+    h1 = rollup(segs, 3_600_000).persist()
+    d1 = downsample(h1, 86_400_000)
+    _force(m1)
+    _force(gap_fill(h1, 3_600_000))
+    _force(d1)
+    wall = time.time() - t0
+    segs.unpersist()
+    h1.unpersist()
+    tr.unpersist()
+    return wall, n_turns
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    spark = build_session("bench")
+
+    registry = Q.QUERIES
+    timings: dict[str, float] = {}
+    # warm the JVM/Arrow path once so q1 doesn't pay session startup
+    _force(registry["seg_count_s"](spark, sf_dir))
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(registry[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    pipe_wall, n_turns = bench_pipeline(spark, sf)
+    timings["pipeline"] = round(pipe_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + transcript tier pipeline wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline_turns": n_turns,
+                "turns_per_sec": round(n_turns / pipe_wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Cluster entry point: `spark-submit --py-files modelardb_dynamic_spark.zip
+-m` or `python -m modelardb_dynamic_spark`.
+
+Runs the full tier pipeline (raw -> series -> segments -> 1m -> 1h -> 1d)
+against a transcript table, resumable via per-bucket lineage manifests.
+
+    spark-submit --master <cluster> --py-files dist/modelardb_dynamic_spark.zip \
+        run_pipeline.py --input <transcripts.parquet|-synth:N> \
+        --warehouse /path/wh --buckets 256 --error-bound 10
+
+In local/sandbox mode (no spark-submit) this module builds its own session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="modelardb_dynamic_spark")
+    ap.add_argument("--input", default="-synth:2000",
+                    help="parquet path of transcripts, or -synth:N for N "
+                         "deterministic synthetic conversations")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--chunk-buckets", type=int, default=16)
+    ap.add_argument("--error-bound", type=float, default=10.0)
+    ap.add_argument("--sampling-interval-ms", type=int, default=60_000)
+    ap.add_argument("--salt-span-points", type=int, default=1 << 20)
+    ap.add_argument("--retain-raw-after-ms", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from modelardb_dynamic_spark.config import EngineConfig
+    from modelardb_dynamic_spark.plans.checkpoint import Lineage
+    from modelardb_dynamic_spark.plans.pipeline import TierPipeline
+    from modelardb_dynamic_spark.sources.catalog import Warehouse
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from modelardb_dynamic_spark.session import build_session
+
+        spark = build_session("modelardb_dynamic_spark-pipeline")
+
+    if args.input.startswith("-synth:"):
+        from modelardb_dynamic_spark.sources.transcripts import generate_transcripts
+
+        transcripts = generate_transcripts(
+            spark, n_convs=int(args.input.split(":", 1)[1]), turns_base=96
+        )
+    else:
+        transcripts = spark.read.parquet(args.input)
+
+    cfg = EngineConfig(
+        error_bound=args.error_bound,
+        sampling_interval_ms=args.sampling_interval_ms,
+    )
+    wh = Warehouse(args.warehouse, n_buckets=args.buckets)
+    pipe = TierPipeline(
+        spark, wh, cfg,
+        chunk_buckets=args.chunk_buckets,
+        salt_span_points=args.salt_span_points,
+    )
+    t0 = time.time()
+    pipe.run(transcripts)
+    if args.retain_raw_after_ms is not None:
+        pipe.retain_raw(args.retain_raw_after_ms)
+    metrics = {
+        stage: Lineage(wh.path(stage)).metrics()
+        for stage in ["raw", "series", "segments", "tier_1m", "tier_1h", "tier_1d"]
+    }
+    print(json.dumps({"wall_s": round(time.time() - t0, 3), "stages": metrics}))
+
+
+if __name__ == "__main__":
+    main()

@@ -249,6 +249,19 @@ def q_rolling_fingerprint(spark, sf_dir):
     return textstats.rolling_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+# --- multimodal plumbing (rows-only: fake decode kernels, real Spark shape) -----
+
+
+def q_multimodal_features(spark, sf_dir):
+    from modelardb_dynamic_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, n=256)
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "kind", "n_frames", F.element_at("feature", 1).alias("f0")
+    )
+
+
 # --- transcript pipeline (rows-only smoke at driver scale) ----------------------
 
 
@@ -284,6 +297,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "multimodal_features": q_multimodal_features,
     "transcript_tiers": q_transcript_tiers,
 }
 

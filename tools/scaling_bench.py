@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north_rule): run the identical
+transcript tier pipeline at local[N] and local[4N] on the same input and
+report throughput at both plus scaling efficiency = thr(4N) / (4*thr(N)).
+
+A real cluster isn't available in this sandbox; two parallelism levels in
+local mode exercise the same partitioning/shuffle behavior (each local slot
+executes tasks exactly like an executor core; the plan, number of shuffle
+partitions, and task boundaries are identical to cluster mode).
+
+Usage:
+    python tools/scaling_bench.py                 # orchestrate N=8 vs 32
+    python tools/scaling_bench.py --cpus 8 --convs 4000   # one measurement
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def measure(cpus: int, n_convs: int, repeats: int = 1) -> dict:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from bench import bench_pipeline
+    from modelardb_dynamic_spark.session import build_session
+
+    spark = build_session(f"scaling-{cpus}", master=f"local[{cpus}]")
+    best = None
+    for _ in range(repeats):
+        wall, n_turns = bench_pipeline(spark, sf=n_convs / 128000.0)
+        if best is None or wall < best[0]:
+            best = (wall, n_turns)
+    spark.stop()
+    wall, n_turns = best
+    return {
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "wall_s": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--convs", type=int, default=8000)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    if args.cpus is not None:
+        print(json.dumps(measure(args.cpus, args.convs, args.repeats)))
+        return
+
+    results = []
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--cpus", str(cpus), "--convs", str(args.convs),
+                "--repeats", str(args.repeats),
+            ],
+            capture_output=True, text=True, cwd=REPO, check=True,
+        )
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+
+    lo, hi = results
+    eff = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
+    report = {"runs": results, "scaling_efficiency_8_to_32": round(eff, 3)}
+    print(json.dumps(report))
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(
+            "# BENCH — throughput & two-size scaling evidence\n\n"
+            "Identical transcript tier pipeline (synthesize -> series -> "
+            "compress (PMC/Swing/Gorilla cascade, error 10%) -> 1m/1h/1d "
+            "tiers + gap-fill) on the SAME deterministic input at two "
+            "parallelism levels (in-sandbox stand-in for N vs 4N "
+            "executors, per BASELINE.json north_rule).\n\n"
+            "| master | input turns | wall (s) | turns/sec |\n"
+            "|---|---|---|---|\n"
+            + "".join(
+                f"| local[{r['cpus']}] | {r['n_turns']} | {r['wall_s']} "
+                f"| {r['turns_per_sec']} |\n"
+                for r in results
+            )
+            + f"\n**Scaling efficiency (8 -> 32 cores): {eff:.3f}** "
+            "(target >= 0.8; efficiency = thr(4N) / (4 * thr(N)))\n\n"
+            "Cluster deployment: `tools/submit.sh` runs the same pipeline "
+            "via `spark-submit --py-files`; partitioning is by "
+            "hash(conv_id) with optional time-range salting for hot "
+            "conversations, so the plan is executor-count-agnostic.\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -122,15 +122,27 @@ def swing_prefix(
     if n == 1:
         return 1, None
     ebdiv = float(np.float32(error_bound)) / 100.1
-    tl = t.tolist()
-    vl = v.astype(np.float64).tolist()
+    # convert lazily in geometrically growing chunks: callers hand us the
+    # whole remaining buffer, but the accepted prefix is usually short, so
+    # an eager full tolist() makes segmentation O(n^2) per series
+    chunk = 256
+    hi = min(n, chunk)
+    tl = t[:hi].tolist()
+    vl = v[:hi].astype(np.float64).tolist()
     t1, v1 = tl[1], vl[1]
     dev = abs(v1 * ebdiv)
     ua = (v1 + dev - y0) / (t1 - t0)
     ub = y0 - ua * t0
     la = (v1 - dev - y0) / (t1 - t0)
     lb = y0 - la * t0
-    for i in range(2, n):
+    i = 2
+    while i < n:
+        if i >= hi:
+            new_hi = min(n, hi + chunk)
+            tl.extend(t[hi:new_hi].tolist())
+            vl.extend(v[hi:new_hi].astype(np.float64).tolist())
+            hi = new_hi
+            chunk *= 4
         ti = tl[i]
         vi = vl[i]
         dev = abs(vi * ebdiv)
@@ -144,6 +156,7 @@ def swing_prefix(
         if lba + dev < vi:
             la = (vi - dev - y0) / (ti - t0)
             lb = y0 - la * t0
+        i += 1
     return n, (ua, ub, la, lb)
 
 

@@ -4,7 +4,7 @@ Two-phase prune-then-exact shape of the reference's point view
 (engines/spark/ViewDataPoint.scala:37-78): timestamp predicates are mapped
 to segment-overlap predicates (start_ts <= hi AND end_ts >= lo) which
 Catalyst pushes into the parquet scan (partition pruning + row-group
-min/max), segments are gridded with a vectorized mapInPandas, and the exact
+min/max), segments are gridded with a vectorized mapInArrow, and the exact
 point-level filter is re-applied afterwards (the reference reports
 unhandledFilters = all for the same reason, ViewDataPoint.scala:35).
 
@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -35,12 +35,23 @@ from modelardb_dynamic_spark.models.kernels import swing_decode
 DATAPOINT_SCHEMA = "sid string, metric string, ts_ms long, value float"
 
 
-def _grid_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    n_seg = len(pdf)
-    start = pdf["start_ts"].to_numpy().astype(np.int64)
-    end = pdf["end_ts"].to_numpy().astype(np.int64)
-    si = pdf["si"].to_numpy().astype(np.int64)
-    mtid = pdf["mtid"].to_numpy()
+_OUT_SCHEMA = pa.schema(
+    [
+        ("sid", pa.string()),
+        ("metric", pa.string()),
+        ("ts_ms", pa.int64()),
+        ("value", pa.float32()),
+    ]
+)
+
+
+def _grid_batch(rb: pa.RecordBatch) -> pa.RecordBatch:
+    n_seg = rb.num_rows
+    start = rb.column("start_ts").to_numpy(zero_copy_only=False).astype(np.int64)
+    end = rb.column("end_ts").to_numpy(zero_copy_only=False).astype(np.int64)
+    si = rb.column("si").to_numpy(zero_copy_only=False).astype(np.int64)
+    mtid = rb.column("mtid").to_numpy(zero_copy_only=False)
+    models = rb.column("model").to_pylist()
     lens = ((end - start) // si + 1).astype(np.int64)
     total = int(lens.sum())
     seg_idx = np.repeat(np.arange(n_seg), lens)
@@ -55,7 +66,7 @@ def _grid_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pmc_vals = np.array(
             [
                 np.frombuffer(m, dtype=">f4")[0] if p else np.float32(0)
-                for m, p in zip(pdf["model"], is_pmc)
+                for m, p in zip(models, is_pmc)
             ],
             dtype=np.float32,
         )
@@ -65,7 +76,7 @@ def _grid_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     if is_swing.any():
         ab = np.zeros((n_seg, 2), dtype=np.float64)
         for i in np.flatnonzero(is_swing):
-            ab[i] = swing_decode(pdf["model"].iat[i])
+            ab[i] = swing_decode(models[i])
         mask = is_swing[seg_idx]
         sidx = seg_idx[mask]
         values[mask] = (
@@ -74,23 +85,26 @@ def _grid_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     for i in np.flatnonzero((mtid == MTID_GORILLA) | (mtid == MTID_UNCOMPRESSED)):
         a, b = offs[i], offs[i] + lens[i]
         if mtid[i] == MTID_GORILLA:
-            values[a:b] = gorilla_decode(pdf["model"].iat[i], int(lens[i]))
+            values[a:b] = gorilla_decode(models[i], int(lens[i]))
         else:
-            values[a:b] = np.frombuffer(pdf["model"].iat[i], dtype=">f4")[: lens[i]]
-    return pd.DataFrame(
-        {
-            "sid": pdf["sid"].to_numpy()[seg_idx],
-            "metric": pdf["metric"].to_numpy()[seg_idx],
-            "ts_ms": ts,
-            "value": values,
-        }
+            values[a:b] = np.frombuffer(models[i], dtype=">f4")[: lens[i]]
+    # string columns fan out via Arrow take (C++), never via Python objects
+    idx = pa.array(seg_idx, type=pa.int64())
+    return pa.RecordBatch.from_arrays(
+        [
+            rb.column("sid").take(idx),
+            rb.column("metric").take(idx),
+            pa.array(ts, type=pa.int64()),
+            pa.array(values, type=pa.float32()),
+        ],
+        schema=_OUT_SCHEMA,
     )
 
 
-def _map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        if len(pdf):
-            yield _grid_batch(pdf)
+def _map_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for rb in batches:
+        if rb.num_rows:
+            yield _grid_batch(rb)
 
 
 def datapoint_view(
@@ -108,7 +122,7 @@ def datapoint_view(
         df = df.where(F.col("start_ts") <= hi_ms)
     out = df.select(
         "sid", "metric", "start_ts", "end_ts", "si", "mtid", "model"
-    ).mapInPandas(_map_fn, schema=DATAPOINT_SCHEMA)
+    ).mapInArrow(_map_fn, schema=DATAPOINT_SCHEMA)
     if lo_ms is not None:
         out = out.where(F.col("ts_ms") >= lo_ms)
     if hi_ms is not None:

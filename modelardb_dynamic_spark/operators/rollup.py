@@ -10,8 +10,9 @@ parameterized operators:
   ANALYTICALLY — PMC and Swing sub-ranges aggregate in closed form from
   model parameters without decoding (PMC_MeanModelType.java:137-150,
   SwingFilterModelType.java:220-248); Gorilla/Uncompressed decode once per
-  segment and aggregate per bucket via np.*.reduceat. The mapInPandas emits
-  per-(segment x bucket) partials; a plain groupBy merges them (map-side
+  segment and aggregate per bucket via np.*.reduceat. The mapInArrow emits
+  per-(segment x bucket) partials (string keys fan out via Arrow take,
+  never via Python objects); a plain groupBy merges them (map-side
   partial aggregation + one shuffle on (sid, metric, bucket_ts)).
 - downsample(tier, k): tier k -> coarser tier by pure columnar groupBy
   (count/sum/min/max compose), no decode at all.
@@ -28,7 +29,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,12 +48,26 @@ TIER_SCHEMA = (
 )
 
 
-def _bucket_partials(pdf: pd.DataFrame, bucket_ms: int) -> pd.DataFrame:
-    n_seg = len(pdf)
-    start = pdf["start_ts"].to_numpy().astype(np.int64)
-    end = pdf["end_ts"].to_numpy().astype(np.int64)
-    si = pdf["si"].to_numpy().astype(np.int64)
-    mtid = pdf["mtid"].to_numpy()
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("sid", pa.string()),
+        ("metric", pa.string()),
+        ("bucket_ts", pa.int64()),
+        ("cnt", pa.int64()),
+        ("vsum", pa.float64()),
+        ("vmin", pa.float32()),
+        ("vmax", pa.float32()),
+    ]
+)
+
+
+def _bucket_partials(rb: pa.RecordBatch, bucket_ms: int) -> pa.RecordBatch:
+    n_seg = rb.num_rows
+    start = rb.column("start_ts").to_numpy(zero_copy_only=False).astype(np.int64)
+    end = rb.column("end_ts").to_numpy(zero_copy_only=False).astype(np.int64)
+    si = rb.column("si").to_numpy(zero_copy_only=False).astype(np.int64)
+    mtid = rb.column("mtid").to_numpy(zero_copy_only=False)
+    models = rb.column("model").to_pylist()
 
     first_b = (start // bucket_ms) * bucket_ms
     last_b = (end // bucket_ms) * bucket_ms
@@ -82,7 +97,7 @@ def _bucket_partials(pdf: pd.DataFrame, bucket_ms: int) -> pd.DataFrame:
     if is_pmc_seg.any():
         pmc_vals = np.zeros(n_seg, dtype=np.float32)
         for i in np.flatnonzero(is_pmc_seg):
-            pmc_vals[i] = np.frombuffer(pdf["model"].iat[i], dtype=">f4")[0]
+            pmc_vals[i] = np.frombuffer(models[i], dtype=">f4")[0]
         mask = m == MTID_PMC_MEAN
         v = pmc_vals[seg_idx[mask]]
         vmin[mask] = v
@@ -93,7 +108,7 @@ def _bucket_partials(pdf: pd.DataFrame, bucket_ms: int) -> pd.DataFrame:
     if is_swing_seg.any():
         ab = np.zeros((n_seg, 2), dtype=np.float64)
         for i in np.flatnonzero(is_swing_seg):
-            ab[i] = swing_decode(pdf["model"].iat[i])
+            ab[i] = swing_decode(models[i])
         mask = m == MTID_SWING
         sidx = seg_idx[mask]
         a = ab[sidx, 0]
@@ -109,9 +124,9 @@ def _bucket_partials(pdf: pd.DataFrame, bucket_ms: int) -> pd.DataFrame:
     for i in np.flatnonzero((mtid == MTID_GORILLA) | (mtid == MTID_UNCOMPRESSED)):
         n_i = int((end[i] - start[i]) // si[i]) + 1
         if mtid[i] == MTID_GORILLA:
-            vals = gorilla_decode(pdf["model"].iat[i], n_i)
+            vals = gorilla_decode(models[i], n_i)
         else:
-            vals = np.frombuffer(pdf["model"].iat[i], dtype=">f4")[:n_i]
+            vals = np.frombuffer(models[i], dtype=">f4")[:n_i]
         # this segment's bucket rows are contiguous: [offs[i], offs[i]+k[i])
         rows = np.arange(offs[i], offs[i] + k[i])
         rows = rows[valid[rows]]
@@ -125,31 +140,34 @@ def _bucket_partials(pdf: pd.DataFrame, bucket_ms: int) -> pd.DataFrame:
         vsum[rows] = np.add.reduceat(vals64, pos)
         vmin[rows] = np.minimum.reduceat(vals, pos)
         vmax[rows] = np.maximum.reduceat(vals, pos)
-    out = pd.DataFrame(
-        {
-            "sid": pdf["sid"].to_numpy()[seg_idx],
-            "metric": pdf["metric"].to_numpy()[seg_idx],
-            "bucket_ts": bucket_ts,
-            "cnt": cnt,
-            "vsum": vsum,
-            "vmin": vmin,
-            "vmax": vmax,
-        }
+    # keep only valid rows; string keys fan out via Arrow take (C++)
+    vrows = np.flatnonzero(valid)
+    idx = pa.array(seg_idx[vrows], type=pa.int64())
+    return pa.RecordBatch.from_arrays(
+        [
+            rb.column("sid").take(idx),
+            rb.column("metric").take(idx),
+            pa.array(bucket_ts[vrows], type=pa.int64()),
+            pa.array(cnt[vrows], type=pa.int64()),
+            pa.array(vsum[vrows], type=pa.float64()),
+            pa.array(vmin[vrows], type=pa.float32()),
+            pa.array(vmax[vrows], type=pa.float32()),
+        ],
+        schema=_PARTIAL_SCHEMA,
     )
-    return out[valid]
 
 
 def rollup(segments: DataFrame, bucket_ms: int) -> DataFrame:
     """Segment table -> tier table at bucket_ms granularity."""
 
-    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield _bucket_partials(pdf, bucket_ms)
+    def map_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows:
+                yield _bucket_partials(rb, bucket_ms)
 
     partials = segments.select(
         "sid", "metric", "start_ts", "end_ts", "si", "mtid", "model"
-    ).mapInPandas(map_fn, schema=TIER_SCHEMA)
+    ).mapInArrow(map_fn, schema=TIER_SCHEMA)
     return partials.groupBy("sid", "metric", "bucket_ts").agg(
         F.sum("cnt").alias("cnt"),
         F.sum("vsum").alias("vsum"),
@@ -197,4 +215,38 @@ def gap_fill(tier: DataFrame, bucket_ms: int) -> DataFrame:
 def with_avg(tier: DataFrame) -> DataFrame:
     return tier.withColumn(
         "vavg", F.when(F.col("cnt") > 0, F.col("vsum") / F.col("cnt"))
+    )
+
+
+_CALENDAR_FIELDS = {
+    # field -> (expr over a UTC timestamp col, finest tier that is exact)
+    "year": (F.year, 86_400_000),
+    "month": (F.month, 86_400_000),
+    "day_of_month": (F.dayofmonth, 86_400_000),
+    "hour_of_day": (F.hour, 3_600_000),
+    "am_pm": (lambda c: (F.hour(c) >= 12).cast("int"), 3_600_000),
+    "minute": (F.minute, 60_000),
+    "second": (F.second, 1_000),
+}
+
+
+def calendar_agg(tier: DataFrame, field: str) -> DataFrame:
+    """The reference's {COUNT,MIN,MAX,SUM,AVG}_{YEAR..SECOND} UDAF family
+    (engines/spark/SparkUDAF.scala:189-342 walking Segment.cube,
+    core/models/Segment.java:135-168), re-expressed as a columnar groupBy
+    over an exact fixed-width tier: hourly partials compose into any
+    calendar or cyclic bucket whose boundaries fall on hour edges (UTC), so
+    no model is ever re-decoded at query time. Pass the tier produced by
+    rollup(segments, finest_ms) for the field (see _CALENDAR_FIELDS)."""
+    expr, _ = _CALENDAR_FIELDS[field]
+    key = expr(F.timestamp_millis(F.col("bucket_ts")))
+    return (
+        tier.groupBy("sid", "metric", key.alias(field))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        .withColumn("vavg", F.when(F.col("cnt") > 0, F.col("vsum") / F.col("cnt")))
     )

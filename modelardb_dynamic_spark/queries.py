@@ -104,6 +104,38 @@ def q_tier_1d(spark, sf_dir):
     )
 
 
+def q_agg_hour_of_day(spark, sf_dir):
+    """Cyclic calendar aggregate ({AGG}_HOUR_OF_DAY UDAF family,
+    SparkUDAF.scala:189-342): hourly tier partials composed by
+    hour-of-day, no model decode at query time."""
+    from modelardb_dynamic_spark.operators.rollup import calendar_agg
+
+    segs = _event_segments(spark, sf_dir)
+    out = calendar_agg(rollup(segs, HOUR_MS), "hour_of_day")
+    return out.select(
+        "sid", "hour_of_day", "cnt", "vsum",
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+        "vavg",
+    )
+
+
+def q_agg_day_of_month(spark, sf_dir):
+    """Calendar aggregate ({AGG}_DAY_OF_MONTH): daily tier composed by
+    day-of-month."""
+    from modelardb_dynamic_spark.operators.rollup import calendar_agg
+
+    segs = _event_segments(spark, sf_dir)
+    day = downsample(rollup(segs, HOUR_MS), DAY_MS)
+    out = calendar_agg(day, "day_of_month")
+    return out.select(
+        "sid", "day_of_month", "cnt", "vsum",
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+        "vavg",
+    )
+
+
 def q_segment_restrict(spark, sf_dir):
     """START/END segment restriction as column arithmetic (Segment.java:
     56-78 formulas) followed by COUNT_S over the restricted segments."""
@@ -281,6 +313,8 @@ QUERIES = {
     "dp_restore_range": q_dp_restore_range,
     "rollup_1h_gapfill": q_rollup_1h_gapfill,
     "tier_1d": q_tier_1d,
+    "agg_hour_of_day": q_agg_hour_of_day,
+    "agg_day_of_month": q_agg_day_of_month,
     "segment_restrict": q_segment_restrict,
     "tpch_q1": q_tpch_q1,
     "topk_orders_per_cust": q_topk_orders_per_cust,
@@ -344,6 +378,22 @@ ORACLES = {
         SELECT sid, (m // {DAY_MS}) * {DAY_MS} AS bucket_ts,
                count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
                CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax
+        FROM b GROUP BY 1, 2
+    """,
+    "agg_hour_of_day": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid, CAST(extract(hour FROM to_timestamp(m / 1000)) AS INT) AS hour_of_day,
+               count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+               CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax,
+               avg(v) AS vavg
+        FROM b GROUP BY 1, 2
+    """,
+    "agg_day_of_month": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid, CAST(extract(day FROM to_timestamp(m / 1000)) AS INT) AS day_of_month,
+               count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+               CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax,
+               avg(v) AS vavg
         FROM b GROUP BY 1, 2
     """,
     "segment_restrict": f"""

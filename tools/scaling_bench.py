@@ -25,15 +25,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def measure(cpus: int, n_convs: int, repeats: int = 1) -> dict:
+def measure(cpus: int, n_convs: int, turns_base: int, repeats: int = 1) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from bench import bench_pipeline
     from modelardb_dynamic_spark.session import build_session
 
     spark = build_session(f"scaling-{cpus}", master=f"local[{cpus}]")
+
+    def _ident(it):
+        yield from it
+
+    # spawn + warm the Python UDF workers before the timed window
+    spark.range(0, cpus, 1, cpus).mapInPandas(_ident, schema="id long").count()
     best = None
     for _ in range(repeats):
-        wall, n_turns = bench_pipeline(spark, sf=n_convs / 128000.0)
+        wall, n_turns = bench_pipeline(spark, n_convs=n_convs, turns_base=turns_base)
         if best is None or wall < best[0]:
             best = (wall, n_turns)
     spark.stop()
@@ -49,12 +55,13 @@ def measure(cpus: int, n_convs: int, repeats: int = 1) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=None)
-    ap.add_argument("--convs", type=int, default=8000)
+    ap.add_argument("--convs", type=int, default=200_000)
+    ap.add_argument("--turns-base", type=int, default=20_000)
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
     if args.cpus is not None:
-        print(json.dumps(measure(args.cpus, args.convs, args.repeats)))
+        print(json.dumps(measure(args.cpus, args.convs, args.turns_base, args.repeats)))
         return
 
     results = []
@@ -63,6 +70,7 @@ def main() -> None:
             [
                 sys.executable, os.path.abspath(__file__),
                 "--cpus", str(cpus), "--convs", str(args.convs),
+                "--turns-base", str(args.turns_base),
                 "--repeats", str(args.repeats),
             ],
             capture_output=True, text=True, cwd=REPO, check=True,

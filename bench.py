@@ -76,8 +76,9 @@ def bench_pipeline(
     from modelardb_dynamic_spark.sources.timeseries import transcript_series
     from modelardb_dynamic_spark.sources.transcripts import generate_transcripts
 
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     path = input_dir or os.path.join(
-        tempfile.gettempdir(), f"mdbs_bench_input_{n_convs}_{turns_base}"
+        base, f"mdbs_bench_input_{n_convs}_{turns_base}"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         generate_transcripts(

@@ -271,16 +271,18 @@ def _emit(
     return Segment(start_ts, end_ts, mtid, model, length, vmin, vmax, vsum)
 
 
-def compress_run(
-    t: np.ndarray, v: np.ndarray, cfg: EngineConfig
-) -> list[Segment]:
-    """Compress one gap-free run (regular sampling interval) of one series.
+def _compress_core(
+    t: np.ndarray, v: np.ndarray, cfg: EngineConfig, allow_flush: bool
+) -> tuple[list[Segment], int]:
+    """Shared cascade loop; returns (segments, points consumed).
 
-    t: int64 epoch-millis (regularly spaced), v: float32 values.
-    Implements the reduced emission semantics documented in the module
-    docstring for the reference cascade PMC-Mean -> Swing -> Gorilla with
-    the Uncompressed fallback.
-    """
+    allow_flush=True implements the full reference semantics including
+    run-end flush emission (SegmentGenerator.java:213-236); False stops
+    before the first flush emission so only prefix-stable segments are
+    produced (the streaming-ingest case; a segment emitted at buffer size
+    B* = max(pmc_prefix, swing_prefix, length_bound) + 1 <= rem depends
+    only on the first B* points because the cascade is greedy and
+    fail-sticky, SegmentGenerator.java:190-211)."""
     assert cfg.models == (MTID_PMC_MEAN, MTID_SWING, MTID_GORILLA), (
         "v1 implements the reference's default cascade"
     )
@@ -297,8 +299,10 @@ def compress_run(
         s, swing_bounds = swing_prefix(tw, vw, eb)
         if max(p, s, lb) + 1 <= rem:
             bsize = max(p, s, lb) + 1  # emission point: all models stuck
-        else:
+        elif allow_flush:
             bsize = rem  # run ended: flush
+        else:
+            break  # unfinished run: emission here would not be stable
         len_p = min(p, bsize)
         len_s = min(s, bsize)
         len_g = min(lb, bsize)
@@ -337,7 +341,30 @@ def compress_run(
             model = g_model
         segments.append(_emit(mtid, model, tw, vw, blen))
         i += blen
-    return segments
+    return segments, i
+
+
+def compress_run(
+    t: np.ndarray, v: np.ndarray, cfg: EngineConfig
+) -> list[Segment]:
+    """Compress one gap-free run (regular sampling interval) of one series.
+
+    t: int64 epoch-millis (regularly spaced), v: float32 values.
+    Implements the reduced emission semantics documented in the module
+    docstring for the reference cascade PMC-Mean -> Swing -> Gorilla with
+    the Uncompressed fallback.
+    """
+    return _compress_core(t, v, cfg, allow_flush=True)[0]
+
+
+def compress_run_stable(
+    t: np.ndarray, v: np.ndarray, cfg: EngineConfig
+) -> tuple[list[Segment], int]:
+    """Compress only the *stable* prefix of an unfinished run: segments
+    whose contents cannot change if more points are appended. Returns
+    (segments, points_consumed). Used by the streaming ingest for runs
+    still open under the watermark."""
+    return _compress_core(t, v, cfg, allow_flush=False)
 
 
 def split_runs(t: np.ndarray, si_ms: int) -> list[tuple[int, int]]:

@@ -38,6 +38,13 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
+    # shuffle files / spills on tmpfs when available: the sandbox's /tmp is
+    # a virtual disk with noisy latency (on a real cluster this is fast
+    # local NVMe, configured by the cluster manager)
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

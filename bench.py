@@ -81,9 +81,12 @@ def bench_pipeline(
         base, f"mdbs_bench_input_{n_convs}_{turns_base}"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # fixed 64-file layout regardless of the generating session's core
+        # count: scan parallelism must not be capped by whoever staged the
+        # input (8 files would cap the read stage at 8 tasks)
         generate_transcripts(
             spark, n_convs=n_convs, turns_base=turns_base
-        ).write.mode("overwrite").parquet(path)
+        ).repartition(64).write.mode("overwrite").parquet(path)
     n_turns = spark.read.parquet(path).count()
 
     t0 = time.time()
@@ -101,6 +104,14 @@ def bench_pipeline(
     _force(gap_fill(h1, 3_600_000))
     _force(d1)
     wall = time.time() - t0
+    from modelardb_dynamic_spark.operators.compress import compression_stats
+
+    stats = compression_stats(segs).collect()[0].asDict()
+    bench_pipeline.last_stats = {
+        "n_segments": stats["n_segments"],
+        "n_points": stats["n_points"],
+        "compression_ratio": round(stats["compression_ratio"], 2),
+    }
     segs.unpersist()
     h1.unpersist()
     return wall, n_turns
@@ -134,6 +145,10 @@ def main() -> None:
                 "sf": sf,
                 "pipeline_turns": n_turns,
                 "turns_per_sec": round(n_turns / pipe_wall, 1),
+                # reference yardstick: REDD ungrouped ratio 38.8 at 10%
+                # error (ModelarDB-Dynamic_report.pdf Table 4.5); ratios are
+                # data-dependent
+                **getattr(bench_pipeline, "last_stats", {}),
             }
         )
     )

@@ -214,7 +214,9 @@ def compress(
         df = df.withColumn("salt", (F.col("ts_ms") / span_ms).cast("long"))
         hash_keys = ["sid", "salt"]
     sort_keys = ["sid", "metric"] + (["salt"] if salt_span_points else [])
-    n_part = num_partitions or series.sparkSession.sparkContext.defaultParallelism
+    # 2x cores: two waves of map tasks so a straggler partition (skewed
+    # series mix) doesn't idle the rest of the cluster
+    n_part = num_partitions or 2 * series.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_part, *hash_keys).sortWithinPartitions(*sort_keys, "ts_ms")
     sel = ["sid", "metric", "ts_ms", "value"] + (["salt"] if salt_span_points else [])
     return df.select(*sel).mapInArrow(

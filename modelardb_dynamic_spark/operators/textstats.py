@@ -106,6 +106,55 @@ def rolling_fingerprint(
     return docs.select(id_col, text_col).mapInPandas(map_fn, schema="id long, rfp long")
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-token gram, slide a window of `window` gram-hashes, keep each
+    window's minimum (rightmost on ties). Shared passages between documents
+    share fingerprints regardless of position; output is (id, pos, fp).
+    Gram hashing is vectorized (pandas' C hash), the window minimum is a
+    numpy sliding-window reduction — no per-byte Python."""
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.dedup import _hash_strings
+
+    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            poss: list[int] = []
+            fps: list[int] = []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                words = t.split()
+                if not words:
+                    continue
+                if len(words) <= k:
+                    grams = [" ".join(words)]
+                else:
+                    grams = [
+                        " ".join(words[i : i + k])
+                        for i in range(len(words) - k + 1)
+                    ]
+                hs = _hash_strings(grams).view(np.int64)
+                if len(hs) <= window:
+                    sel = np.array([int(np.argmin(hs))])
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(hs, window)
+                    sel = np.unique(np.argmin(win, axis=1) + np.arange(len(win)))
+                ids.extend([doc_id] * len(sel))
+                poss.extend(sel.tolist())
+                fps.extend(hs[sel].tolist())
+            yield pd.DataFrame({"id": ids, "pos": poss, "fp": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        map_fn, schema="id long, pos int, fp long"
+    )
+
+
 # -- sessionization ---------------------------------------------------------------
 
 

@@ -281,6 +281,12 @@ def q_rolling_fingerprint(spark, sf_dir):
     return textstats.rolling_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS-style winnowed fingerprints (shared-passage detection);
+    pandas-siphash based, so rows-only in the oracle gate."""
+    return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 # --- multimodal plumbing (rows-only: fake decode kernels, real Spark shape) -----
 
 
@@ -331,6 +337,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "multimodal_features": q_multimodal_features,
     "transcript_tiers": q_transcript_tiers,
 }

@@ -22,9 +22,10 @@ def build_session(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # match core count in local mode; AQE coalesces further at runtime
+        # 2x the core count: a single wave (== cores) leaves cores idle
+        # behind stragglers; AQE coalesces further at runtime when small
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        shuffle_partitions = 2 * (cpus if n == "*" else int(n))
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -35,6 +36,9 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 32 MB splits: keep scan parallelism >= core count even when the
+        # input has few large files
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )

@@ -1,0 +1,128 @@
+"""Ground-truth tests for the training-data operator family (dedup,
+similarity, text stats) on tiny constructed corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modelardb_dynamic_spark.operators import dedup, similarity, textstats
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill in the afternoon sun"
+    )
+    near = base.replace("afternoon", "morning")
+    other = (
+        "completely different content about spark segment compression with "
+        "gorilla codecs swing filters and rollup tiers at scale"
+    )
+    rows = [
+        (1, base),
+        (2, base),          # exact dup of 1
+        (3, near),          # near dup of 1
+        (4, other),
+        (5, "tiny text"),
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA).cache()
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = dedup.exact_dedup(docs).collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in out}
+    assert groups[1] == 2  # docs 1 and 2 collapse
+    assert groups[3] == 1 and groups[4] == 1 and groups[5] == 1
+
+
+def test_minhash_finds_near_dup_not_distinct(spark, docs):
+    pairs = {
+        (r["ida"], r["idb"])
+        for r in dedup.minhash_lsh_pairs(docs, num_perm=64, bands=16).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares bands
+    assert (1, 4) not in pairs and (3, 4) not in pairs  # distinct content
+
+
+def test_simhash_hamming(spark, docs):
+    pairs = {
+        (r["ida"], r["idb"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text -> identical simhash
+    assert (1, 3) in pairs  # one-word change stays within 8 bits
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_values(spark, docs):
+    out = {
+        (r["ida"], r["idb"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2, n=3).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.5 < out[(1, 3)] < 1.0
+
+
+def test_ivf_recall_against_brute(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    # plant an exact near-neighbor for query 0
+    vecs[150] = vecs[0] + 0.01 * rng.standard_normal(16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    brute = similarity.cosine_topk(emb, query_ids=[0], k=3)
+    assert [r["nid"] for r in brute.orderBy("rank").collect()][0] == 150
+    ivf = similarity.ivf_topk(emb, query_ids=[0], k=3, n_planes=2)
+    # the planted neighbor is nearly collinear -> same quadrant cell
+    assert 150 in [r["nid"] for r in ivf.collect()]
+
+
+def test_token_stats_exact(spark):
+    d = spark.createDataFrame([(1, "aa bb aa cccc")], DOC_SCHEMA)
+    r = textstats.token_stats(d).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["n_chars"] == 13
+    assert r["n_distinct_tokens"] == 3
+    assert r["n_subwords"] == 1 + 1 + 1 + 1  # ceil(len/4) each
+
+
+def test_lang_id_markers(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el perro de la casa que ladra los martes"),
+            (3, "zzz qqq www"),
+        ],
+        DOC_SCHEMA,
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(d).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "unknown"
+
+
+def test_winnow_fingerprints_shift_invariant(spark):
+    shared_passage = "one two three four five six seven eight nine ten"
+    d = spark.createDataFrame(
+        [(1, shared_passage + " tail tokens here"),
+         (2, "prefix words then " + shared_passage)],
+        DOC_SCHEMA,
+    )
+    out = textstats.winnow_fingerprints(d, k=3, window=2)
+    fps = out.groupBy("fp").agg(F.collect_set("id").alias("ids"))
+    assert fps.where(F.size("ids") == 2).count() >= 1  # shared passage found
+
+
+def test_rolling_fingerprint_whole_doc(spark):
+    d = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "different text")], DOC_SCHEMA
+    )
+    out = {r["id"]: r["rfp"] for r in textstats.rolling_fingerprint(d).collect()}
+    assert out[1] == out[2] != out[3]

@@ -57,25 +57,32 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--convs", type=int, default=400_000)
     ap.add_argument("--turns-base", type=int, default=40_000)
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
     if args.cpus is not None:
         print(json.dumps(measure(args.cpus, args.convs, args.turns_base, args.repeats)))
         return
 
-    results = []
-    for cpus in (8, 32):
-        out = subprocess.run(
-            [
-                sys.executable, os.path.abspath(__file__),
-                "--cpus", str(cpus), "--convs", str(args.convs),
-                "--turns-base", str(args.turns_base),
-                "--repeats", str(args.repeats),
-            ],
-            capture_output=True, text=True, cwd=REPO, check=True,
-        )
-        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    # alternate the two levels across passes so sandbox noise (CPU steal
+    # swings up to 5x) hits both equally; keep the best pass per level
+    best: dict[int, dict] = {}
+    for _pass in range(args.repeats):
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--cpus", str(cpus), "--convs", str(args.convs),
+                    "--turns-base", str(args.turns_base),
+                    "--repeats", "2",  # in-session: cold + warm, best kept
+                ],
+                capture_output=True, text=True, cwd=REPO, check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            print(json.dumps({"pass": _pass, **r}), flush=True)
+            if cpus not in best or r["wall_s"] < best[cpus]["wall_s"]:
+                best[cpus] = r
+    results = [best[8], best[32]]
 
     lo, hi = results
     eff = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])

@@ -57,24 +57,29 @@ from modelardb_dynamic_spark.models.kernels import (
 from modelardb_dynamic_spark.operators.compress import SEGMENT_SCHEMA
 
 STATE_SCHEMA = "t array<long>, v array<float>"
+STREAM_SEGMENT_SCHEMA = SEGMENT_SCHEMA + ", is_final boolean, temp_gen long"
 _COLS = [
     "sid", "metric", "start_ts", "end_ts", "si",
-    "mtid", "model", "cnt", "vmin", "vmax", "vsum",
+    "mtid", "model", "cnt", "vmin", "vmax", "vsum", "is_final", "temp_gen",
 ]
 
 
-def _segments_pdf(sid: str, metric: str, si: int, segs: list) -> pd.DataFrame:
+def _segments_pdf(
+    sid: str, metric: str, si: int, segs: list, final_flags: list[bool],
+    temp_gen: int | None,
+) -> pd.DataFrame:
     return pd.DataFrame(
         [
             (sid, metric, s.start_ts, s.end_ts, si, s.mtid, s.model,
-             s.cnt, s.vmin, s.vmax, s.vsum)
-            for s in segs
+             s.cnt, s.vmin, s.vmax, s.vsum, fin,
+             None if fin else temp_gen)
+            for s, fin in zip(segs, final_flags)
         ],
         columns=_COLS,
     )
 
 
-def _make_segmentize(cfg: EngineConfig):
+def _make_segmentize(cfg: EngineConfig, max_latency_points: int = 0):
     si = cfg.sampling_interval_ms
 
     def segmentize(
@@ -134,6 +139,20 @@ def _make_segmentize(cfg: EngineConfig):
                     keep_from = a
                 break  # runs are time-ordered; later runs are open too
         t, v = t[keep_from:], v[keep_from:]
+        finals = [True] * len(out)
+
+        # maximum_latency parity (SegmentGenerator.java:205-210, 245-262):
+        # if the unemitted tail holds >= K points, emit provisional
+        # TEMPORARY segments for it so queries can see data before the
+        # watermark finalizes it. Consumers merge with latest_view(); a
+        # later finalized segment supersedes them (the reference trims
+        # temporaries in its cache, SparkCache.scala:166-212 — with append
+        # sinks the trim happens at read time instead).
+        if max_latency_points and len(t) >= max_latency_points:
+            for a, b in split_runs(t, si):
+                for seg in compress_run(t[a:b], v[a:b], cfg):
+                    out.append(seg)
+                    finals.append(False)
 
         if len(t):
             state.update((t.tolist(), v.astype(float).tolist()))
@@ -143,7 +162,10 @@ def _make_segmentize(cfg: EngineConfig):
         elif state.exists:
             state.remove()
         if out:
-            yield _segments_pdf(sid, metric, si, out)
+            # generation id = tail end: strictly grows per key, so readers
+            # can keep only the newest temporary generation
+            gen = int(t[-1]) if len(t) else None
+            yield _segments_pdf(sid, metric, si, out, finals, gen)
 
     return segmentize
 
@@ -152,20 +174,52 @@ def segment_stream(
     series_stream: DataFrame,
     cfg: EngineConfig,
     watermark_delay: str = "2 minutes",
+    max_latency_points: int = 0,
 ) -> DataFrame:
     """Streaming DataFrame (sid, metric, ts_ms, value) -> streaming
-    DataFrame with the batch SEGMENT_SCHEMA, append mode. Late points
-    (older than the watermark) are dropped inside the state handler."""
+    DataFrame with SEGMENT_SCHEMA + is_final, append mode. Late points
+    (older than the watermark) are dropped inside the state handler.
+
+    max_latency_points > 0 enables the reference's maximum_latency
+    behavior: the unemitted tail is additionally published as TEMPORARY
+    segments (is_final = false) once it reaches that many points; read the
+    sink through latest_view() to get finalized ∪ live temporaries."""
     with_ts = series_stream.withColumn(
         "ts", F.timestamp_millis(F.col("ts_ms"))
     ).withWatermark("ts", watermark_delay)
     return with_ts.groupBy("sid", "metric").applyInPandasWithState(
-        _make_segmentize(cfg),
-        outputStructType=SEGMENT_SCHEMA,
+        _make_segmentize(cfg, max_latency_points),
+        outputStructType=STREAM_SEGMENT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def latest_view(appended: DataFrame) -> DataFrame:
+    """Queryable state of an append-mode segment_stream sink: all
+    finalized segments plus only the LIVE temporaries — the newest
+    temporary generation per key, minus any already covered by a finalized
+    segment (the read-time equivalent of the reference's temporary-segment
+    cache trim, SparkCache.scala:166-212). A temporary PARTIALLY covered by
+    later finalization is dropped whole (conservative: the view never
+    double-represents a point; the uncovered remainder reappears when the
+    next generation or finalized segment lands)."""
+
+    from pyspark.sql import Window
+
+    # window form (no self-join: append sinks raise conflicting-reference
+    # errors when joined with themselves, and one pass is cheaper anyway)
+    w = Window.partitionBy("sid", "metric")
+    fin = F.col("is_final")
+    df = appended.withColumn(
+        "live_gen", F.max(F.when(~fin, F.col("temp_gen"))).over(w)
+    ).withColumn("fin_end", F.max(F.when(fin, F.col("end_ts"))).over(w))
+    keep = fin | (
+        (F.col("temp_gen") == F.col("live_gen"))
+        & (F.col("fin_end").isNull() | (F.col("start_ts") > F.col("fin_end")))
+    )
+    return df.where(keep).drop("live_gen", "fin_end")
 
 
 def run_to_memory_sink(

@@ -65,7 +65,11 @@ def test_streamed_segments_match_batch_at_frontier(spark, series_chunks):
     q.processAllAvailable()
     q.stop()
 
-    streamed = spark.table("streamed_segs").where("sid != '__sentinel__'")
+    streamed = (
+        spark.table("streamed_segs")
+        .where("sid != '__sentinel__'")
+        .drop("is_final", "temp_gen")
+    )
     batch = compress(series, CFG)
 
     # the sentinel advances the watermark past every real run, so the
@@ -77,12 +81,54 @@ def test_streamed_segments_match_batch_at_frontier(spark, series_chunks):
     assert streamed.count() > 0
 
 
+def test_temporary_segments_cover_the_tail(spark, series_chunks):
+    """maximum_latency parity: with temporaries on, latest_view covers
+    points the watermark has not finalized yet, within the error bound."""
+    from modelardb_dynamic_spark.operators.reconstruct import datapoint_view
+    from modelardb_dynamic_spark.streaming.ingest import latest_view
+
+    chunk_dir, series = series_chunks
+    # real chunks only (no watermark-advancing sentinels): the tail stays
+    # unfinalized, so the temporaries are what provides coverage
+    stream = (
+        spark.readStream.schema("sid string, metric string, ts_ms long, value float")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(chunk_dir, "chunk=[0-3]"))
+    )
+    segs = segment_stream(stream, CFG, watermark_delay="2 minutes",
+                          max_latency_points=1)
+    q = run_to_memory_sink(segs, "latency_segs")
+    q.processAllAvailable()
+    q.stop()
+    appended = spark.table("latency_segs")
+    assert appended.where("NOT is_final").count() > 0  # temporaries emitted
+
+    view = latest_view(appended)
+    # no double representation: reconstructed timestamps are unique per key
+    rec = datapoint_view(view.drop("is_final", "temp_gen"))
+    dup = rec.groupBy("sid", "metric", "ts_ms").count().where("count > 1")
+    assert dup.count() == 0
+    # coverage beyond the finalized frontier: with max_latency_points=1 and
+    # sentinel-advanced watermark, every original point is represented
+    j = rec.withColumnRenamed("value", "rv").join(
+        series, ["sid", "metric", "ts_ms"], "right"
+    )
+    missing = j.where("rv IS NULL").count()
+    assert missing == 0
+    bad = j.where("NOT (rv = value OR abs((value - rv) / value) * 100.0 <= 10.0)")
+    assert bad.count() == 0
+
+
 def test_streamed_points_roundtrip(spark, series_chunks):
     """Reconstructing streamed segments reproduces the original points
     (error-bound semantics) for the covered range."""
     from modelardb_dynamic_spark.operators.reconstruct import datapoint_view
 
-    streamed = spark.table("streamed_segs").where("sid != '__sentinel__'")
+    streamed = (
+        spark.table("streamed_segs")
+        .where("sid != '__sentinel__'")
+        .drop("is_final", "temp_gen")
+    )
     rec = datapoint_view(streamed).withColumnRenamed("value", "rec")
     _, series = series_chunks
     j = rec.join(series, ["sid", "metric", "ts_ms"], "left")

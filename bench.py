@@ -71,9 +71,8 @@ def bench_pipeline(
     50 * n_convs turns with a 15k-turn hot head conversation."""
     import tempfile
 
-    from modelardb_dynamic_spark.operators.compress import compress
+    from modelardb_dynamic_spark.operators.compress import compress_transcripts
     from modelardb_dynamic_spark.operators.rollup import downsample, gap_fill, rollup
-    from modelardb_dynamic_spark.sources.timeseries import transcript_series
     from modelardb_dynamic_spark.sources.transcripts import generate_transcripts
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
@@ -91,9 +90,10 @@ def bench_pipeline(
 
     t0 = time.time()
     tr = spark.read.parquet(path)
-    series = transcript_series(tr, 60_000)
-    segs = compress(
-        series,
+    # fused derive+compress: one narrow exchange (bit-identical to the
+    # staged series path, asserted in tests)
+    segs = compress_transcripts(
+        tr,
         EngineConfig(error_bound=10.0, sampling_interval_ms=60_000),
         salt_span_points=1 << 16,
     ).persist()

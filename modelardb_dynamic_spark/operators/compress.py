@@ -224,6 +224,107 @@ def compress(
     )
 
 
+def _derive_and_compress_group(
+    out: _Out, sid: str, t_raw: np.ndarray, tok_raw: np.ndarray,
+    cfg: EngineConfig,
+) -> None:
+    """One conversation: bucket raw turn timestamps onto the SI grid and
+    compress the turn_rate / token_rate series (numpy throughout)."""
+    si = cfg.sampling_interval_ms
+    bucket = (t_raw // si) * si
+    uniq, inv = np.unique(bucket, return_inverse=True)
+    counts = np.bincount(inv).astype(np.float32)
+    tokens = np.bincount(inv, weights=tok_raw.astype(np.float64)).astype(np.float32)
+    _emit_group(out, sid, "turn_rate", uniq, counts, cfg)
+    _emit_group(out, sid, "token_rate", uniq, tokens, cfg)
+
+
+def compress_transcripts(
+    transcripts: DataFrame,
+    cfg: EngineConfig,
+    salt_span_points: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fused transcript -> series -> segments operator.
+
+    Equivalent to compress(transcript_series(transcripts, si), cfg) but
+    with ONE narrow exchange instead of [hash-agg exchange on
+    (conv_id, minute) -> stack -> repartition(sid) -> sort]: the per-minute
+    turn_rate / token_rate derivation is a numpy bincount inside the same
+    Arrow kernel that compresses. At 10^12 turns the JVM hash aggregation
+    over ~10^10 (conv, minute) string-keyed groups is the scaling
+    bottleneck (memory-bound, poor multicore scaling); the fused path
+    shuffles only (conv_id, ts_ms, tokens) rows and aggregates per
+    conversation in vectorized code. Output is bit-identical to the
+    unfused path (asserted in tests/test_pipeline.py)."""
+    si = cfg.sampling_interval_ms
+    df = transcripts.select(
+        F.col("conv_id").alias("sid"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.floor(F.length("text") / 4).cast("long").alias("tokens"),
+    )
+    hash_keys = ["sid"]
+    keys = ["sid"]
+    if salt_span_points:
+        span_ms = salt_span_points * si
+        df = df.withColumn("salt", (F.col("ts_ms") / span_ms).cast("long"))
+        hash_keys = ["sid", "salt"]
+        keys = ["sid", "salt"]
+    n_part = num_partitions or 2 * transcripts.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_part, *hash_keys).sortWithinPartitions(*keys)
+
+    def map_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        carry_key: tuple | None = None
+        carry_t: list[np.ndarray] = []
+        carry_tok: list[np.ndarray] = []
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            out = _Out()
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for k in keys:
+                codes = _key_codes(rb.column(k))
+                change[1:] |= codes[1:] != codes[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            t_all = rb.column("ts_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+            tok_all = rb.column("tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+            keycols = [rb.column(k) for k in keys]
+            for gi, (a, b) in enumerate(zip(starts.tolist(), ends.tolist())):
+                key = tuple(kc[a].as_py() for kc in keycols)
+                is_last = gi == len(starts) - 1
+                if carry_key is not None and key != carry_key:
+                    _derive_and_compress_group(
+                        out, carry_key[0], np.concatenate(carry_t),
+                        np.concatenate(carry_tok), cfg,
+                    )
+                    carry_key, carry_t, carry_tok = None, [], []
+                if is_last or carry_key == key:
+                    carry_key = key
+                    carry_t.append(t_all[a:b])
+                    carry_tok.append(tok_all[a:b])
+                else:
+                    _derive_and_compress_group(
+                        out, key[0], t_all[a:b], tok_all[a:b], cfg
+                    )
+            batch = out.to_batch(si)
+            if batch is not None:
+                yield batch
+        if carry_key is not None:
+            out = _Out()
+            _derive_and_compress_group(
+                out, carry_key[0], np.concatenate(carry_t),
+                np.concatenate(carry_tok), cfg,
+            )
+            batch = out.to_batch(si)
+            if batch is not None:
+                yield batch
+
+    return df.mapInArrow(map_fn, schema=SEGMENT_SCHEMA)
+
+
 def compression_stats(segments: DataFrame) -> DataFrame:
     """Corpus compression ratio per the reference formula
     16*len/(24+size+4*gaps) with gaps == 0 (core/models/ModelType.java:

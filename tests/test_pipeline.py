@@ -150,6 +150,19 @@ def test_raw_tier_text_equality(spark, transcripts, tmp_path):
     assert [r.asDict() for r in orig.collect()] == [r.asDict() for r in got.collect()]
 
 
+def test_fused_compress_transcripts_identical(spark, transcripts, series):
+    """compress_transcripts (one-exchange fused derive+compress) must be
+    bit-identical to compress(transcript_series(...)) — both plain and
+    salted."""
+    from modelardb_dynamic_spark.operators.compress import compress_transcripts
+
+    for salt in (None, 16):
+        fused = compress_transcripts(transcripts, CFG10, salt_span_points=salt)
+        unfused = compress(series, CFG10, salt_span_points=salt)
+        assert fused.exceptAll(unfused).count() == 0, f"salt={salt}"
+        assert unfused.exceptAll(fused).count() == 0, f"salt={salt}"
+
+
 def test_compression_ratio_positive(spark, series):
     row = compression_stats(compress(series, CFG10)).collect()[0]
     assert row["n_points"] == series.count()

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dp_restore_range",
     "rollup_1h_gapfill",
     "tier_1d",
+    "agg_hour_of_day",
     "segment_restrict",
     "tpch_q1",
     "topk_orders_per_cust",
@@ -49,6 +50,7 @@ BENCH_QUERIES = [
     "token_stats",
     "lang_id",
     "fingerprint",
+    "winnow_fingerprints",
     "ann_topk",
     "ann_ivf",
 ]

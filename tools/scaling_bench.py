@@ -6,10 +6,14 @@ report throughput at both plus scaling efficiency = thr(4N) / (4*thr(N)).
 A real cluster isn't available in this sandbox; two parallelism levels in
 local mode exercise the same partitioning/shuffle behavior (each local slot
 executes tasks exactly like an executor core; the plan, number of shuffle
-partitions, and task boundaries are identical to cluster mode).
+partitions, and task boundaries are identical to cluster mode). Each
+measurement subprocess is PINNED to exactly N CPUs with taskset — without
+pinning, the small-N config's JVM GC / shuffle-IO / Python workers ride
+free on the machine's idle cores (measured ~40%% flattering), which a real
+N-core executor host would not allow.
 
 Usage:
-    python tools/scaling_bench.py                 # orchestrate N=8 vs 32
+    python tools/scaling_bench.py                 # orchestrate N=4 vs 16
     python tools/scaling_bench.py --cpus 8 --convs 4000   # one measurement
 """
 
@@ -57,7 +61,9 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--convs", type=int, default=400_000)
     ap.add_argument("--turns-base", type=int, default=40_000)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--base", type=int, default=4,
+                    help="N of the N-vs-4N comparison (pinned cores)")
     args = ap.parse_args()
 
     if args.cpus is not None:
@@ -67,10 +73,12 @@ def main() -> None:
     # alternate the two levels across passes so sandbox noise (CPU steal
     # swings up to 5x) hits both equally; keep the best pass per level
     best: dict[int, dict] = {}
+    all_passes: list[dict] = []
     for _pass in range(args.repeats):
-        for cpus in (8, 32):
+        for cpus in (args.base, 4 * args.base):
             out = subprocess.run(
                 [
+                    "taskset", "-c", f"0-{cpus - 1}",
                     sys.executable, os.path.abspath(__file__),
                     "--cpus", str(cpus), "--convs", str(args.convs),
                     "--turns-base", str(args.turns_base),
@@ -79,14 +87,15 @@ def main() -> None:
                 capture_output=True, text=True, cwd=REPO, check=True,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
-            print(json.dumps({"pass": _pass, **r}), flush=True)
+            all_passes.append({"pass": _pass, **r})
+            print(json.dumps(all_passes[-1]), flush=True)
             if cpus not in best or r["wall_s"] < best[cpus]["wall_s"]:
                 best[cpus] = r
-    results = [best[8], best[32]]
+    results = [best[args.base], best[4 * args.base]]
 
-    lo, hi = results
+    lo, hi = results[0], results[1]
     eff = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
-    report = {"runs": results, "scaling_efficiency_8_to_32": round(eff, 3)}
+    report = {"runs": results, "scaling_efficiency_N_to_4N": round(eff, 3)}
     print(json.dumps(report))
     # best-of-N per level: the sandbox VM shows up to 5x run-to-run noise
     # (CPU steal), so the best run is the honest estimate of each
@@ -106,10 +115,20 @@ def main() -> None:
                 f"| {r['turns_per_sec']} |\n"
                 for r in results
             )
-            + f"\n**Scaling efficiency (8 -> 32 cores): {eff:.3f}** "
-            "(target >= 0.8; efficiency = thr(4N) / (4 * thr(N)))\n\n"
-            "Cluster deployment: `tools/submit.sh` runs the same pipeline "
-            "via `spark-submit --py-files`; partitioning is by "
+            + f"\n**Scaling efficiency (N={lo['cpus']} -> 4N={hi['cpus']} pinned cores): {eff:.3f}** "
+            "(target >= 0.8; efficiency = thr(4N) / (4 * thr(N)); each run "
+            "taskset-pinned to exactly its core budget)\n\n"
+            "All passes (alternating levels; best-of kept above — the "
+            "sandbox VM shows multi-x run-to-run noise, so per-level best "
+            "is the honest capability estimate):\n\n"
+            "| pass | cores | wall (s) | turns/sec |\n|---|---|---|---|\n"
+            + "".join(
+                f"| {p['pass']} | {p['cpus']} | {p['wall_s']} "
+                f"| {p['turns_per_sec']} |\n"
+                for p in all_passes
+            )
+            + "\nCluster deployment: `tools/submit.sh` runs the same "
+            "pipeline via `spark-submit --py-files`; partitioning is by "
             "hash(conv_id) with optional time-range salting for hot "
             "conversations, so the plan is executor-count-agnostic.\n"
         )

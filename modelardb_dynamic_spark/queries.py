@@ -263,9 +263,11 @@ def q_ann_ivf(spark, sf_dir):
 
 def q_token_stats(spark, sf_dir):
     s = textstats.token_stats(_t(spark, sf_dir, "documents"))
+    # unrounded double: a single int/int IEEE division is bit-deterministic on
+    # both engines, while round() ties differ (Spark HALF_UP, DuckDB HALF_EVEN)
     return s.select(
         "doc_id", "n_tokens", "n_chars", "n_subwords", "n_distinct_tokens",
-        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        "distinct_ratio",
     )
 
 
@@ -437,7 +439,7 @@ ORACLES = {
             SELECT user_id, sess_id, count(*) AS n FROM sess GROUP BY 1, 2
         )
         SELECT user_id, count(*) AS n_sessions, max(n) AS max_events,
-               sum(n) AS total_events
+               CAST(sum(n) AS BIGINT) AS total_events
         FROM per GROUP BY user_id
     """,
     "asof_purchase": """
@@ -484,10 +486,10 @@ ORACLES = {
         SELECT doc_id,
                len(words) AS n_tokens,
                len(text) AS n_chars,
-               list_sum(list_transform(words,
-                   w -> CAST(ceil(len(w) / 4.0) AS INT))) AS n_subwords,
+               CAST(list_sum(list_transform(words,
+                   w -> CAST(ceil(len(w) / 4.0) AS INT))) AS BIGINT) AS n_subwords,
                len(list_distinct(words)) AS n_distinct_tokens,
-               round(len(list_distinct(words)) * 1.0 / len(words), 6) AS distinct_ratio
+               len(list_distinct(words)) * 1.0 / len(words) AS distinct_ratio
         FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS words
               FROM documents)
     """,

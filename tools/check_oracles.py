@@ -23,11 +23,23 @@ TABLES = (
 
 
 def norm_cell(x):
+    """Type-strict canonical form: the driver hashes typed values, so an
+    int64 vs HUGEINT/Decimal/float difference must FAIL here too."""
+    import decimal
+
+    if isinstance(x, bool):
+        return ("b", x)
     if isinstance(x, float):
         if math.isnan(x):
-            return "NaN"
-        return x
-    return x
+            return ("f", "NaN")
+        return ("f", repr(x))
+    if isinstance(x, int):
+        return ("i", x)
+    if isinstance(x, decimal.Decimal):
+        return ("dec", str(x))
+    if isinstance(x, (list, tuple)):
+        return ("l", tuple(norm_cell(v) for v in x))
+    return (type(x).__name__, x)
 
 
 def to_sorted_rows(cols, rows):
@@ -65,9 +77,12 @@ def main():
             print(f"[rows-only] {name}: {len(srows)} rows, cols {scols}")
             continue
         try:
-            rel = con.sql(oracles[name])
-            ocols = [c for c in rel.columns]
-            orows = rel.fetchall()
+            # fetch via Arrow like the driver: HUGEINT sum() surfaces as
+            # Decimal (type mismatch vs Spark long) while nullable BIGINT
+            # stays int64 — this reproduces the driver's hash sensitivity
+            tbl = con.sql(oracles[name]).arrow()
+            ocols = list(tbl.schema.names)
+            orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
         except Exception as e:
             print(f"[FAIL] {name}: duckdb error {e}")
             failures += 1

@@ -52,15 +52,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """All (a, b) id pairs with word-n-gram Jaccard >= threshold.
 
     Shape: explode shingles -> self equi-join on shingle -> count shared ->
     join sizes -> filter. The join key is the shingle, so only documents
-    sharing at least one shingle ever meet (no O(N^2) cross join)."""
+    sharing at least one shingle ever meet (no O(N^2) cross join).
+
+    max_df caps posting-list length: shingles appearing in more than max_df
+    documents (stop-phrases) are dropped from BOTH the intersection and the
+    set sizes, so the score is Jaccard over discriminative shingles. Without
+    the cap one hot shingle shared by 10^6 docs creates a 10^12-candidate
+    join bucket — the standard frequency-cap trick keeps the self-join
+    linear in corpus size. The blacklist of hot shingles is tiny, so the
+    anti-join broadcasts."""
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("s")
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -81,39 +98,39 @@ def ngram_jaccard_pairs(
     )
 
 
-# -- MinHash + LSH -------------------------------------------------------------
+# -- shared 60-bit hash primitive ---------------------------------------------
+#
+# Every signature operator hashes strings with the first 15 hex digits of
+# md5 — a 60-bit hash both engines compute natively and bit-identically:
+#   Spark:  cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)
+#   DuckDB: CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+# so MinHash/SimHash/winnowing run as pure JVM-side SQL (whole-stage
+# codegen, no Python) AND have value-level DuckDB oracles.
 
-_MERSENNE = (1 << 61) - 1
-
-
-_HASH_KEY = "modelardb_dynamic_"[:16]  # pd.util.hash_array wants exactly 16 chars
-
-
-def _hash_strings(strings: list[str]) -> np.ndarray:
-    """Deterministic vectorized 64-bit string hashes (pandas' C siphash;
-    a per-byte Python FNV loop measured ~100x slower)."""
-    if not strings:
-        return np.empty(0, dtype=np.uint64)
-    return pd.util.hash_array(np.asarray(strings, dtype=object), hash_key=_HASH_KEY)
+P31 = 2_147_483_647  # 2^31-1; MinHash permutation modulus (a*h+b fits i64)
 
 
-def _token_hashes(texts: pd.Series, n: int) -> list[np.ndarray]:
-    """64-bit hashes of word n-gram shingles per text."""
-    out = []
-    for t in texts:
-        words = t.split()
-        if len(words) < n:
-            grams = {" ".join(words)}
-        else:
-            grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
-        out.append(_hash_strings(list(grams)))
-    return out
+def spark_h60(col) -> "F.Column":
+    """60-bit md5-prefix hash as a Spark column expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+def duck_h60(expr: str) -> str:
+    """The same 60-bit hash as a DuckDB SQL fragment."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_params(num_perm: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) permutation parameters derived from md5 so the
+    oracle can embed the identical constants as SQL literals."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    a = [h60(f"minhash-a-{j}") % (P31 - 1) + 1 for j in range(num_perm)]
+    b = [h60(f"minhash-b-{j}") % P31 for j in range(num_perm)]
     return a, b
 
 
@@ -124,28 +141,24 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, sig array<long>) MinHash signatures, deterministic (fixed seed)."""
-    a_params, b_params = _minhash_params(num_perm)
+    """(id, sig array<long>) MinHash signatures as pure SQL expressions:
+    each distinct word n-gram shingle is hashed once (60-bit md5 prefix,
+    reduced mod 2^31-1), then permutation j takes min over shingles of
+    (a_j*h + b_j) mod 2^31-1. Whole-stage codegen, no Python workers."""
+    a_params, b_params = minhash_params(num_perm)
+    hs = F.transform(_shingles(text_col, n), lambda s: spark_h60(s) % P31)
+    # materialize the shingle-hash array once; the 64 permutation mins then
+    # scan the cached array with cheap arithmetic only
+    with_hs = docs.select(F.col(id_col).alias("id"), hs.alias("hs"))
+    def perm_min(a: int, b: int):
+        # single-arg lambda: a two-arg lambda would make Spark pass the
+        # array index as the second argument
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % P31)
+        )
 
-    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sigs = []
-            for hs in _token_hashes(pdf[text_col], n):
-                if len(hs) == 0:
-                    sigs.append(np.zeros(num_perm, dtype=np.int64))
-                    continue
-                # (a*h + b) mod p, min over shingles, per permutation
-                vals = (
-                    a_params[None, :] * hs[:, None] + b_params[None, :]
-                ) % _MERSENNE
-                sigs.append(vals.min(axis=0).astype(np.int64))
-            yield pd.DataFrame(
-                {"id": pdf[id_col].to_numpy(), "sig": [s.tolist() for s in sigs]}
-            )
-
-    return docs.select(id_col, text_col).mapInPandas(
-        map_fn, schema="id long, sig array<long>"
-    )
+    sig = F.array(*[perm_min(a, b) for a, b in zip(a_params, b_params)])
+    return with_hs.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -192,6 +205,37 @@ def minhash_lsh_pairs(
 # -- SimHash -------------------------------------------------------------------
 
 
+SIMHASH_BITS = 60  # the shared md5-prefix hash is 60 bits wide
+SIMHASH_CHUNK = 15  # 4 x 15-bit banding
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash long): 60-bit SimHash — bit i set iff the sum of
+    (+1/-1) votes from token-hash bit i over all tokens is positive.
+    Tokens are hashed once (shared 60-bit md5 prefix); explode + groupBy
+    with map-side combine means the shuffle carries one partial row per
+    doc, never the token stream."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+    ).select("id", spark_h60("w").alias("h"))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select("id", sig.cast("long").alias("simhash"))
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -200,26 +244,11 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
-    64-bit SimHash per doc (sign of per-bit weighted sums of token hashes),
-    candidates via 4x16-bit chunk banding (any pair within Hamming <= 3
-    agrees on at least one chunk), exact popcount filter after."""
-
-    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitcols = (1 << np.arange(64, dtype=np.uint64))
-        for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, t in enumerate(pdf[text_col]):
-                hs = _hash_strings(t.split())
-                if len(hs) == 0:
-                    continue
-                bits = (hs[:, None] & bitcols[None, :]) != 0
-                score = bits.sum(axis=0) * 2 - len(hs)
-                out[i] = int((bitcols[score > 0]).sum(dtype=np.uint64).view(np.int64))
-            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "simhash": out})
-
-    sh = docs.select(id_col, text_col).mapInPandas(
-        map_fn, schema="id long, simhash long"
-    )
+    60-bit SimHash per doc (sign of per-bit weighted sums of token hashes),
+    candidates via 4x15-bit chunk banding (any pair within Hamming <= 3
+    agrees on at least one chunk), exact popcount filter after. Pure SQL
+    end-to-end, so the DuckDB oracle replays it exactly."""
+    sh = simhash_signatures(docs, id_col, text_col)
     chunks = sh.select(
         "id",
         "simhash",
@@ -228,8 +257,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), i * SIMHASH_CHUNK)
+                        .bitwiseAND(F.lit((1 << SIMHASH_CHUNK) - 1))
                         .alias("key"),
                     )
                     for i in range(4)
@@ -268,13 +297,14 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold, bucketed by random
     hyperplane signatures (deterministic seed) so only same-signature
     vectors are compared exactly."""
     from modelardb_dynamic_spark.operators.similarity import hyperplane_signature
 
-    sig = hyperplane_signature(embeddings, id_col, vec_col, n_planes, seed=11)
+    sig = hyperplane_signature(embeddings, id_col, vec_col, n_planes, seed=11, dim=dim)
     a = sig.alias("a")
     b = sig.alias("b")
     cand = a.join(
@@ -286,20 +316,14 @@ def embedding_dup_pairs(
         F.col("a.vec").alias("va"),
         F.col("b.vec").alias("vb"),
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: (x * x).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    from modelardb_dynamic_spark.operators.similarity import dot_fold, norm_fold
+
     return (
-        cand.withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        cand.withColumn(
+            "cosine",
+            dot_fold(F.col("va"), F.col("vb"))
+            / (norm_fold(F.col("va")) * norm_fold(F.col("vb"))),
+        )
         .where(F.col("cosine") >= threshold)
         .select("ida", "idb", "cosine")
     )

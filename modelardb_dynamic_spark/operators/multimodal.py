@@ -45,10 +45,11 @@ def synth_media(spark, n: int = 64, parallelism: int = 4) -> DataFrame:
 
 def _fake_decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
     """FAKE decode: derives a deterministic feature vector from payload
-    bytes. Replace with a real codec (PIL / ffmpeg / torchaudio) off-sandbox.
-    """
-    arr = np.frombuffer(payload[: dim * 4].ljust(dim * 4, b"\0"), dtype=np.uint32)
-    return (arr % 1000).astype(np.float32) / 1000.0
+    bytes (little-endian uint32 groups mod 1000, exact in float32 — the
+    DuckDB oracle recomputes the same integers). Replace with a real codec
+    (PIL / ffmpeg / torchaudio) off-sandbox."""
+    arr = np.frombuffer(payload[: dim * 4].ljust(dim * 4, b"\0"), dtype="<u4")
+    return (arr % 1000).astype(np.float32)
 
 
 def extract_features(media: DataFrame, dim: int = 8, real_codecs: bool = False) -> DataFrame:

@@ -21,30 +21,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic (dim, n_planes) hyperplane normals. Exposed so the
+    DuckDB oracle can embed the identical constants as SQL literals."""
+    return np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+
+def dot_fold(a, b) -> "F.Column":
+    """Sequential left-fold dot product in float64: cast-then-multiply,
+    strictly left-to-right accumulation. The same op sequence runs in the
+    DuckDB oracle (list_reduce), so results are bit-identical — a GEMM's
+    pairwise summation order would not be."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_fold(c) -> "F.Column":
+    sq = F.transform(c, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
 def hyperplane_signature(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
     n_planes: int,
     seed: int,
+    dim: int | None = None,
 ) -> DataFrame:
-    """(id, vec, sig long): sign pattern of n_planes random projections."""
-    dim = len(vectors.select(vec_col).first()[0])
-    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
-
-    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            proj = m @ planes
-            sig = ((proj > 0) << np.arange(n_planes, dtype=np.int64)[None, :]).sum(
-                axis=1
-            )
-            yield pd.DataFrame(
-                {"id": pdf[id_col].to_numpy(), "vec": pdf[vec_col], "sig": sig}
-            )
-
-    return vectors.select(id_col, vec_col).mapInPandas(
-        map_fn, schema=f"id long, vec array<float>, sig long"
+    """(id, vec, sig long): sign pattern of n_planes random projections,
+    computed as pure SQL folds over plane-literal arrays (no Python
+    workers, no driver .first() when dim is passed)."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = plane_matrix(dim, n_planes, seed)
+    sig = None
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(planes[i, j])) for i in range(dim)])
+        bit = F.when(dot_fold(F.col(vec_col), plane) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        sig = bit if sig is None else sig + bit
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sig.cast("long").alias("sig"),
     )
 
 
@@ -105,31 +126,22 @@ def ivf_topk(
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-quadrant bucketing (2^n_planes cells),
     exact cosine re-rank within the query's cell. The scale path: the
     pairwise work shrinks by the cell count at some recall cost."""
-    sig = hyperplane_signature(corpus, id_col, vec_col, n_planes, seed=23).cache()
+    sig = hyperplane_signature(corpus, id_col, vec_col, n_planes, seed=23, dim=dim).cache()
     q = sig.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"), F.col("vec").alias("qvec"), F.col("sig").alias("qsig")
     )
     cand = q.join(sig, F.col("qsig") == F.col("sig")).where(
         F.col("qid") != F.col("id")
     )
-    dot = F.aggregate(
-        F.zip_with("qvec", "vec", lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: (x * x).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
     scored = cand.withColumn(
-        "cosine", dot / (norm(F.col("qvec")) * norm(F.col("vec")))
+        "cosine",
+        dot_fold(F.col("qvec"), F.col("vec"))
+        / (norm_fold(F.col("qvec")) * norm_fold(F.col("vec"))),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
     return (

@@ -83,25 +83,59 @@ def md5_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
 
 
-_POLY_P = (1 << 61) - 1
+_POLY_P = 1_000_000_007  # < 2^30 so products with 21-bit code points fit u64
 _POLY_B = 131
+
+
+def _poly_hash_batch(texts) -> np.ndarray:
+    """Vectorized polynomial hash h = fold(h*B + codepoint) mod P over
+    Unicode code points. No per-character Python: the whole batch's code
+    points land in one uint32 array (UTF-32 decode), per-element powers of
+    B come from a precomputed table, and per-doc sums use np.add.reduceat.
+    Products are reduced mod P first (< 2^30), so the unreduced per-doc sum
+    stays < 2^63 for any document under ~8 G chars."""
+    cps = [
+        np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts
+    ]
+    lens = np.array([len(c) for c in cps], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(len(texts), dtype=np.int64)
+    flat = np.concatenate([c for c in cps if len(c)]) if total else np.empty(0, np.uint32)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    max_len = int(lens.max())
+    pow_table = np.empty(max_len, dtype=np.uint64)
+    pow_table[0] = 1
+    for i in range(1, max_len):  # O(max_len) scalar setup, not O(chars)
+        pow_table[i] = (pow_table[i - 1] * _POLY_B) % _POLY_P
+    # exponent of position j in doc d is len(d)-1-j
+    ends = np.repeat(offsets + lens, lens)
+    exp = ends - 1 - np.arange(total, dtype=np.int64)
+    prod = (flat.astype(np.uint64) * pow_table[exp]) % _POLY_P
+    # reduceat needs non-empty segments: empty docs contribute 0 separately
+    nonzero = lens > 0
+    sums = np.add.reduceat(prod, offsets[nonzero]) % _POLY_P
+    out = np.zeros(len(texts), dtype=np.int64)
+    out[nonzero] = sums.astype(np.int64)
+    return out
 
 
 def rolling_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Polynomial rolling hash over UTF-8 bytes mod 2^61-1 (vectorized
-    Horner scheme per batch)."""
+    """Polynomial rolling hash over Unicode code points mod 1e9+7,
+    vectorized per Arrow batch (see _poly_hash_batch). The same fold is
+    SQL-expressible (DuckDB list_reduce over unicode(c)), so this operator
+    has a value-level oracle in the correctness gate."""
 
     def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fps = np.empty(len(pdf), dtype=np.int64)
-            for i, t in enumerate(pdf[text_col]):
-                h = 0
-                for byte in t.encode("utf-8"):
-                    h = (h * _POLY_B + byte) % _POLY_P
-                fps[i] = h
-            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "rfp": fps})
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "rfp": _poly_hash_batch(pdf[text_col]),
+                }
+            )
 
     return docs.select(id_col, text_col).mapInPandas(map_fn, schema="id long, rfp long")
 
@@ -113,45 +147,47 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Winnowing document fingerprints (the MOSS scheme): hash every
-    k-token gram, slide a window of `window` gram-hashes, keep each
-    window's minimum (rightmost on ties). Shared passages between documents
-    share fingerprints regardless of position; output is (id, pos, fp).
-    Gram hashing is vectorized (pandas' C hash), the window minimum is a
-    numpy sliding-window reduction — no per-byte Python."""
-    import numpy as np
+    """Winnowing document fingerprints (the MOSS robust scheme): hash every
+    k-token gram (shared 60-bit md5 prefix), slide a window of `window`
+    gram-hashes, keep each window's minimum — RIGHTMOST gram on hash ties,
+    expressed as min(struct(h, -pos)) over the window frame. Shared
+    passages between documents share fingerprints regardless of position;
+    output is (id, pos, fp). Pure SQL end-to-end (posexplode + one window
+    pass, single shuffle on id), so the DuckDB oracle replays it exactly."""
+    from modelardb_dynamic_spark.operators.dedup import spark_h60
 
-    from modelardb_dynamic_spark.operators.dedup import _hash_strings
-
-    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids: list[int] = []
-            poss: list[int] = []
-            fps: list[int] = []
-            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
-                words = t.split()
-                if not words:
-                    continue
-                if len(words) <= k:
-                    grams = [" ".join(words)]
-                else:
-                    grams = [
-                        " ".join(words[i : i + k])
-                        for i in range(len(words) - k + 1)
-                    ]
-                hs = _hash_strings(grams).view(np.int64)
-                if len(hs) <= window:
-                    sel = np.array([int(np.argmin(hs))])
-                else:
-                    win = np.lib.stride_tricks.sliding_window_view(hs, window)
-                    sel = np.unique(np.argmin(win, axis=1) + np.arange(len(win)))
-                ids.extend([doc_id] * len(sel))
-                poss.extend(sel.tolist())
-                fps.extend(hs[sel].tolist())
-            yield pd.DataFrame({"id": ids, "pos": poss, "fp": fps})
-
-    return docs.select(id_col, text_col).mapInPandas(
-        map_fn, schema="id long, pos int, fp long"
+    words = F.split(F.col(text_col), r"\s+")
+    grams = F.when(
+        F.size(words) <= k, F.array(F.array_join(words, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+        )
+    )
+    g = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram")
+    ).select("id", "pos", spark_h60("gram").alias("h"))
+    by_pos = Window.partitionBy("id").orderBy("pos")
+    frame = by_pos.rowsBetween(0, window - 1)
+    n_grams = F.count(F.lit(1)).over(
+        Window.partitionBy("id").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    sel = F.min(F.struct(F.col("h").alias("h"), (-F.col("pos")).alias("np"))).over(
+        frame
+    )
+    return (
+        g.withColumn("ng", n_grams)
+        .withColumn("sel", sel)
+        .where(F.col("pos") <= F.greatest(F.col("ng") - window, F.lit(0)))
+        .select(
+            "id",
+            (-F.col("sel.np")).cast("int").alias("pos"),
+            F.col("sel.h").alias("fp"),
+        )
+        .distinct()
     )
 
 

@@ -136,6 +136,59 @@ def q_agg_day_of_month(spark, sf_dir):
     )
 
 
+def _calendar_query(field: str, tier_builder):
+    """Shared shape for the {AGG}_{FIELD} calendar query family."""
+    from modelardb_dynamic_spark.operators.rollup import calendar_agg
+
+    def q(spark, sf_dir):
+        segs = _event_segments(spark, sf_dir)
+        out = calendar_agg(tier_builder(segs), field)
+        return out.select(
+            "sid", field, "cnt", "vsum",
+            F.col("vmin").cast("double").alias("vmin"),
+            F.col("vmax").cast("double").alias("vmax"),
+            "vavg",
+        )
+
+    return q
+
+
+def _hour_tier(segs):
+    return rollup(segs, HOUR_MS)
+
+
+def _day_tier(segs):
+    return downsample(rollup(segs, HOUR_MS), DAY_MS)
+
+
+def _minute_tier(segs):
+    return rollup(segs, SI_MS)
+
+
+q_agg_year = _calendar_query("year", _day_tier)
+q_agg_month = _calendar_query("month", _day_tier)
+q_agg_minute = _calendar_query("minute", _minute_tier)
+q_agg_am_pm = _calendar_query("am_pm", _hour_tier)
+
+
+def q_agg_second(spark, sf_dir):
+    """SECOND-field calendar aggregate over a 15 s-grid series (a 1 m grid
+    would make every bucket's second 0, a degenerate test)."""
+    from modelardb_dynamic_spark.operators.rollup import calendar_agg
+    from modelardb_dynamic_spark.sources.timeseries import event_series
+
+    si = 15_000
+    series = event_series(_t(spark, sf_dir, "events"), si)
+    segs = compress(series, EngineConfig(error_bound=0.0, sampling_interval_ms=si))
+    out = calendar_agg(rollup(segs, si), "second")
+    return out.select(
+        "sid", "second", "cnt", "vsum",
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+        "vavg",
+    )
+
+
 def q_segment_restrict(spark, sf_dir):
     """START/END segment restriction as column arithmetic (Segment.java:
     56-78 formulas) followed by COUNT_S over the restricted segments."""
@@ -221,9 +274,12 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+NGRAM_MAX_DF = 100  # posting-list cap; mirrored in the oracle SQL
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.25, n=3
+        _t(spark, sf_dir, "documents"), threshold=0.25, n=3, max_df=NGRAM_MAX_DF
     )
 
 
@@ -237,10 +293,12 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_embedding_dups(spark, sf_dir):
     # the synthetic embeddings have no true near-dups (max pairwise cosine
-    # ~0.51), so the demo threshold is loose; the operator is the point
+    # ~0.51), so the demo threshold is loose; the operator is the point.
+    # cosine is an unrounded double: both engines run the identical
+    # sequential fold, so the bits match without rounding.
     return dedup.embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4
-    ).select("ida", "idb", F.round("cosine", 6).alias("cosine"))
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4, dim=64
+    ).select("ida", "idb", "cosine")
 
 
 # --- similarity search ---------------------------------------------------------
@@ -254,7 +312,7 @@ def q_ann_topk(spark, sf_dir):
 
 def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(
-        _t(spark, sf_dir, "embeddings"), query_ids=list(range(20)), k=5
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(20)), k=5, dim=64
     )
 
 
@@ -305,14 +363,53 @@ def q_multimodal_features(spark, sf_dir):
 # --- transcript pipeline (rows-only smoke at driver scale) ----------------------
 
 
-def q_transcript_tiers(spark, sf_dir):
-    from modelardb_dynamic_spark.sources.timeseries import transcript_series
-    from modelardb_dynamic_spark.sources.transcripts import generate_transcripts
+def _events_as_transcripts(spark, sf_dir):
+    """Deterministic transcript table (conv_id, turn_idx, role, text, tool,
+    ts — the BASELINE input_hint shape) derived from the events parquet via
+    pure SQL expressions, so the identical construction can run in the
+    DuckDB oracle. The xxhash64-seeded synthetic generator
+    (sources/transcripts.py) stays the bench/pytest input; this mapping
+    exists so the FULL native tier pipeline has a value-level oracle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
+    turn_idx = (F.row_number().over(w) - 1).cast("int")
+    return ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        F.element_at(roles, F.pmod(turn_idx, F.lit(3)).cast("int") + 1).alias("role"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(" "),
+            F.repeat(
+                F.concat(F.col("event_type"), F.lit(" ")),
+                F.pmod(F.col("event_id"), F.lit(5)).cast("int") + 1,
+            ),
+            F.col("event_type"),
+        ).alias("text"),
+        F.when(F.pmod(turn_idx, F.lit(3)) == 2, F.col("event_type"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        F.col("ts"),
+    )
 
-    tr = generate_transcripts(spark, n_convs=30, turns_base=48)
+
+def q_transcript_tiers(spark, sf_dir):
+    """Full transcript tier pipeline under the value-level oracle gate:
+    transcripts -> per-minute turn_rate/token_rate series -> compress
+    (error bound 0: every value an exact small integer) -> 1h rollup ->
+    gap-fill. The oracle recomputes the same tiers from raw rows."""
+    from modelardb_dynamic_spark.sources.timeseries import transcript_series
+
+    tr = _events_as_transcripts(spark, sf_dir)
     series = transcript_series(tr, SI_MS)
-    segs = compress(series, EngineConfig(error_bound=10.0, sampling_interval_ms=SI_MS))
-    return gap_fill(rollup(segs, HOUR_MS), HOUR_MS)
+    segs = compress(series, CFG0)
+    tier = gap_fill(rollup(segs, HOUR_MS), HOUR_MS)
+    return tier.select(
+        "sid", "metric", "bucket_ts", "cnt", "vsum",
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+    )
 
 
 QUERIES = {
@@ -323,6 +420,11 @@ QUERIES = {
     "tier_1d": q_tier_1d,
     "agg_hour_of_day": q_agg_hour_of_day,
     "agg_day_of_month": q_agg_day_of_month,
+    "agg_year": q_agg_year,
+    "agg_month": q_agg_month,
+    "agg_minute": q_agg_minute,
+    "agg_second": q_agg_second,
+    "agg_am_pm": q_agg_am_pm,
     "segment_restrict": q_segment_restrict,
     "tpch_q1": q_tpch_q1,
     "topk_orders_per_cust": q_topk_orders_per_cust,
@@ -357,6 +459,71 @@ _HOURLY = f"""
            CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax
     FROM b GROUP BY 1, 2
 """
+
+# --- oracle SQL builders for the signature operators -------------------------
+# These replay the EXACT Spark computation in DuckDB: the shared 60-bit
+# md5-prefix hash, the md5-derived MinHash permutation constants, the
+# seeded hyperplane literals, and sequential left-fold float64 math.
+
+from modelardb_dynamic_spark.operators.dedup import P31, duck_h60, minhash_params
+from modelardb_dynamic_spark.operators.similarity import plane_matrix
+
+_SHINGLES3_SQL = r"""
+    SELECT doc_id AS id, list_distinct([
+        array_to_string(words[i : i + 2], ' ')
+        FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+    ]) AS sh
+    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS words
+          FROM documents)
+"""
+
+_MH_A, _MH_B = minhash_params(64)
+_MH_SIG_SQL = ",\n               ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P31}))"
+    for a, b in zip(_MH_A, _MH_B)
+)
+
+_SIMHASH_SUMS = ", ".join(
+    f"sum(((h >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(60)
+)
+_SIMHASH_SIG = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+    for i in range(60)
+)
+
+
+def _duck_planes_sig(vec: str, n_planes: int, seed: int, dim: int) -> str:
+    """DuckDB expression for the hyperplane sign signature, mirroring
+    similarity.hyperplane_signature bit-for-bit (sequential fold)."""
+    planes = plane_matrix(dim, n_planes, seed)
+    terms = []
+    for j in range(n_planes):
+        lits = ", ".join(repr(float(planes[i, j])) for i in range(dim))
+        proj = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[CAST({vec}[i] AS DOUBLE) * ([{lits}])[i] "
+            f"FOR i IN range(1, {dim + 1})]), (a, x) -> a + x)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _duck_cosine(va: str, vb: str, dim: int) -> str:
+    dot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE) "
+        f"FOR i IN range(1, {dim + 1})]), (a, x) -> a + x)"
+    )
+
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE) "
+            f"FOR i IN range(1, {dim + 1})]), (a, x) -> a + x))"
+        )
+
+    return f"{dot} / ({norm(va)} * {norm(vb)})"
+
 
 ORACLES = {
     "seg_count_s": f"""
@@ -400,6 +567,53 @@ ORACLES = {
     "agg_day_of_month": f"""
         WITH b AS ({_MINUTE_BUCKETS})
         SELECT sid, CAST(extract(day FROM to_timestamp(m / 1000)) AS INT) AS day_of_month,
+               count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+               CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax,
+               avg(v) AS vavg
+        FROM b GROUP BY 1, 2
+    """,
+    "agg_year": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid, CAST(extract(year FROM to_timestamp(m / 1000)) AS INT) AS year,
+               count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+               CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax,
+               avg(v) AS vavg
+        FROM b GROUP BY 1, 2
+    """,
+    "agg_month": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid, CAST(extract(month FROM to_timestamp(m / 1000)) AS INT) AS month,
+               count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+               CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax,
+               avg(v) AS vavg
+        FROM b GROUP BY 1, 2
+    """,
+    "agg_minute": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid, CAST(extract(minute FROM to_timestamp(m / 1000)) AS INT) AS minute,
+               count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+               CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax,
+               avg(v) AS vavg
+        FROM b GROUP BY 1, 2
+    """,
+    "agg_am_pm": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid,
+               CAST(CASE WHEN extract(hour FROM to_timestamp(m / 1000)) >= 12
+                         THEN 1 ELSE 0 END AS INT) AS am_pm,
+               count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+               CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax,
+               avg(v) AS vavg
+        FROM b GROUP BY 1, 2
+    """,
+    "agg_second": """
+        WITH b AS (
+            SELECT CAST(user_id AS VARCHAR) AS sid,
+                   (epoch_ms(ts) // 15000) * 15000 AS m,
+                   count(*) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT sid, CAST(extract(second FROM to_timestamp(m / 1000)) AS INT) AS second,
                count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
                CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax,
                avg(v) AS vavg
@@ -452,15 +666,18 @@ ORACLES = {
         SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         FROM documents GROUP BY 1
     """,
-    "ngram_jaccard": """
-        WITH sh AS (
+    "ngram_jaccard": f"""
+        WITH sh0 AS (
             SELECT doc_id AS id, unnest(list_distinct([
                 array_to_string(words[i : i + 2], ' ')
                 FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
             ])) AS s
             FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words
                   FROM documents)
-        ), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        ), df AS (SELECT s, count(*) AS c FROM sh0 GROUP BY s),
+        sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN df USING (s)
+               WHERE c <= {NGRAM_MAX_DF}),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
         shared AS (
             SELECT a.id AS ida, b.id AS idb, count(*) AS shared
             FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
@@ -516,4 +733,163 @@ ORACLES = {
         FROM s
     """,
     "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "minhash_pairs": f"""
+        WITH shd AS ({_SHINGLES3_SQL}),
+        hs AS (
+            SELECT id, list_transform(sh, s -> {duck_h60('s')} % {P31}) AS hs
+            FROM shd
+        ),
+        sig AS (
+            SELECT id, [{_MH_SIG_SQL}] AS sig FROM hs
+        ),
+        bands AS (
+            SELECT id, j, array_to_string(list_transform(
+                sig[j * 4 + 1 : j * 4 + 4], v -> CAST(v AS VARCHAR)), ',') AS key
+            FROM sig CROSS JOIN generate_series(0, 15) t(j)
+        )
+        SELECT DISTINCT a.id AS ida, b.id AS idb
+        FROM bands a JOIN bands b
+          ON a.j = b.j AND a.key = b.key AND a.id < b.id
+    """,
+    "simhash_pairs": rf"""
+        WITH toks AS (
+            SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS w
+            FROM documents
+        ),
+        th AS (SELECT id, {duck_h60('w')} AS h FROM toks),
+        sums AS (SELECT id, {_SIMHASH_SUMS} FROM th GROUP BY id),
+        sig AS (SELECT id, ({_SIMHASH_SIG}) AS simhash FROM sums),
+        chunks AS (
+            SELECT id, simhash, j, (simhash >> (j * 15)) & 32767 AS key
+            FROM sig CROSS JOIN generate_series(0, 3) t(j)
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS ida, b.id AS idb,
+                   a.simhash AS ha, b.simhash AS hb
+            FROM chunks a JOIN chunks b
+              ON a.j = b.j AND a.key = b.key AND a.id < b.id
+        )
+        SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+    """,
+    "winnow_fingerprints": rf"""
+        WITH w0 AS (
+            SELECT doc_id AS id, string_split_regex(text, '\s+') AS words
+            FROM documents
+        ),
+        g1 AS (
+            SELECT id, CASE WHEN len(words) <= 5 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i : i + 4], ' ')
+                      FOR i IN range(1, len(words) - 5 + 2)] END AS grams
+            FROM w0
+        ),
+        g2 AS (
+            SELECT id, unnest([{{'pos': i - 1, 'gram': grams[i]}}
+                               FOR i IN generate_series(1, len(grams))]) AS e
+            FROM g1
+        ),
+        g AS (
+            SELECT id, CAST(e.pos AS INT) AS pos, {duck_h60('e.gram')} AS h
+            FROM g2
+        ),
+        sel AS (
+            SELECT id, pos,
+                   count(*) OVER (PARTITION BY id) AS ng,
+                   min({{'h': h, 'np': -pos}}) OVER (
+                       PARTITION BY id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+            FROM g
+        )
+        SELECT DISTINCT id, CAST(-(s).np AS INT) AS pos, (s).h AS fp
+        FROM sel WHERE pos <= greatest(ng - 4, 0)
+    """,
+    "embedding_dups": f"""
+        WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        sig AS (
+            SELECT id, v, {_duck_planes_sig('v', 4, 11, 64)} AS sig FROM e
+        ),
+        cand AS (
+            SELECT a.id AS ida, b.id AS idb, a.v AS va, b.v AS vb
+            FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id
+        )
+        SELECT ida, idb, {_duck_cosine('va', 'vb', 64)} AS cosine
+        FROM cand WHERE {_duck_cosine('va', 'vb', 64)} >= 0.4
+    """,
+    "ann_ivf": f"""
+        WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        sig AS (
+            SELECT id, v, {_duck_planes_sig('v', 4, 23, 64)} AS sig FROM e
+        ),
+        q AS (SELECT id AS qid, v AS qv, sig AS qsig FROM sig WHERE id < 20),
+        scored AS (
+            SELECT q.qid, s.id AS nid, {_duck_cosine('q.qv', 's.v', 64)} AS cosine
+            FROM q JOIN sig s ON q.qsig = s.sig AND q.qid != s.id
+        )
+        SELECT qid, nid, CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+        FROM scored QUALIFY rank <= 5
+    """,
+    "multimodal_features": """
+        WITH m AS (
+            SELECT CAST(r.range AS BIGINT) AS media_id,
+                   (['image', 'audio', 'video'])[CAST(r.range % 3 AS INT) + 1] AS kind,
+                   CAST((r.range * 97) % 60000 + 1000 AS INT) AS duration_ms,
+                   sha256(CAST(r.range AS VARCHAR)) AS hexpayload
+            FROM range(0, 256) r
+        )
+        SELECT media_id, kind,
+               CAST(CASE WHEN kind = 'video' THEN duration_ms // 1000
+                         ELSE 1 END AS INT) AS n_frames,
+               CAST((unicode(substr(hexpayload, 1, 1))
+                     + unicode(substr(hexpayload, 2, 1)) * 256
+                     + unicode(substr(hexpayload, 3, 1)) * 65536
+                     + unicode(substr(hexpayload, 4, 1)) * 16777216) % 1000
+                    AS FLOAT) AS f0
+        FROM m
+    """,
+    "rolling_fingerprint": """
+        SELECT doc_id AS id,
+               CASE WHEN len(text) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(text, ''),
+                                           c -> CAST(unicode(c) AS BIGINT))),
+                        (h, c) -> (h * 131 + c) % 1000000007)
+               END AS rfp
+        FROM documents
+    """,
+    "transcript_tiers": f"""
+        WITH tr AS (
+            SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+                   event_type || ' ' ||
+                   repeat(event_type || ' ', CAST(event_id % 5 AS INT) + 1) ||
+                   event_type AS text,
+                   ts
+            FROM events
+        ), series AS (
+            SELECT conv_id AS sid, (epoch_ms(ts) // {SI_MS}) * {SI_MS} AS ts_ms,
+                   count(*) AS turn_rate, sum(len(text) // 4) AS token_rate
+            FROM tr GROUP BY 1, 2
+        ), u AS (
+            SELECT sid, 'turn_rate' AS metric, ts_ms,
+                   CAST(turn_rate AS DOUBLE) AS v FROM series
+            UNION ALL
+            SELECT sid, 'token_rate', ts_ms, CAST(token_rate AS DOUBLE) FROM series
+        ), h AS (
+            SELECT sid, metric, (ts_ms // {HOUR_MS}) * {HOUR_MS} AS bucket_ts,
+                   count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+                   CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax
+            FROM u GROUP BY 1, 2, 3
+        ), spans AS (
+            SELECT sid, metric, min(bucket_ts) lo, max(bucket_ts) hi
+            FROM h GROUP BY 1, 2
+        ), allb AS (
+            SELECT sid, metric, unnest(range(lo, hi + 1, {HOUR_MS})) AS bucket_ts
+            FROM spans
+        )
+        SELECT a.sid, a.metric, a.bucket_ts, coalesce(h.cnt, 0) AS cnt,
+               h.vsum, h.vmin, h.vmax
+        FROM allb a LEFT JOIN h
+          ON a.sid = h.sid AND a.metric = h.metric AND a.bucket_ts = h.bucket_ts
+    """,
 }

@@ -4,10 +4,12 @@ Mirrors the reference's test pyramid (SURVEY.md §5): percentage-error edge
 cases (PercentageErrorTest.scala:20-66), model-type vectors
 (AbstractModelTypeTest.scala, PMC_MeanModelTypeTest2.scala), Gorilla
 bit-exactness, round-trip invariants (IngestionTest.scala:35-49), and golden
-segment streams generated by driving the reference's own Java model classes
-(tests/golden/*.csv, produced by a throwaway harness transcribing
-SegmentGenerator.java:152-304 — inputs + expected (start, end, mtid, length,
-model-bytes) rows).
+segment streams (tests/golden/*.csv) produced by COMPILING AND RUNNING the
+reference's own Java classes (SegmentGenerator, PMC_Mean/SwingFilter/
+FacebookGorilla/Uncompressed model types) via tools/goldengen/
+GoldenHarness.java — expected rows are (start, end, mtid, length,
+model-bytes) exactly as the JVM emitted them, so a pass here is a true
+differential bit-match against the reference implementation.
 """
 
 from __future__ import annotations

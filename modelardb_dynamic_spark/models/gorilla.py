@@ -37,6 +37,29 @@ def _ntz32(x: int) -> int:
     return (x & -x).bit_length() - 1
 
 
+def _xor_lz_tz(bits: np.ndarray) -> tuple[list, list, list]:
+    """Vectorized per-value xor with predecessor plus leading/trailing zero
+    counts (Integer.numberOfLeading/TrailingZeros semantics). log2 of an
+    exact uint32 (and of its isolated lowest set bit) floors exactly in
+    float64, so the counts are exact; zeros are masked out and their
+    lz/tz entries never read."""
+    if len(bits) < 2:
+        return [], [], []
+    if len(bits) <= 128:
+        # numpy per-call overhead beats the win on short segments
+        bl = bits.tolist()
+        xl = [(bl[i + 1] ^ bl[i]) for i in range(len(bl) - 1)]
+        lzs = [32 - x.bit_length() if x else 0 for x in xl]
+        tzs = [((x & -x).bit_length() - 1) if x else 0 for x in xl]
+        return xl, lzs, tzs
+    xors = bits[1:] ^ bits[:-1]
+    safe = np.where(xors != 0, xors, 1)
+    lzs = (31 - np.floor(np.log2(safe)).astype(np.int64)).tolist()
+    low = safe & (~safe + np.uint32(1))
+    tzs = np.floor(np.log2(low)).astype(np.int64).tolist()
+    return xors.tolist(), lzs, tzs
+
+
 def gorilla_encode(values: np.ndarray) -> tuple[bytes, int]:
     """Encode float32 values; returns (stream bytes, size in bytes).
 
@@ -44,22 +67,19 @@ def gorilla_encode(values: np.ndarray) -> tuple[bytes, int]:
     byte counts as one byte).
     """
     v = np.ascontiguousarray(values, dtype=np.float32)
-    bits = v.view(np.uint32).tolist()
-    acc = bits[0]
+    bits_np = v.view(np.uint32)
+    acc = int(bits_np[0])
     nbits = 32
-    last = bits[0]
     stored_lz = 1 << 30  # sentinel: Integer.MAX_VALUE semantics
     stored_tz = 0
-    for cur in bits[1:]:
-        xor = (cur ^ last) & _MASK32
+    xl, lzs, tzs = _xor_lz_tz(bits_np)
+    for i, xor in enumerate(xl):
         if xor == 0:
             acc <<= 1
             nbits += 1
         else:
-            lz = _nlz32(xor)
-            if lz >= 32:  # unreachable for xor != 0, kept for parity
-                lz = 31
-            tz = _ntz32(xor)
+            lz = lzs[i]
+            tz = tzs[i]
             if lz >= stored_lz and tz >= stored_tz:
                 sig = 32 - stored_lz - stored_tz
                 acc = (acc << 2) | 0b10
@@ -74,7 +94,6 @@ def gorilla_encode(values: np.ndarray) -> tuple[bytes, int]:
                 nbits += 13 + sig
                 stored_lz = lz
                 stored_tz = tz
-        last = cur
     pad = (-nbits) % 8
     acc <<= pad
     total_bytes = (nbits + pad) // 8
@@ -87,16 +106,16 @@ def gorilla_size_bytes(values: np.ndarray) -> int:
     bits = v.view(np.uint32)
     if len(bits) == 1:
         return 4
-    xors = (bits[1:] ^ bits[:-1]).tolist()
+    xl, lzs, tzs = _xor_lz_tz(bits)
     nbits = 32
     stored_lz = 1 << 30
     stored_tz = 0
-    for xor in xors:
+    for i, xor in enumerate(xl):
         if xor == 0:
             nbits += 1
         else:
-            lz = _nlz32(xor)
-            tz = _ntz32(xor)
+            lz = lzs[i]
+            tz = tzs[i]
             if lz >= stored_lz and tz >= stored_tz:
                 nbits += 2 + (32 - stored_lz - stored_tz)
             else:

@@ -73,6 +73,23 @@ def pmc_prefix(v: np.ndarray, error_bound: float) -> tuple[int, float]:
     check — matching PMC_MeanModelType.java:48-75 op for op.
     """
     n = len(v)
+    if n and error_bound == 0.0 and v[0] != 0 and not np.isnan(v[0]):
+        # eb=0 fast path: a prefix passes iff min == max == f32 mean, i.e.
+        # all values bit-equal (±0 mixes excluded above); the fail point
+        # and mean the general walk would produce are exactly the run end
+        # and the shared value. Chunked so short runs don't scan the whole
+        # remaining buffer (callers hand us everything left).
+        v0 = v[0]
+        p = 0
+        chunk = 64
+        while p < n:
+            end = min(n, p + chunk)
+            eq = v[p:end] == v0
+            if not eq.all():
+                return p + int(np.argmin(eq)), float(v0)
+            p = end
+            chunk *= 4
+        return n, float(v0)
     base_sum = 0.0
     carry_min = np.float32(np.inf)
     carry_max = np.float32(-np.inf)
@@ -122,41 +139,57 @@ def swing_prefix(
     if n == 1:
         return 1, None
     ebdiv = float(np.float32(error_bound)) / 100.1
-    # convert lazily in geometrically growing chunks: callers hand us the
-    # whole remaining buffer, but the accepted prefix is usually short, so
-    # an eager full tolist() makes segmentation O(n^2) per series
-    chunk = 256
-    hi = min(n, chunk)
-    tl = t[:hi].tolist()
-    vl = v[:hi].astype(np.float64).tolist()
-    t1, v1 = tl[1], vl[1]
+    t1 = int(t[1])
+    v1 = float(np.float64(v[1]))
     dev = abs(v1 * ebdiv)
     ua = (v1 + dev - y0) / (t1 - t0)
     ub = y0 - ua * t0
     la = (v1 - dev - y0) / (t1 - t0)
     lb = y0 - la * t0
+    # Scalar/vector hybrid. A point is a no-op (neither fails nor tightens
+    # a bound) iff uba - dev <= vi <= lba + dev; once the bounds converge,
+    # nearly every point is a no-op, so long quiet runs are cleared with a
+    # single vectorized mask (the action mask (vi < uba-dev)|(vi > lba+dev)
+    # is the EXACT complement — a fail implies it because uba >= lba at
+    # every step). Dense-update phases (noise, where swing fails within a
+    # few points anyway) run a plain scalar stretch first so numpy per-call
+    # overhead never dominates. Every executed update/fail runs the
+    # identical scalar float64 ops in the same order, so results stay
+    # bit-identical to the sequential Java recurrence.
     i = 2
     while i < n:
-        if i >= hi:
-            new_hi = min(n, hi + chunk)
-            tl.extend(t[hi:new_hi].tolist())
-            vl.extend(v[hi:new_hi].astype(np.float64).tolist())
-            hi = new_hi
-            chunk *= 4
-        ti = tl[i]
-        vi = vl[i]
-        dev = abs(vi * ebdiv)
-        uba = ua * ti + ub
-        lba = la * ti + lb
-        if uba + dev < vi or lba - dev > vi:
-            return i, (ua, ub, la, lb)
-        if uba - dev > vi:
-            ua = (vi + dev - y0) / (ti - t0)
-            ub = y0 - ua * t0
-        if lba + dev < vi:
-            la = (vi - dev - y0) / (ti - t0)
-            lb = y0 - la * t0
-        i += 1
+        # scalar stretch: handles dense updates at Python-loop speed
+        end_s = min(n, i + 64)
+        tl = t[i:end_s].tolist()
+        vl = v[i:end_s].astype(np.float64).tolist()
+        for kk in range(len(tl)):
+            ti = tl[kk]
+            vi = vl[kk]
+            dev = abs(vi * ebdiv)
+            uba = ua * ti + ub
+            lba = la * ti + lb
+            if uba + dev < vi or lba - dev > vi:
+                return i + kk, (ua, ub, la, lb)
+            if uba - dev > vi:
+                ua = (vi + dev - y0) / (ti - t0)
+                ub = y0 - ua * t0
+            if lba + dev < vi:
+                la = (vi - dev - y0) / (ti - t0)
+                lb = y0 - la * t0
+        i = end_s
+        # vector mode: clear whole chunks while no point needs an update
+        chunk = 256
+        while i < n:
+            hi = min(n, i + chunk)
+            tc = t[i:hi].astype(np.float64)
+            vc = v[i:hi].astype(np.float64)
+            devc = np.abs(vc * ebdiv)
+            action = (vc < ua * tc + ub - devc) | (vc > la * tc + lb + devc)
+            if action.any():
+                i += int(action.argmax())  # resume scalar AT the action
+                break
+            i = hi
+            chunk = min(chunk * 4, 1 << 16)
     return n, (ua, ub, la, lb)
 
 

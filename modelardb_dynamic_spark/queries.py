@@ -412,6 +412,48 @@ def q_transcript_tiers(spark, sf_dir):
     )
 
 
+def q_grouped_tiers(spark, sf_dir):
+    """End-to-end grouped compression under the value-level oracle: each
+    user's event-count series is paired with an exact duplicate in a
+    2-member group, compressed with the dynamic split/join engine at error
+    bound 0 (every model is exact there, and the reference itself splits
+    identical members at eb=0 — 0 < 0 fails withinErrorBound — so this
+    also exercises split paths), reconstructed, and rolled up hourly. The
+    oracle recomputes the same tiers from raw rows."""
+    from modelardb_dynamic_spark.operators.grouped import (
+        compress_grouped,
+        grouped_datapoints,
+    )
+    from modelardb_dynamic_spark.sources.timeseries import event_series
+
+    ev = event_series(_t(spark, sf_dir, "events"), SI_MS)
+    dup = ev.withColumn("sid", F.concat(F.lit("d"), F.col("sid")))
+    series = ev.unionByName(dup)
+    groups = (
+        series.select("sid", "metric")
+        .distinct()
+        .withColumn(
+            "gid",
+            F.xxhash64(F.regexp_replace("sid", "^d", ""), F.col("metric")),
+        )
+    )
+    segs = compress_grouped(series, groups, CFG0)
+    pts = grouped_datapoints(segs)
+    hourly = (
+        pts.withColumn(
+            "bucket_ts", (F.floor(F.col("ts_ms") / HOUR_MS) * HOUR_MS).cast("long")
+        )
+        .groupBy("sid", "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("double")).alias("vsum"),
+            F.min("value").cast("double").alias("vmin"),
+            F.max("value").cast("double").alias("vmax"),
+        )
+    )
+    return hourly
+
+
 QUERIES = {
     "seg_count_s": q_seg_count_s,
     "seg_agg_s": q_seg_agg_s,
@@ -444,6 +486,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "multimodal_features": q_multimodal_features,
     "transcript_tiers": q_transcript_tiers,
+    "grouped_tiers": q_grouped_tiers,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -857,6 +900,18 @@ ORACLES = {
                         (h, c) -> (h * 131 + c) % 1000000007)
                END AS rfp
         FROM documents
+    """,
+    "grouped_tiers": f"""
+        WITH b AS ({_MINUTE_BUCKETS}),
+        u AS (
+            SELECT sid, m, v FROM b
+            UNION ALL
+            SELECT 'd' || sid, m, v FROM b
+        )
+        SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS bucket_ts,
+               count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+               CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax
+        FROM u GROUP BY 1, 2
     """,
     "transcript_tiers": f"""
         WITH tr AS (

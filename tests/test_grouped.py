@@ -57,3 +57,117 @@ def test_grouped_segments_bit_match_java(name):
         for s in segs
     ]
     assert got == expected
+
+
+# --- Spark operator layer ----------------------------------------------------
+
+
+def _correlated_series(spark):
+    """8 series in two correlation clusters + 1 outlier, on a 100ms grid."""
+    import pandas as pd
+
+    rows = []
+    t = np.arange(0, 600) * SI + 1000
+    base_a = np.where(np.arange(600) % 120 < 60, 100.0, 60.0)
+    base_b = 10.0 + np.arange(600) * 0.05
+    rng = np.random.default_rng(3)
+    for k in range(4):
+        v = (base_a * (1.0 + 0.002 * k)).astype(np.float32)
+        rows.append(pd.DataFrame({"sid": f"a{k}", "metric": "m", "ts_ms": t, "value": v}))
+    for k in range(4):
+        v = (base_b * (1.0 + 0.002 * k)).astype(np.float32)
+        rows.append(pd.DataFrame({"sid": f"b{k}", "metric": "m", "ts_ms": t, "value": v}))
+    rows.append(
+        pd.DataFrame(
+            {"sid": "z", "metric": "m", "ts_ms": t,
+             "value": rng.normal(1000, 300, 600).astype(np.float32)}
+        )
+    )
+    return spark.createDataFrame(pd.concat(rows))
+
+
+def test_correlation_groups_cluster_by_value(spark):
+    from modelardb_dynamic_spark.operators.grouped import correlation_groups
+
+    series = _correlated_series(spark)
+    groups = correlation_groups(series, CFG).collect()
+    gid_of = {r["sid"]: r["gid"] for r in groups}
+    assert len({gid_of[f"a{k}"] for k in range(4)}) == 1
+    assert len({gid_of[f"b{k}"] for k in range(4)}) == 1
+    assert gid_of["z"] not in {gid_of["a0"], gid_of["b0"]}
+
+
+def test_grouped_roundtrip_within_bound_and_ratio_wins(spark):
+    from modelardb_dynamic_spark.models.error import percentage_error
+    from modelardb_dynamic_spark.operators.compress import (
+        compress,
+        compression_stats,
+    )
+    from modelardb_dynamic_spark.operators.grouped import (
+        compress_grouped,
+        correlation_groups,
+        grouped_compression_stats,
+        grouped_datapoints,
+    )
+
+    series = _correlated_series(spark)
+    groups = correlation_groups(series, CFG)
+    segs = compress_grouped(series, groups, CFG).cache()
+    # every reconstructed value within the 10% bound of the original
+    rec = grouped_datapoints(segs)
+    joined = (
+        series.withColumnRenamed("value", "orig")
+        .join(rec, ["sid", "metric", "ts_ms"], "inner")
+        .collect()
+    )
+    assert len(joined) == 600 * 9
+    for r in joined:
+        assert percentage_error(r["value"], r["orig"]) <= 10.0 + 1e-9
+    # grouped ratio beats per-series compression on the CORRELATED series
+    # (report Table 4.5: grouped 58.5x vs ungrouped 38.8x on REDD); the
+    # uncorrelated noise outlier z lands alone in its own group and
+    # compresses identically either way, so compare without it
+    from pyspark.sql import functions as F
+
+    corr_segs = segs.where(~F.array_contains("members", "z"))
+    g_ratio = grouped_compression_stats(corr_segs).collect()[0][
+        "compression_ratio"
+    ]
+    solo = compress(series.where(F.col("sid") != "z"), CFG)
+    s_ratio = compression_stats(solo).collect()[0]["compression_ratio"]
+    assert g_ratio > s_ratio * 2.5, (g_ratio, s_ratio)
+
+
+def test_grouped_identical_series_share_models(spark):
+    """Identical series at a small error bound share every segment and
+    reconstruct exactly. (At eb=0 the REFERENCE ITSELF splits identical
+    series, because withinErrorBound demands error < bound and 0 < 0 is
+    false — verified by running GroupHarness at eb 0 — so the grouped win
+    requires a non-zero bound, as in the report's experiments.)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from modelardb_dynamic_spark.operators.grouped import (
+        compress_grouped,
+        grouped_datapoints,
+    )
+
+    t = np.arange(0, 240) * SI + 1000
+    v = np.where(np.arange(240) % 48 < 24, 7.0, 3.0).astype(np.float32)
+    rows = [
+        pd.DataFrame({"sid": f"s{k}", "metric": "m", "ts_ms": t, "value": v})
+        for k in range(3)
+    ]
+    series = spark.createDataFrame(pd.concat(rows))
+    groups = spark.createDataFrame(
+        pd.DataFrame({"sid": [f"s{k}" for k in range(3)], "metric": "m", "gid": 1})
+    )
+    cfg1 = EngineConfig(error_bound=1.0, length_bound=50, sampling_interval_ms=SI)
+    segs = compress_grouped(series, groups, cfg1).cache()
+    assert segs.where(F.size("members") == 3).count() == segs.count()
+    rec = grouped_datapoints(segs)
+    back = {(r["sid"], r["ts_ms"]): r["value"] for r in rec.collect()}
+    for k in range(3):
+        for i, ts in enumerate(t):
+            # PMC mean of identical values IS the value: exact roundtrip
+            assert back[(f"s{k}", int(ts))] == v[i]

@@ -120,6 +120,9 @@ def bench_pipeline(
 
 
 def main() -> None:
+    # bench opt-in: tmpfs shuffle dir (the sandbox /tmp is a slow virtual
+    # disk; see session.build_session for the safety gate)
+    os.environ.setdefault("MDBS_TMPFS_LOCAL_DIR", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     spark = build_session("bench")

@@ -261,8 +261,14 @@ def compress_transcripts(
     df = transcripts.select(
         F.col("conv_id").alias("sid"),
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
-        F.floor(F.length("text") / 4).cast("long").alias("tokens"),
-    )
+        # null text counts as zero tokens; null ts rows are dropped below —
+        # the Arrow kernel's int64 casts would otherwise turn NaN into
+        # undefined values, diverging from the unfused path where F.sum
+        # skips nulls
+        F.coalesce(F.floor(F.length("text") / 4).cast("long"), F.lit(0)).alias(
+            "tokens"
+        ),
+    ).where(F.col("ts_ms").isNotNull())
     hash_keys = ["sid"]
     keys = ["sid"]
     if salt_span_points:

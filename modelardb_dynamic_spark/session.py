@@ -42,13 +42,24 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
-    # shuffle files / spills on tmpfs when available: the sandbox's /tmp is
-    # a virtual disk with noisy latency (on a real cluster this is fast
-    # local NVMe, configured by the cluster manager)
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/spark-local"
-        os.makedirs(local_dir, exist_ok=True)
-        builder = builder.config("spark.local.dir", local_dir)
+    # shuffle files / spills on tmpfs: opt-in via MDBS_TMPFS_LOCAL_DIR=1
+    # (the bench sets it; a RAM-backed local dir can exhaust memory on a
+    # host with large spills, so it is never applied implicitly) and only
+    # when /dev/shm has headroom
+    if (
+        os.environ.get("MDBS_TMPFS_LOCAL_DIR") == "1"
+        and os.path.isdir("/dev/shm")
+        and os.access("/dev/shm", os.W_OK)
+    ):
+        try:
+            st = os.statvfs("/dev/shm")
+            free_gb = st.f_bavail * st.f_frsize / (1 << 30)
+        except OSError:
+            free_gb = 0.0
+        if free_gb >= 8.0:
+            local_dir = "/dev/shm/spark-local"
+            os.makedirs(local_dir, exist_ok=True)
+            builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -126,10 +126,12 @@ def series_stream_from_socket(
     metric: str = "value",
     separator: str = ",",
     scaling_factor: float = 1.0,
+    ts_format: str = "java",
 ) -> DataFrame:
     """Unbounded socket source of 'ts,value' CSV lines
     (AsyncTimeSeriesSocket parity) as a STREAMING DataFrame; feed it to
-    streaming.ingest.segment_stream."""
+    streaming.ingest.segment_stream. Lines carry epoch-millis timestamps
+    by default ('java'); pass 'unix' for epoch seconds or a pattern."""
     lines = (
         spark.readStream.format("socket")
         .option("host", host)
@@ -140,7 +142,7 @@ def series_stream_from_socket(
     df = lines.select(
         parts.getItem(0).alias("ts"), parts.getItem(1).alias("raw_value")
     )
-    return _normalize(df, sid, "ts", "raw_value", metric, None, scaling_factor)
+    return _normalize(df, sid, "ts", "raw_value", metric, ts_format, scaling_factor)
 
 
 def series_from_table(

@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+os.environ.setdefault("MDBS_TMPFS_LOCAL_DIR", "1")
 import subprocess
 import sys
 

@@ -26,6 +26,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--segments", required=True, help="segment table parquet path")
     ap.add_argument("--port", type=int, default=9999)
+    ap.add_argument(
+        "--host",
+        default="127.0.0.1",
+        help="bind address; the endpoint executes Spark SQL, so expose "
+        "beyond localhost (e.g. 0.0.0.0) only deliberately",
+    )
     ap.add_argument("--error-bound", type=float, default=10.0)
     ap.add_argument("--sampling-interval-ms", type=int, default=60_000)
     args = ap.parse_args()
@@ -70,8 +76,8 @@ def main() -> None:
         def log_message(self, *a):  # quiet
             pass
 
-    print(f"listening on :{args.port}", flush=True)
-    HTTPServer(("0.0.0.0", args.port), Handler).serve_forever()
+    print(f"listening on {args.host}:{args.port}", flush=True)
+    HTTPServer((args.host, args.port), Handler).serve_forever()
 
 
 if __name__ == "__main__":

@@ -193,17 +193,37 @@ def downsample(tier: DataFrame, bucket_ms: int) -> DataFrame:
     )
 
 
-def gap_fill(tier: DataFrame, bucket_ms: int) -> DataFrame:
+def gap_fill(
+    tier: DataFrame, bucket_ms: int, chunk_buckets: int = 8192
+) -> DataFrame:
     """Materialize missing buckets per (sid, metric) over
-    [min_bucket, max_bucket] with cnt = 0 and NULL value aggregates."""
+    [min_bucket, max_bucket] with cnt = 0 and NULL value aggregates.
+
+    Two-level explode: chunk starts first, then at most chunk_buckets
+    timestamps per chunk — a decade-long series at 1 m buckets (5.3 M
+    buckets) never materializes one giant array in a single row, which a
+    flat sequence(lo, hi) would (that row is an executor OOM at scale)."""
     spans = tier.groupBy("sid", "metric").agg(
         F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
     )
-    all_buckets = spans.select(
+    span_ms = int(bucket_ms) * int(chunk_buckets)
+    chunks = spans.select(
+        "sid",
+        "metric",
+        F.col("hi"),
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(span_ms))
+        ).alias("cstart"),
+    )
+    all_buckets = chunks.select(
         "sid",
         "metric",
         F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.lit(int(bucket_ms)))
+            F.sequence(
+                F.col("cstart"),
+                F.least(F.col("cstart") + (span_ms - int(bucket_ms)), F.col("hi")),
+                F.lit(int(bucket_ms)),
+            )
         ).alias("bucket_ts"),
     )
     return (

@@ -118,3 +118,36 @@ def test_table_reader_matches_event_series_shape(spark, tmp_path):
     out = readers.series_from_table(ev, "user_id", "ts_ms", "v", metric="m")
     assert out.columns == ["sid", "metric", "ts_ms", "value"]
     assert out.count() == 2
+
+
+def test_gap_fill_long_span_chunked(spark):
+    """Multi-year span at 1m buckets: the chunked two-level explode fills
+    every bucket without a single giant per-row array."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from modelardb_dynamic_spark.operators.rollup import gap_fill
+
+    bucket = 60_000
+    lo = 1_700_000_000_000 - (1_700_000_000_000 % bucket)
+    hi = lo + 3 * 365 * 86_400_000  # 3 years -> ~1.58M minute buckets
+    tier = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sid": ["s"] * 2,
+                "metric": ["m"] * 2,
+                "bucket_ts": [lo, hi],
+                "cnt": [3, 4],
+                "vsum": [1.0, 2.0],
+                "vmin": [1.0, 2.0],
+                "vmax": [1.0, 2.0],
+            }
+        )
+    )
+    filled = gap_fill(tier, bucket, chunk_buckets=4096)
+    n = filled.count()
+    assert n == (hi - lo) // bucket + 1
+    assert filled.where(F.col("cnt") == 0).count() == n - 2
+    # spot-check boundaries survived the chunking
+    row = filled.where(F.col("bucket_ts") == hi).collect()[0]
+    assert row["cnt"] == 4 and row["vsum"] == 2.0

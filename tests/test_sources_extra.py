@@ -172,3 +172,18 @@ def test_http_interface_roundtrip(spark, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_iceberg_wiring_degrades_gracefully(spark):
+    """No Iceberg jar in this sandbox: conf builder emits the documented
+    catalog settings; create_warehouse refuses with a pointer to the
+    parquet catalog instead of failing obscurely."""
+    from modelardb_dynamic_spark.sources import iceberg
+
+    conf = iceberg.iceberg_conf("/tmp/wh", catalog="c1")
+    assert conf["spark.sql.catalog.c1.type"] == "hadoop"
+    assert conf["spark.sql.catalog.c1.warehouse"] == "/tmp/wh"
+    assert "iceberg-spark-runtime" in conf["spark.jars.packages"]
+    assert iceberg.iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        iceberg.create_warehouse(spark)

@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",
+    "rolling_fingerprint",
+    "embedding_dups",
     "ann_topk",
     "ann_ivf",
 ]

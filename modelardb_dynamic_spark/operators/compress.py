@@ -39,7 +39,7 @@ from collections.abc import Iterator
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from modelardb_dynamic_spark.config import EngineConfig
@@ -201,13 +201,40 @@ def compress(
     cfg: EngineConfig,
     salt_span_points: int | None = None,
     num_partitions: int | None = None,
+    enforce_grid: bool = False,
 ) -> DataFrame:
     """series (sid, metric, ts_ms, value) -> segment DataFrame.
+
+    INPUT CONTRACT: timestamps lie on the cfg.sampling_interval_ms grid and
+    are unique per (sid, metric) — the series builders
+    (sources/timeseries.py) guarantee this by construction (groupBy
+    bucket). For raw/unvetted inputs pass enforce_grid=True: off-grid
+    timestamps snap DOWN to the grid and duplicate timestamps keep the
+    first arrival — the SAME normalization the streaming path applies
+    (streaming/ingest.py dedup), so batch and streaming diverge
+    identically or not at all.
 
     salt_span_points: split each series into ranges of that many sampling
     intervals so hot series parallelize (flush-at-boundary semantics above).
     """
     df = series
+    if enforce_grid:
+        si = int(cfg.sampling_interval_ms)
+        df = (
+            df.withColumn(
+                "ts_ms", (F.floor(F.col("ts_ms") / si) * si).cast("long")
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("sid", "metric", "ts_ms").orderBy(
+                        F.monotonically_increasing_id()
+                    )
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     hash_keys = ["sid"]
     if salt_span_points:
         span_ms = salt_span_points * cfg.sampling_interval_ms

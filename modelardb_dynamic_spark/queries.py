@@ -33,7 +33,16 @@ RANGE_HI = 1_705_017_600_000
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load a testdata table, spreading single-row-group files across the
+    cluster: a small parquet file is ONE input split no matter what
+    maxPartitionBytes says (splits are row-group-granular), which would pin
+    every downstream operator to a single task. At real scale inputs have
+    many splits and this is a no-op."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def _event_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

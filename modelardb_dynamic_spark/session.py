@@ -39,6 +39,10 @@ def build_session(
         # 32 MB splits: keep scan parallelism >= core count even when the
         # input has few large files
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # wide aggregates (64 MinHash permutation mins, 60 SimHash bit
+        # sums) exceed the default 100-field codegen cutoff, which silently
+        # drops the whole stage to interpreted mode (~6x slower measured)
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )

@@ -152,14 +152,20 @@ def test_http_interface_roundtrip(spark, tmp_path):
         assert "listening" in line, "server never came up"
 
         def post(sql: str) -> dict:
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{port}", data=sql.encode()
-            )
-            try:
-                with urllib.request.urlopen(req, timeout=60) as resp:
-                    return json.loads(resp.read())
-            except urllib.error.HTTPError as e:
-                return json.loads(e.read())
+            last: Exception | None = None
+            for _ in range(5):  # the subprocess JVM can be slow under load
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}", data=sql.encode()
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=120) as resp:
+                        return json.loads(resp.read())
+                except urllib.error.HTTPError as e:
+                    return json.loads(e.read())
+                except (urllib.error.URLError, TimeoutError, OSError) as e:
+                    last = e
+                    time.sleep(5)
+            raise last
 
         body = post("SELECT COUNT_S(#) AS pts FROM Segment")
         assert body["rows"] == [{"pts": 200}]

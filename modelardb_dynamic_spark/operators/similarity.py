@@ -127,15 +127,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    n_probe_flips: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-quadrant bucketing (2^n_planes cells),
-    exact cosine re-rank within the query's cell. The scale path: the
-    pairwise work shrinks by the cell count at some recall cost."""
+    """Approximate top-k: hyperplane-quadrant bucketing (2^n_planes cells)
+    with MULTI-PROBE — each query scans its own cell plus every cell
+    reachable by flipping up to n_probe_flips sign bits (the neighbors a
+    near-boundary vector most likely fell into), then exact cosine
+    re-rank. Single-probe has a recall cliff for vectors near a hyperplane;
+    probing the 1-flip neighborhood reads (1 + n_planes) cells out of 2^n
+    and recovers most of it at a bounded cost multiplier."""
     sig = hyperplane_signature(corpus, id_col, vec_col, n_planes, seed=23, dim=dim).cache()
     q = sig.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"), F.col("vec").alias("qvec"), F.col("sig").alias("qsig")
     )
-    cand = q.join(sig, F.col("qsig") == F.col("sig")).where(
+    probes = [F.col("qsig")]
+    if n_probe_flips >= 1:
+        probes += [
+            F.col("qsig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
+        ]
+    q = q.withColumn("psig", F.explode(F.array(*probes)))
+    cand = q.join(sig, F.col("psig") == F.col("sig")).where(
         F.col("qid") != F.col("id")
     )
     scored = cand.withColumn(

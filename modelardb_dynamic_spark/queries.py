@@ -873,9 +873,15 @@ ORACLES = {
             SELECT id, v, {_duck_planes_sig('v', 4, 23, 64)} AS sig FROM e
         ),
         q AS (SELECT id AS qid, v AS qv, sig AS qsig FROM sig WHERE id < 20),
+        probes AS (
+            SELECT qid, qv, unnest(
+                [qsig] || [xor(qsig, CAST(1 << j AS BIGINT)) FOR j IN range(0, 4)]
+            ) AS psig
+            FROM q
+        ),
         scored AS (
-            SELECT q.qid, s.id AS nid, {_duck_cosine('q.qv', 's.v', 64)} AS cosine
-            FROM q JOIN sig s ON q.qsig = s.sig AND q.qid != s.id
+            SELECT p.qid, s.id AS nid, {_duck_cosine('p.qv', 's.v', 64)} AS cosine
+            FROM probes p JOIN sig s ON p.psig = s.sig AND p.qid != s.id
         )
         SELECT qid, nid, CAST(row_number() OVER (
                    PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank

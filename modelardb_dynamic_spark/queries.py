@@ -33,15 +33,19 @@ RANGE_HI = 1_705_017_600_000
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a testdata table, spreading single-row-group files across the
-    cluster: a small parquet file is ONE input split no matter what
-    maxPartitionBytes says (splits are row-group-granular), which would pin
-    every downstream operator to a single task. At real scale inputs have
+    """Load a testdata table. The text/vector tables are spread across the
+    cluster when the file has fewer row groups than cores: a small parquet
+    file is ONE input split no matter what maxPartitionBytes says (splits
+    are row-group-granular), which would pin the CPU-heavy hash/signature
+    operators to a single task (measured 12s -> 4s on minhash at sf0.1).
+    Row-light tables skip it — their first groupBy redistributes anyway,
+    so an upfront exchange is pure overhead. At real scale inputs have
     many splits and this is a no-op."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    if name in ("documents", "embeddings"):
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 

@@ -185,6 +185,10 @@ def rollup(segments: DataFrame, bucket_ms: int) -> DataFrame:
     partials = segments.select(
         "sid", "metric", "start_ts", "end_ts", "si", "mtid", "model"
     ).mapInArrow(map_fn, schema=TIER_SCHEMA + ", excl boolean")
+    # materialize once: the interior/boundary branches would otherwise each
+    # re-execute the whole upstream pipeline (compress + decode), which
+    # costs more than storing the compact partial rows
+    partials = partials.localCheckpoint(eager=False)
     interior = partials.where(F.col("excl")).drop("excl")
     boundary = (
         partials.where(~F.col("excl"))

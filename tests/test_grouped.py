@@ -171,3 +171,58 @@ def test_grouped_identical_series_share_models(spark):
         for i, ts in enumerate(t):
             # PMC mean of identical values IS the value: exact roundtrip
             assert back[(f"s{k}", int(ts))] == v[i]
+
+
+def test_grouped_to_segments_full_query_surface(spark):
+    """The adapter output feeds the UNCHANGED single-series operators:
+    datapoint_view reconstruction equals grouped_datapoints, and a tier
+    rollup over the converted table matches the raw per-minute truth."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from modelardb_dynamic_spark.operators.grouped import (
+        compress_grouped,
+        grouped_datapoints,
+        grouped_to_segments,
+    )
+    from modelardb_dynamic_spark.operators.reconstruct import datapoint_view
+    from modelardb_dynamic_spark.operators.rollup import rollup
+
+    rng = np.random.default_rng(11)
+    t = np.arange(0, 480) * SI + 1000
+    base = np.where(np.arange(480) % 96 < 48, 20.0, 60.0)
+    rows = []
+    for k in range(3):
+        v = (base * (1 + 0.002 * k)).astype(np.float32)
+        if k == 2:  # push one member into Gorilla territory mid-stream
+            v[200:280] += rng.normal(0, 30, 80).astype(np.float32)
+        rows.append(
+            pd.DataFrame({"sid": f"s{k}", "metric": "m", "ts_ms": t, "value": v})
+        )
+    series = spark.createDataFrame(pd.concat(rows))
+    groups = spark.createDataFrame(
+        pd.DataFrame({"sid": [f"s{k}" for k in range(3)], "metric": "m", "gid": 1})
+    )
+    gsegs = compress_grouped(series, groups, CFG).cache()
+    segs = grouped_to_segments(gsegs).cache()
+    assert segs.count() == gsegs.select(
+        F.explode("members")
+    ).count()
+
+    # reconstruction parity: standard datapoint_view == grouped_datapoints
+    via_std = {
+        (r["sid"], r["ts_ms"]): r["value"]
+        for r in datapoint_view(segs).collect()
+    }
+    via_grp = {
+        (r["sid"], r["ts_ms"]): r["value"]
+        for r in grouped_datapoints(gsegs).collect()
+    }
+    assert via_std == via_grp and len(via_std) == 3 * 480
+
+    # tier rollup over converted segments: per-sid point counts exact
+    tier = rollup(segs, SI * 60)
+    per_sid: dict[str, int] = {}
+    for r in tier.collect():
+        per_sid[r["sid"]] = per_sid.get(r["sid"], 0) + r["cnt"]
+    assert per_sid == {f"s{k}": 480 for k in range(3)}

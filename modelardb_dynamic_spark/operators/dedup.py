@@ -319,26 +319,41 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 16,
     dim: int | None = None,
+    n_probe_flips: int = 1,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold, bucketed by random
-    hyperplane signatures (deterministic seed) so only same-signature
-    vectors are compared exactly."""
+    hyperplane signatures (deterministic seed) so only candidate pairs are
+    compared exactly. MULTI-PROBE: with n_probe_flips=1, pairs whose
+    signatures differ in at most one bit also become candidates — a
+    near-duplicate pair straddling one hyperplane (the single-probe recall
+    cliff) still meets. One side emits only its home signature; the other
+    emits home plus every 1-bit flip, so the candidate volume grows by
+    (1 + n_planes)x on one side only, never quadratically."""
     from modelardb_dynamic_spark.operators.similarity import hyperplane_signature
 
     sig = _materialize(
         hyperplane_signature(embeddings, id_col, vec_col, n_planes, seed=11, dim=dim)
     )
+    probes = [F.col("sig")]
+    if n_probe_flips >= 1:
+        probes += [
+            F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
+        ]
+    b_probed = sig.withColumn("psig", F.explode(F.array(*probes)))
     a = sig.alias("a")
-    b = sig.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("ida"),
-        F.col("b.id").alias("idb"),
-        F.col("a.vec").alias("va"),
-        F.col("b.vec").alias("vb"),
-    )
+    b = b_probed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.psig")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("ida"),
+            F.col("b.id").alias("idb"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+    )  # each pair matches exactly one probe (home XOR one distinct flip)
     from modelardb_dynamic_spark.operators.similarity import dot_fold, norm_fold
 
     return (

@@ -864,9 +864,15 @@ ORACLES = {
         sig AS (
             SELECT id, v, {_duck_planes_sig('v', 4, 11, 64)} AS sig FROM e
         ),
+        probed AS (
+            SELECT id, v, unnest(
+                [sig] || [xor(sig, CAST(1 << j AS BIGINT)) FOR j IN range(0, 4)]
+            ) AS psig
+            FROM sig
+        ),
         cand AS (
             SELECT a.id AS ida, b.id AS idb, a.v AS va, b.v AS vb
-            FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id
+            FROM sig a JOIN probed b ON a.sig = b.psig AND a.id < b.id
         )
         SELECT ida, idb, {_duck_cosine('va', 'vb', 64)} AS cosine
         FROM cand WHERE {_duck_cosine('va', 'vb', 64)} >= 0.4

@@ -45,7 +45,11 @@ def _load_case(name: str):
     return all_ts, V, expected
 
 
-CASES = sorted(p.stem.split(".")[0] for p in GOLDEN.glob("*.segments.csv"))
+CASES = sorted(
+    p.stem.split(".")[0]
+    for p in GOLDEN.glob("*.segments.csv")
+    if ".lat" not in p.name
+)
 
 
 @pytest.mark.parametrize("name", CASES)
@@ -226,3 +230,28 @@ def test_grouped_to_segments_full_query_surface(spark):
     for r in tier.collect():
         per_sid[r["sid"]] = per_sid.get(r["sid"], 0) + r["cnt"]
     assert per_sid == {f"s{k}": 480 for k in range(3)}
+
+
+LAT_CASES = sorted(
+    p.stem.split(".")[0] for p in GOLDEN.glob("*.lat40.segments.csv")
+)
+
+
+@pytest.mark.parametrize("name", LAT_CASES)
+def test_grouped_temporary_segments_bit_match_java(name):
+    """maximum_latency mode: the interleaved temporary + finalized segment
+    stream matches the reference Java engine byte-for-byte (temporary
+    emission cadence, fallback-when-model-short behavior, split/join temp
+    re-announcements)."""
+    ts, V, _ = _load_case(name)
+    segs = compress_group(ts, V, CFG, split_fraction=10.0, maximum_latency=40)
+    got = [
+        (s.kind, s.start_ts, s.end_ts, s.mtid, s.cnt, s.model.hex(), s.gaps)
+        for s in segs
+    ]
+    expected = []
+    for line in (GOLDEN / f"{name}.lat40.segments.csv").read_text().splitlines():
+        kind, st, et, mtid, cnt, hx, gaps = line.split(",")
+        gtuple = tuple(int(g) for g in gaps.split(";")) if gaps else ()
+        expected.append((kind, int(st), int(et), int(mtid), int(cnt), hx, gtuple))
+    assert got == expected

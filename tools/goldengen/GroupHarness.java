@@ -21,13 +21,14 @@ public class GroupHarness {
         int lengthBound = Integer.parseInt(args[1]);
         final int si = Integer.parseInt(args[2]);
         float splitFraction = Float.parseFloat(args[3]);
+        int maximumLatency = Integer.parseInt(args[4]);
 
-        int nSeries = args.length - 4;
+        int nSeries = args.length - 5;
         TimeSeries[] tss = new TimeSeries[nSeries];
         List<Integer> tids = new ArrayList<>();
         for (int i = 0; i < nSeries; i++) {
             tss[i] = new TimeSeriesCSV(
-                    args[4 + i], i + 1, si, ",", false, 0, "java", "UTC", 1, "en");
+                    args[5 + i], i + 1, si, ",", false, 0, "java", "UTC", 1, "en");
             tids.add(i + 1);
         }
         TimeSeriesGroup tsg = new TimeSeriesGroup(1, tss);
@@ -40,25 +41,34 @@ public class GroupHarness {
         Supplier<ModelType[]> init =
                 () -> ModelTypeFactory.getModelTypes(names, mtids, eb, lengthBound);
         ModelType fallback = ModelTypeFactory.getFallbackModelType(eb, lengthBound);
-        SegmentFunction drop = (gid, st, et, mtid, model, gaps) -> {};
-        SegmentFunction out = (gid, st, et, mtid, model, gaps) -> {
-            StringBuilder sb = new StringBuilder();
-            for (byte b : model) sb.append(String.format("%02x", b));
-            StringBuilder gs = new StringBuilder();
-            java.nio.IntBuffer ib = java.nio.ByteBuffer.wrap(gaps).asIntBuffer();
-            int[] garr = new int[ib.remaining()];
-            ib.get(garr);
-            java.util.Arrays.sort(garr);
-            for (int g : garr) {
-                if (gs.length() > 0) gs.append(';');
-                gs.append(g);
-            }
-            long cnt = (et - st) / si + 1;
-            System.out.println(st + "," + et + "," + mtid + "," + cnt + "," + sb + "," + gs);
-        };
+        SegmentFunction temp = (gid, st, et, mtid, model, gaps) ->
+                emitRow("T", si, gid, st, et, mtid, model, gaps);
+        SegmentFunction out = (gid, st, et, mtid, model, gaps) ->
+                emitRow("F", si, gid, st, et, mtid, model, gaps);
+        dummy(); if (false) {
+        }
         SegmentGenerator sg = new SegmentGenerator(
-                tsg, init, fallback, tids, 0, splitFraction, drop, out);
+                tsg, init, fallback, tids, maximumLatency, splitFraction, temp, out);
         sg.consumeAllDataPoints();
         sg.close();
+    }
+
+    private static void dummy() {}
+
+    private static void emitRow(String kind, int si, int gid, long st, long et,
+                                int mtid, byte[] model, byte[] gaps) {
+        StringBuilder sb = new StringBuilder();
+        for (byte b : model) sb.append(String.format("%02x", b));
+        StringBuilder gs = new StringBuilder();
+        java.nio.IntBuffer ib = java.nio.ByteBuffer.wrap(gaps).asIntBuffer();
+        int[] garr = new int[ib.remaining()];
+        ib.get(garr);
+        java.util.Arrays.sort(garr);
+        for (int g : garr) {
+            if (gs.length() > 0) gs.append(';');
+            gs.append(g);
+        }
+        long cnt = (et - st) / si + 1;
+        System.out.println(kind + "," + st + "," + et + "," + mtid + "," + cnt + "," + sb + "," + gs);
     }
 }

@@ -255,3 +255,26 @@ def test_grouped_temporary_segments_bit_match_java(name):
         gtuple = tuple(int(g) for g in gaps.split(";")) if gaps else ()
         expected.append((kind, int(st), int(et), int(mtid), int(cnt), hx, gtuple))
     assert got == expected
+
+
+@pytest.mark.parametrize("name", CASES)
+@pytest.mark.parametrize("chunk", [1, 7, 64])
+def test_grouped_incremental_feed_equals_batch(name, chunk):
+    """Streaming mode: feeding the rows in arbitrary chunk sizes (down to
+    one row per feed) produces the exact batch segment stream, including
+    split/join decisions and temporary segments — the state machine never
+    looks ahead, mirroring the reference's online ingestion."""
+    from modelardb_dynamic_spark.models.grouped import GroupEngine
+
+    ts, V, _ = _load_case(name)
+    batch = compress_group(ts, V, CFG, split_fraction=10.0, maximum_latency=40)
+    eng = GroupEngine(
+        None, None, CFG, split_fraction=10.0, maximum_latency=40,
+        n_series=V.shape[1],
+    )
+    streamed: list = []
+    for i in range(0, len(ts), chunk):
+        streamed.extend(eng.feed(ts[i : i + chunk], V[i : i + chunk]))
+    streamed.extend(eng.finish()[len(streamed):])
+    key = lambda s: (s.kind, s.start_ts, s.end_ts, s.mtid, s.cnt, s.model, s.gaps)
+    assert [key(s) for s in streamed] == [key(s) for s in batch]

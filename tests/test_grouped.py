@@ -278,3 +278,46 @@ def test_grouped_incremental_feed_equals_batch(name, chunk):
     streamed.extend(eng.finish()[len(streamed):])
     key = lambda s: (s.kind, s.start_ts, s.end_ts, s.mtid, s.cnt, s.model, s.gaps)
     assert [key(s) for s in streamed] == [key(s) for s in batch]
+
+
+def _coverage(segs, si=SI):
+    """member id -> set of timestamps covered by FINALIZED segments."""
+    cov: dict[int, set[int]] = {}
+    for s in segs:
+        if s.kind != "F":
+            continue
+        for m in s.members:
+            cov.setdefault(m, set()).update(
+                range(s.start_ts, s.end_ts + 1, si)
+            )
+    return cov
+
+
+def test_merge_after_member_exhaustion_loses_no_points():
+    """ADVICE r2 (high): a rejoin whose partner sub-generator is already
+    exhausted (its has_next() scan ran its cursor to end-of-stream past
+    rows that are NaN for IT but real for the surviving member) must not
+    skip the surviving member's remaining rows. The Java engine keeps
+    per-series iterator positions and cannot drop these
+    (core/SegmentGenerator.java:109-136)."""
+    n, conv, stride, b_end = 400, 103, 3, 251
+    ts = (np.arange(n, dtype=np.int64) * SI) + 1_000
+    V = np.full((n, 2), np.nan, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    # phase 1: incompressible divergence -> dynamic split fires
+    V[:conv, 0] = 10.0 + 10 * rng.random(conv).astype(np.float32)
+    V[:conv, 1] = 1000.0 + 1000 * rng.random(conv).astype(np.float32)
+    # phase 2: A dense noisy around 50 (within 2*eb of 50); B sparse
+    # (every 3rd grid row, so its NaN-skip scans run its cursor ahead
+    # of A's) and ending at row 251 while A runs to the end
+    V[conv:, 0] = 50.0 + 18.0 * (rng.random(n - conv).astype(np.float32) - 0.5)
+    for i in range(conv, b_end, stride):
+        V[i, 1] = 50.0
+    segs = compress_group(ts, V, CFG, split_fraction=10.0)
+    cov = _coverage(segs)
+    a_expected = {int(t) for t, v in zip(ts, V[:, 0]) if not np.isnan(v)}
+    b_expected = {int(t) for t, v in zip(ts, V[:, 1]) if not np.isnan(v)}
+    assert cov.get(1, set()) == a_expected, (
+        f"member A lost {len(a_expected - cov.get(1, set()))} points"
+    )
+    assert cov.get(2, set()) == b_expected

@@ -44,25 +44,38 @@ def correlation_groups(
 ) -> DataFrame:
     """(sid, metric, gid): group assignment by quantized probe signature.
 
-    Probe timestamps are the first n_probes grid buckets of the corpus per
-    metric; the signature quantizes each probe value onto a log scale with
-    cell width (1 + 2*eb/100) — any two series within 2*eb of each other
-    at a probe land at most one cell apart, and identical-signature series
-    are grouped. One groupBy, no pairwise joins; groups are capped at
-    max_members via a row_number sub-split."""
+    Probe timestamps are the first n_probes grid buckets OF EACH SERIES
+    (its own first n buckets, not the corpus-wide first n — a series that
+    starts late still gets a full signature and therefore a gid; the
+    reference likewise ingests every configured series regardless of how
+    its grouping turns out, core/Partitioner.java:30-96). The signature
+    quantizes each probe value onto a log scale with cell width
+    (1 + 2*eb/100) — any two series within 2*eb of each other at a probe
+    land at most one cell apart, and identical-signature series are
+    grouped. Sign is encoded in the cell's low bit (cell*2 + (v<0)), so
+    +v and -v never share a cell even in the magnitude band where
+    floor(log|v|) == 0; exact zero gets its own sentinel cell (the
+    reference's percentageError treats real==0 as matched only by
+    approx==0, core/models/ModelType.java). One groupBy, no pairwise
+    joins; groups are capped at max_members via a row_number sub-split.
+
+    Scale shape: per-series t0 is a catalog-sized aggregate (one row per
+    series — the reference holds this catalog in driver memory,
+    Storage.scala) broadcast back onto the points; the signature itself
+    is one groupBy over the probe rows only."""
     si = cfg.sampling_interval_ms
     eb = max(cfg.error_bound, 0.01)
     base = np.log1p(2.0 * eb / 100.0)
-    t0 = series.groupBy("metric").agg(F.min("ts_ms").alias("t0"))
-    probed = series.join(F.broadcast(t0), "metric").where(
+    t0 = series.groupBy("sid", "metric").agg(F.min("ts_ms").alias("t0"))
+    probed = series.join(F.broadcast(t0), ["sid", "metric"]).where(
         F.col("ts_ms") < F.col("t0") + n_probes * si
     )
     probe_idx = ((F.col("ts_ms") - F.col("t0")) / si).cast("int")
     cell = F.when(
-        F.col("value") == 0, F.lit(0)
+        F.col("value") == 0, F.lit(1 << 40)
     ).otherwise(
-        F.floor(F.log(F.abs(F.col("value")) + F.lit(1e-9)) / base)
-        * F.when(F.col("value") < 0, -1).otherwise(1)
+        F.floor(F.log(F.abs(F.col("value")) + F.lit(1e-9)) / base) * 2
+        + F.when(F.col("value") < 0, 1).otherwise(0)
     )
     sig = (
         probed.groupBy("sid", "metric")
@@ -97,9 +110,19 @@ def compress_grouped(
     groups: (sid, metric, gid). Output: one row per grouped segment with
     the member sids that share its model (dynamic split/join decides the
     membership per segment, bit-identically to the reference — see
-    models/grouped.py)."""
+    models/grouped.py).
+
+    The join with the group map is a LEFT join with a singleton-gid
+    fallback: a series the grouping pass missed (however that happens)
+    must still be ingested, never silently dropped — the reference
+    ingests every configured series regardless of grouping
+    (core/Partitioner.java:30-96). Fallback gids are xxhash64(sid,
+    metric); a 64-bit collision with a real gid is negligible and would
+    only co-group, never lose data."""
     si = cfg.sampling_interval_ms
-    df = series.join(F.broadcast(groups), ["sid", "metric"])
+    df = series.join(F.broadcast(groups), ["sid", "metric"], "left").withColumn(
+        "gid", F.coalesce(F.col("gid"), F.xxhash64("sid", "metric"))
+    )
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         gid, metric = int(key[0]), key[1]

@@ -467,6 +467,41 @@ def q_grouped_tiers(spark, sf_dir):
     return hourly
 
 
+def q_corr_grouped_tiers(spark, sf_dir):
+    """End-to-end CORRELATION-DRIVEN grouped compression: unlike
+    grouped_tiers (hand-assigned groups), the groups here are derived by
+    correlation_groups — the reference's grouping→ingestion path
+    (core/Partitioner.java:98-127 feeding TimeSeriesGroup). Each user's
+    event-count series starts at its own first event, so series enter the
+    corpus staggered; the oracle recomputes the hourly tiers from raw
+    rows, so a dropped late-starting series (the r2 inner-join bug) or
+    any lost point hash-mismatches. Error bound 0 makes reconstruction
+    exact, so values compare bit-for-bit."""
+    from modelardb_dynamic_spark.operators.grouped import (
+        compress_grouped,
+        correlation_groups,
+        grouped_datapoints,
+    )
+    from modelardb_dynamic_spark.sources.timeseries import event_series
+
+    series = event_series(_t(spark, sf_dir, "events"), SI_MS)
+    groups = correlation_groups(series, CFG0)
+    segs = compress_grouped(series, groups, CFG0)
+    pts = grouped_datapoints(segs)
+    return (
+        pts.withColumn(
+            "bucket_ts", (F.floor(F.col("ts_ms") / HOUR_MS) * HOUR_MS).cast("long")
+        )
+        .groupBy("sid", "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("double")).alias("vsum"),
+            F.min("value").cast("double").alias("vmin"),
+            F.max("value").cast("double").alias("vmax"),
+        )
+    )
+
+
 QUERIES = {
     "seg_count_s": q_seg_count_s,
     "seg_agg_s": q_seg_agg_s,
@@ -500,6 +535,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "transcript_tiers": q_transcript_tiers,
     "grouped_tiers": q_grouped_tiers,
+    "corr_grouped_tiers": q_corr_grouped_tiers,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -925,6 +961,10 @@ ORACLES = {
                         (h, c) -> (h * 131 + c) % 1000000007)
                END AS rfp
         FROM documents
+    """,
+    "corr_grouped_tiers": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        {_HOURLY}
     """,
     "grouped_tiers": f"""
         WITH b AS ({_MINUTE_BUCKETS}),

@@ -82,14 +82,25 @@ def pmc_prefix(v: np.ndarray, error_bound: float) -> tuple[int, float]:
         v0 = v[0]
         p = 0
         chunk = 64
+        nan_bail = False
         while p < n:
             end = min(n, p + chunk)
             eq = v[p:end] == v0
             if not eq.all():
-                return p + int(np.argmin(eq)), float(v0)
+                j = p + int(np.argmin(eq))
+                if np.isnan(v[j]):
+                    # NaN is NOT a fail in the general walk: percentage
+                    # error against a NaN min/max/avg compares false
+                    # everywhere (Static.java:105-118), so NaN absorbs
+                    # the rest of the buffer. Fall through to the
+                    # general walk for exact semantics.
+                    nan_bail = True
+                    break
+                return j, float(v0)
             p = end
             chunk *= 4
-        return n, float(v0)
+        if not nan_bail:
+            return n, float(v0)
     base_sum = 0.0
     carry_min = np.float32(np.inf)
     carry_max = np.float32(-np.inf)
@@ -304,7 +315,7 @@ def _emit(
     return Segment(start_ts, end_ts, mtid, model, length, vmin, vmax, vsum)
 
 
-def _compress_core(
+def _compress_core_py(
     t: np.ndarray, v: np.ndarray, cfg: EngineConfig, allow_flush: bool
 ) -> tuple[list[Segment], int]:
     """Shared cascade loop; returns (segments, points consumed).
@@ -377,6 +388,80 @@ def _compress_core(
     return segments, i
 
 
+def _c_call(fn, t, v, cfg, extra_args, n) -> tuple[list[Segment], int]:
+    """Invoke a C cascade entry point and materialize Segment rows.
+
+    Retries with a doubled model arena on overflow (the 8n+1k initial cap
+    already exceeds the worst case — Gorilla <= 6 B/pt — so the retry loop
+    is a belt-and-braces path, not a hot one)."""
+    import ctypes
+
+    seg_idx = np.empty(n, dtype=np.int64)
+    seg_len = np.empty(n, dtype=np.int64)
+    seg_mtid = np.empty(n, dtype=np.int32)
+    seg_off = np.empty(n, dtype=np.int64)
+    seg_mlen = np.empty(n, dtype=np.int64)
+    seg_vmin = np.empty(n, dtype=np.float64)
+    seg_vmax = np.empty(n, dtype=np.float64)
+    seg_vsum = np.empty(n, dtype=np.float64)
+    gscratch = np.empty(6 * min(cfg.length_bound, n) + 32, dtype=np.uint8)
+    arena_cap = 8 * n + 1024
+    consumed = ctypes.c_int64(0)
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    while True:
+        arena = np.empty(arena_cap, dtype=np.uint8)
+        k = fn(
+            ptr(t, ctypes.c_int64), ptr(v, ctypes.c_float), n, *extra_args,
+            ptr(seg_idx, ctypes.c_int64), ptr(seg_len, ctypes.c_int64),
+            ptr(seg_mtid, ctypes.c_int32), ptr(seg_off, ctypes.c_int64),
+            ptr(seg_mlen, ctypes.c_int64), ptr(seg_vmin, ctypes.c_double),
+            ptr(seg_vmax, ctypes.c_double), ptr(seg_vsum, ctypes.c_double),
+            ptr(arena, ctypes.c_uint8), arena_cap,
+            ptr(gscratch, ctypes.c_uint8), ctypes.byref(consumed),
+        )
+        if k >= 0:
+            break
+        arena_cap *= 2
+    ab = arena.tobytes()
+    out = []
+    for j in range(k):
+        a = int(seg_idx[j])
+        ln = int(seg_len[j])
+        off = int(seg_off[j])
+        out.append(
+            Segment(
+                int(t[a]), int(t[a + ln - 1]), int(seg_mtid[j]),
+                ab[off : off + int(seg_mlen[j])], ln,
+                float(seg_vmin[j]), float(seg_vmax[j]), float(seg_vsum[j]),
+            )
+        )
+    return out, int(consumed.value)
+
+
+def _compress_core(
+    t: np.ndarray, v: np.ndarray, cfg: EngineConfig, allow_flush: bool
+) -> tuple[list[Segment], int]:
+    """Dispatch one gap-free run to the C kernel when available (identical
+    output, ~10-30x the throughput), else the numpy implementation."""
+    from modelardb_dynamic_spark.models import ckernel
+
+    lib = ckernel.load()
+    if lib is None or cfg.models != (MTID_PMC_MEAN, MTID_SWING, MTID_GORILLA):
+        return _compress_core_py(t, v, cfg, allow_flush)
+    n = len(v)
+    if n == 0:
+        return [], 0
+    t = np.ascontiguousarray(t, dtype=np.int64)
+    v = np.ascontiguousarray(v, dtype=np.float32)
+    return _c_call(
+        lib.mdbs_compress_run, t, v, cfg,
+        (float(cfg.error_bound), int(cfg.length_bound), int(allow_flush)), n,
+    )
+
+
 def compress_run(
     t: np.ndarray, v: np.ndarray, cfg: EngineConfig
 ) -> list[Segment]:
@@ -417,10 +502,29 @@ def compress_series(
     t: np.ndarray, v: np.ndarray, cfg: EngineConfig
 ) -> list[Segment]:
     """Compress a whole (sorted, deduplicated) series: split into gap-free
-    runs, compress each run independently."""
+    runs, compress each run independently.  With the C kernel loaded this
+    is ONE C call per series (run splitting happens in C too), so the
+    per-call overhead stays constant no matter how gappy the series is."""
+    from modelardb_dynamic_spark.models import ckernel
+
     t = np.ascontiguousarray(t, dtype=np.int64)
     v = np.ascontiguousarray(v, dtype=np.float32)
-    out: list[Segment] = []
-    for a, b in split_runs(t, cfg.sampling_interval_ms):
-        out.extend(compress_run(t[a:b], v[a:b], cfg))
-    return out
+    lib = ckernel.load()
+    if lib is None or cfg.models != (MTID_PMC_MEAN, MTID_SWING, MTID_GORILLA):
+        out: list[Segment] = []
+        for a, b in split_runs(t, cfg.sampling_interval_ms):
+            out.extend(
+                _compress_core_py(t[a:b], v[a:b], cfg, allow_flush=True)[0]
+            )
+        return out
+    n = len(v)
+    if n == 0:
+        return []
+    return _c_call(
+        lib.mdbs_compress_series, t, v, cfg,
+        (
+            int(cfg.sampling_interval_ms),
+            float(cfg.error_bound),
+            int(cfg.length_bound),
+        ), n,
+    )[0]

@@ -393,6 +393,276 @@ int64_t mdbs_compress_run(
     return nseg;
 }
 
+/* ================= grouped (multi-series) fast path =================
+ *
+ * Exact C restatement of the models/grouped.py cascade for the ELIGIBLE
+ * case the Python caller pre-checks: no NaN, no timestamp gap > si, all
+ * member pairs within 2*eb at every row (so the dynamic split can never
+ * fire — models/grouped.py _split returns without splitting when every
+ * pair stays within bound), and maximum_latency == 0.  Under those
+ * conditions the online engine is a single _SubGen whose cascade reduces
+ * to the same prefix semantics as the single-series kernel (the module
+ * docstring's derivation), with three grouped twists replicated here:
+ *  - bound checks use the RAW double error bound (_out_of_bound), not
+ *    the float32-widened one;
+ *  - ratio = f32(16)*f32(rows) / (f32(24)+f32(size)) — rows, not points
+ *    (_ratio_g, ModelType.java:65-70);
+ *  - rows append value-at-a-time: PMC joint min/max/sum row-major,
+ *    Swing row 0 collapses to the f32 member average, Gorilla
+ *    interleaves members row-major with the length bound counting ROWS.
+ */
+
+/* percentage_error(approx, real) > eb with eb as a raw double
+ * (models/grouped.py _out_of_bound). */
+static inline int outside_raw(double eb, double approx, double real) {
+    return outside(eb, approx, real);
+}
+
+/* Maximal accepted row prefix for grouped PMC; sum over accepted rows
+ * out for get_model. */
+static int64_t pmc_prefix_grp(const float *v, int64_t n, int64_t G,
+                              double eb, double *sum_out) {
+    double sum = 0.0, mn = INFINITY, mx = -INFINITY;
+    for (int64_t i = 0; i < n; i++) {
+        double nmn = mn, nmx = mx, nsum = sum;
+        const float *row = v + i * G;
+        for (int64_t c = 0; c < G; c++) {
+            double val = (double)row[c];
+            nsum += val;
+            if (val < nmn) nmn = val;
+            if (val > nmx) nmx = val;
+        }
+        double avg = (double)(float)(nsum / (double)((i + 1) * G));
+        if (outside_raw(eb, avg, nmn) || outside_raw(eb, avg, nmx)) {
+            *sum_out = sum;
+            return i;
+        }
+        mn = nmn; mx = nmx; sum = nsum;
+    }
+    *sum_out = sum;
+    return n;
+}
+
+/* Grouped Swing: row 0 is the f32 member average (all members must be
+ * within bound of it); later rows append value-at-a-time to the shared
+ * line.  On a mid-row fail the bounds KEEP the partial updates from the
+ * failing row's earlier values, exactly like _Swing.append. */
+static int64_t swing_prefix_grp(const int64_t *t, const float *v,
+                                int64_t n, int64_t G, double eb,
+                                double ebdiv, double *oua, double *oub,
+                                double *ola, double *olb) {
+    *oua = *oub = *ola = *olb = 0.0;
+    if (n == 0) return 0;
+    double vmin = (double)v[0], vmax = vmin, s = 0.0;
+    for (int64_t c = 0; c < G; c++) {
+        double val = (double)v[c];
+        if (val < vmin) vmin = val;
+        if (val > vmax) vmax = val;
+        s += val;
+    }
+    double avg = (double)(float)(s / (double)G);
+    if (outside_raw(eb, avg, vmin) || outside_raw(eb, avg, vmax)) return 0;
+    double y0 = avg, t0 = (double)t[0];
+    double ua = 0.0, ub = 0.0, la = 0.0, lb = 0.0;
+    int64_t sz = 1;
+    for (int64_t i = 1; i < n; i++) {
+        double ti = (double)t[i];
+        const float *row = v + i * G;
+        for (int64_t c = 0; c < G; c++) {
+            double vi = (double)row[c];
+            double dev = fabs(vi * ebdiv);
+            if (sz == 1) {
+                ua = (vi + dev - y0) / (ti - t0);
+                ub = y0 - ua * t0;
+                la = (vi - dev - y0) / (ti - t0);
+                lb = y0 - la * t0;
+                sz = 2;
+            } else {
+                double uba = ua * ti + ub;
+                double lba = la * ti + lb;
+                if (uba + dev < vi || lba - dev > vi) {
+                    *oua = ua; *oub = ub; *ola = la; *olb = lb;
+                    return i;
+                }
+                if (uba - dev > vi) {
+                    ua = (vi + dev - y0) / (ti - t0);
+                    ub = y0 - ua * t0;
+                }
+                if (lba + dev < vi) {
+                    la = (vi - dev - y0) / (ti - t0);
+                    lb = y0 - la * t0;
+                }
+            }
+        }
+    }
+    *oua = ua; *oub = ub; *ola = la; *olb = lb;
+    return n;
+}
+
+/* _Swing.size_bytes: NaN if the f32 midline misses any member value,
+ * else the encoded width. */
+static double swing_size_grp(double ua, double ub, double la, double lb,
+                             const int64_t *t, const float *v, int64_t len,
+                             int64_t G, double eb,
+                             double *a_out, double *b_out) {
+    double a = (la + ua) / 2.0;
+    double b = (lb + ub) / 2.0;
+    *a_out = a; *b_out = b;
+    for (int64_t i = 0; i < len; i++) {
+        double approx = (double)(float)(a * (double)t[i] + b);
+        const float *row = v + i * G;
+        for (int64_t c = 0; c < G; c++)
+            if (outside_raw(eb, approx, (double)row[c])) return NAN;
+    }
+    int rta = f32_roundtrips(a), rtb = f32_roundtrips(b);
+    if (rta && rtb) return 8.0;
+    if (rta) return 12.0;
+    return 16.0;
+}
+
+/* Gorilla over rows: members interleave row-major into one stream. */
+static int64_t gorilla_encode_rows(const float *v, int64_t rows, int64_t G,
+                                   uint8_t *buf) {
+    bw_t w = {buf, 0};
+    uint32_t last = f32_bits(v[0]);
+    bw_put(&w, last, 32);
+    int64_t stored_lz = ((int64_t)1) << 30;
+    int64_t stored_tz = 0;
+    int64_t total = rows * G;
+    for (int64_t k = 1; k < total; k++) {
+        uint32_t bits = f32_bits(v[k]);
+        uint32_t xor = bits ^ last;
+        last = bits;
+        if (xor == 0) { w.nbits++; continue; }
+        int lz = __builtin_clz(xor);
+        int tz = __builtin_ctz(xor);
+        if (lz >= stored_lz && tz >= stored_tz) {
+            int sig = (int)(32 - stored_lz - stored_tz);
+            bw_put(&w, 0x2u, 2);
+            bw_put(&w, (xor >> stored_tz) & (uint32_t)((1ull << sig) - 1), sig);
+        } else {
+            int sig = 32 - lz - tz;
+            bw_put(&w, 0x3u, 2);
+            bw_put(&w, (uint32_t)lz, 5);
+            bw_put(&w, (uint32_t)(sig & 0x3F), 6);
+            bw_put(&w, (xor >> tz) & (uint32_t)((1ull << sig) - 1), sig);
+            stored_lz = lz;
+            stored_tz = tz;
+        }
+    }
+    return (w.nbits + 7) / 8;
+}
+
+/* _ratio_g with n_gaps == 0: float32 all the way. */
+static inline float ratio_grp32(int64_t rows, double size) {
+    if (rows == 0 || isnan(size)) return NAN;
+    float num = 16.0f * (float)rows;
+    float den = 24.0f + (float)size;
+    return num / den;
+}
+
+/* Grouped cascade driver; same output layout as mdbs_compress_run minus
+ * the summary columns (GroupSegment carries none).  Caller guarantees
+ * eligibility (see header comment); gscratch >= 6*min(lb,n)*G+16 bytes.
+ * Returns segment count or -1 on arena overflow. */
+int64_t mdbs_compress_group(
+    const int64_t *t, const float *v, int64_t n, int64_t G,
+    double error_bound, int64_t length_bound,
+    int64_t *seg_start_idx, int64_t *seg_len, int32_t *seg_mtid,
+    int64_t *seg_model_off, int64_t *seg_model_len,
+    uint8_t *arena, int64_t arena_cap, uint8_t *gscratch)
+{
+    double ebdiv = ((double)(float)error_bound) / 100.1;
+    int64_t i = 0, nseg = 0, used = 0;
+    while (i < n) {
+        int64_t rem = n - i;
+        const int64_t *tw = t + i;
+        const float *vw = v + i * G;
+
+        double psum;
+        int64_t p = pmc_prefix_grp(vw, rem, G, error_bound, &psum);
+        double ua, ub, la, lb;
+        int64_t s = swing_prefix_grp(tw, vw, rem, G, error_bound, ebdiv,
+                                     &ua, &ub, &la, &lb);
+        int64_t m = p > s ? p : s;
+        if (length_bound > m) m = length_bound;
+        int64_t bsize = (m + 1 <= rem) ? m + 1 : rem;
+        int64_t len_g = length_bound < bsize ? length_bound : bsize;
+
+        double size_p = p > 0 ? 4.0 : NAN;
+        double sa = 0.0, sb = 0.0, size_s = NAN;
+        if (s >= 2)
+            size_s = swing_size_grp(ua, ub, la, lb, tw, vw, s, G,
+                                    error_bound, &sa, &sb);
+        memset(gscratch, 0, (size_t)(6 * len_g * G + 16));
+        int64_t g_bytes = gorilla_encode_rows(vw, len_g, G, gscratch);
+
+        float rr[3] = {ratio_grp32(p, size_p), ratio_grp32(s, size_s),
+                       ratio_grp32(len_g, (double)g_bytes)};
+        int best = 0;
+        float rbest = rr[0];
+        for (int c = 0; c < 3; c++) {
+            if (!(rr[c] < rbest)) { best = c; rbest = rr[c]; }
+        }
+        int mtid;
+        int64_t blen, mlen;
+        int64_t off = used;
+        if (isnan(rbest)) {
+            /* Uncompressed fallback: unreachable when rem >= 1 (Gorilla's
+             * ratio is always finite) but kept for parity — serializes
+             * the WHOLE buffer, not only length() rows
+             * (UncompressedModelType.java:63-71 quirk). */
+            mtid = MTID_UNCOMPRESSED;
+            blen = len_g;
+            mlen = 4 * bsize * G;
+            if (used + mlen > arena_cap) return -1;
+            for (int64_t k = 0; k < bsize * G; k++)
+                put_be_f32(arena + off + 4 * k, vw[k]);
+        } else if (best == 0) {
+            mtid = MTID_PMC;
+            blen = p;
+            mlen = 4;
+            if (used + mlen > arena_cap) return -1;
+            put_be_f32(arena + off, (float)(psum / (double)(p * G)));
+        } else if (best == 1) {
+            mtid = MTID_SWING;
+            blen = s;
+            int rta = f32_roundtrips(sa), rtb = f32_roundtrips(sb);
+            if (rta && rtb) {
+                mlen = 8;
+                if (used + mlen > arena_cap) return -1;
+                put_be_f32(arena + off, (float)sa);
+                put_be_f32(arena + off + 4, (float)sb);
+            } else if (rta) {
+                mlen = 12;
+                if (used + mlen > arena_cap) return -1;
+                put_be_f32(arena + off, (float)sa);
+                put_be_f64(arena + off + 4, sb);
+            } else {
+                mlen = 16;
+                if (used + mlen > arena_cap) return -1;
+                put_be_f64(arena + off, sa);
+                put_be_f64(arena + off + 8, sb);
+            }
+        } else {
+            mtid = MTID_GORILLA;
+            blen = len_g;
+            mlen = g_bytes;
+            if (used + mlen > arena_cap) return -1;
+            memcpy(arena + off, gscratch, (size_t)mlen);
+        }
+        used += mlen;
+        seg_start_idx[nseg] = i;
+        seg_len[nseg] = blen;
+        seg_mtid[nseg] = mtid;
+        seg_model_off[nseg] = off;
+        seg_model_len[nseg] = mlen;
+        nseg++;
+        i += blen;
+    }
+    return nseg;
+}
+
 /* Whole-series entry: splits into gap-free runs (timestamp delta != si)
  * and compresses each with flush semantics, one C call per series. */
 int64_t mdbs_compress_series(

@@ -107,5 +107,12 @@ def load() -> ctypes.CDLL | None:
     lib.mdbs_compress_series.argtypes = [
         p_i64, p_f32, i64, i64, ctypes.c_double, i64, *common_out
     ]
+    lib.mdbs_compress_group.restype = i64
+    lib.mdbs_compress_group.argtypes = [
+        p_i64, p_f32, i64, i64, ctypes.c_double, i64,
+        p_i64, p_i64, p_i32, p_i64, p_i64,  # start_idx, len, mtid, off, mlen
+        p_u8, i64,                          # arena, arena_cap
+        p_u8,                               # gscratch
+    ]
     _lib = lib
     return _lib

@@ -377,3 +377,97 @@ def test_correlation_groups_late_start_and_sign(spark):
         .withColumnRenamed("count", "n").collect()
     }
     assert counts2["late"] == 100
+
+
+class TestGroupFastPath:
+    """The C grouped cascade (models/grouped.py _compress_group_c) must be
+    bit-identical to the Python GroupEngine on every eligible input, and
+    must decline (return None -> Python engine) whenever a split, join,
+    gap, or flush could fire."""
+
+    @staticmethod
+    def _diff(ts, V, cfg, split_fraction=10.0):
+        from modelardb_dynamic_spark.models.grouped import (
+            GroupEngine, _compress_group_c)
+
+        fast = _compress_group_c(ts, V, cfg)
+        ref = GroupEngine(ts, V, cfg, split_fraction).run()
+        return fast, ref
+
+    @staticmethod
+    def _same(fast, ref):
+        return len(fast) == len(ref) and all(
+            a.start_ts == b.start_ts and a.end_ts == b.end_ts
+            and a.mtid == b.mtid and a.model == b.model and a.cnt == b.cnt
+            and a.members == b.members and a.gaps == b.gaps
+            for a, b in zip(fast, ref)
+        )
+
+    @pytest.mark.parametrize("eb,lb", [(0.0, 50), (10.0, 50), (1.0, 1000)])
+    def test_group_fast_path_matches_engine(self, eb, lb):
+        rng = np.random.default_rng(11)
+        cfg = EngineConfig(
+            error_bound=eb, length_bound=lb, sampling_interval_ms=SI
+        )
+        for trial in range(25):
+            n = int(rng.integers(3, 500))
+            G = int(rng.integers(1, 6))
+            ts = np.arange(n, dtype=np.int64) * SI
+            kind = trial % 4
+            if kind == 0:      # constant -> PMC
+                base = np.full(n, 42.5)
+            elif kind == 1:    # linear -> Swing
+                base = 10.0 + 0.37 * np.arange(n)
+            elif kind == 2:    # noise -> Gorilla
+                base = 50.0 + rng.random(n)
+            else:              # random walk -> mixed cascade
+                base = np.cumsum(rng.normal(0, 0.3, n)) + 80.0
+            V = np.empty((n, G), dtype=np.float32)
+            for g in range(G):
+                V[:, g] = (base * (1 + rng.normal(0, 4e-4, n))).astype(
+                    np.float32
+                )
+            from modelardb_dynamic_spark.models.grouped import (
+                _group_fast_eligible)
+            if not _group_fast_eligible(ts, V, cfg):
+                continue
+            fast, ref = self._diff(ts, V, cfg)
+            assert fast is not None
+            assert self._same(fast, ref), (
+                f"trial={trial} n={n} G={G} eb={eb} lb={lb}"
+            )
+
+    def test_ineligible_inputs_decline(self):
+        from modelardb_dynamic_spark.models.grouped import _compress_group_c
+
+        ts = np.arange(100, dtype=np.int64) * SI
+        # NaN -> gap machinery
+        V = np.full((100, 2), 5.0, dtype=np.float32)
+        V[40, 1] = np.nan
+        assert _compress_group_c(ts, V, CFG) is None
+        # timestamp gap -> flush
+        t2 = ts.copy()
+        t2[50:] += 10 * SI
+        V2 = np.full((100, 2), 5.0, dtype=np.float32)
+        assert _compress_group_c(t2, V2, CFG) is None
+        # member pair outside 2*eb -> dynamic split possible
+        V3 = np.full((100, 2), 5.0, dtype=np.float32)
+        V3[:, 1] = 50.0
+        assert _compress_group_c(ts, V3, CFG) is None
+
+    def test_compress_group_fast_equals_forced_python(self, monkeypatch):
+        """compress_group end-to-end: C-dispatched output == engine with
+        the kernel disabled."""
+        import modelardb_dynamic_spark.models.grouped as grouped_mod
+
+        rng = np.random.default_rng(3)
+        n, G = 300, 3
+        ts = np.arange(n, dtype=np.int64) * SI
+        base = np.cumsum(rng.normal(0, 0.2, n)) + 60.0
+        V = np.empty((n, G), dtype=np.float32)
+        for g in range(G):
+            V[:, g] = (base * (1 + rng.normal(0, 3e-4, n))).astype(np.float32)
+        got = compress_group(ts, V, CFG, split_fraction=10.0)
+        monkeypatch.setattr(grouped_mod, "_compress_group_c", lambda *a: None)
+        ref = compress_group(ts, V, CFG, split_fraction=10.0)
+        assert self._same(got, ref)

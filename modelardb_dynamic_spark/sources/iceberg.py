@@ -28,10 +28,16 @@ USING iceberg
 PARTITIONED BY (bucket({n_buckets}, sid))
 TBLPROPERTIES (
     'write.distribution-mode' = 'hash',
-    'write.parquet.compression-codec' = 'zstd',
-    'sort-order' = 'sid ASC, start_ts ASC'
+    'write.parquet.compression-codec' = 'zstd'
 )
 """
+
+# A table sort order is DDL state, not a TBLPROPERTY — a 'sort-order'
+# property would be stored inert and rewrite_data_files(strategy=>'sort')
+# would fail with "Cannot sort data without a valid sort order".
+SEGMENT_SORT_DDL = (
+    "ALTER TABLE {catalog}.{db}.segments WRITE ORDERED BY (sid, start_ts)"
+)
 
 TIER_DDL = """
 CREATE TABLE IF NOT EXISTS {catalog}.{db}.tier_{name} (
@@ -45,7 +51,8 @@ TBLPROPERTIES ('write.distribution-mode' = 'hash')
 
 COMPACT_SQL = (
     "CALL {catalog}.system.rewrite_data_files("
-    "table => '{db}.{table}', strategy => 'sort')"
+    "table => '{db}.{table}', strategy => 'sort', "
+    "sort_order => 'sid ASC NULLS FIRST, start_ts ASC NULLS FIRST')"
 )
 
 
@@ -99,6 +106,7 @@ def create_warehouse(
         )
     spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{db}")
     spark.sql(SEGMENT_DDL.format(catalog=catalog, db=db, n_buckets=n_buckets))
+    spark.sql(SEGMENT_SORT_DDL.format(catalog=catalog, db=db))
     for name in ("1m", "1h", "1d"):
         spark.sql(
             TIER_DDL.format(catalog=catalog, db=db, name=name, n_buckets=n_buckets)

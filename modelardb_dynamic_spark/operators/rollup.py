@@ -278,16 +278,27 @@ _CALENDAR_FIELDS = {
 }
 
 
-def calendar_agg(tier: DataFrame, field: str) -> DataFrame:
+def calendar_agg(tier: DataFrame, field: str, tz: str = "UTC") -> DataFrame:
     """The reference's {COUNT,MIN,MAX,SUM,AVG}_{YEAR..SECOND} UDAF family
     (engines/spark/SparkUDAF.scala:189-342 walking Segment.cube,
     core/models/Segment.java:135-168), re-expressed as a columnar groupBy
     over an exact fixed-width tier: hourly partials compose into any
-    calendar or cyclic bucket whose boundaries fall on hour edges (UTC), so
+    calendar or cyclic bucket whose boundaries fall on hour edges, so
     no model is ever re-decoded at query time. Pass the tier produced by
-    rollup(segments, finest_ms) for the field (see _CALENDAR_FIELDS)."""
+    rollup(segments, finest_ms) for the field (see _CALENDAR_FIELDS).
+
+    `tz` reproduces the reference's Calendar.getInstance() default-zone
+    semantics (Segment.java:135) — the reference buckets in the JVM's
+    default timezone, we default to UTC and take the zone explicitly.
+    Exactness condition: the tier width must divide the zone's UTC offset
+    (hour tier is exact for whole-hour-offset zones incl. their DST
+    shifts, e.g. America/New_York; use the minute tier for :30/:45-offset
+    zones like Asia/Kolkata or Asia/Kathmandu)."""
     expr, _ = _CALENDAR_FIELDS[field]
-    key = expr(F.timestamp_millis(F.col("bucket_ts")))
+    ts = F.timestamp_millis(F.col("bucket_ts"))
+    if tz != "UTC":
+        ts = F.from_utc_timestamp(ts, tz)
+    key = expr(ts)
     return (
         tier.groupBy("sid", "metric", key.alias(field))
         .agg(

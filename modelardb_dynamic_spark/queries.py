@@ -184,6 +184,26 @@ q_agg_minute = _calendar_query("minute", _minute_tier)
 q_agg_am_pm = _calendar_query("am_pm", _hour_tier)
 
 
+def q_agg_hour_of_day_nyc(spark, sf_dir):
+    """hour_of_day bucketed in America/New_York — the reference's UDAFs
+    inherit the JVM default Calendar zone (core/models/Segment.java:135);
+    calendar_agg takes the zone explicitly. Hourly partials stay exact
+    because NY's UTC offset (-05/-04, incl. the DST shift) is a whole
+    number of hours."""
+    from modelardb_dynamic_spark.operators.rollup import calendar_agg
+
+    segs = _event_segments(spark, sf_dir)
+    out = calendar_agg(
+        rollup(segs, HOUR_MS), "hour_of_day", tz="America/New_York"
+    )
+    return out.select(
+        "sid", "hour_of_day", "cnt", "vsum",
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+        "vavg",
+    )
+
+
 def q_agg_second(spark, sf_dir):
     """SECOND-field calendar aggregate over a 15 s-grid series (a 1 m grid
     would make every bucket's second 0, a degenerate test)."""
@@ -509,6 +529,7 @@ QUERIES = {
     "rollup_1h_gapfill": q_rollup_1h_gapfill,
     "tier_1d": q_tier_1d,
     "agg_hour_of_day": q_agg_hour_of_day,
+    "agg_hour_of_day_nyc": q_agg_hour_of_day_nyc,
     "agg_day_of_month": q_agg_day_of_month,
     "agg_year": q_agg_year,
     "agg_month": q_agg_month,
@@ -651,6 +672,15 @@ ORACLES = {
     "agg_hour_of_day": f"""
         WITH b AS ({_MINUTE_BUCKETS})
         SELECT sid, CAST(extract(hour FROM to_timestamp(m / 1000)) AS INT) AS hour_of_day,
+               count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+               CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax,
+               avg(v) AS vavg
+        FROM b GROUP BY 1, 2
+    """,
+    "agg_hour_of_day_nyc": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid,
+               CAST(extract(hour FROM (to_timestamp(m / 1000) AT TIME ZONE 'America/New_York')) AS INT) AS hour_of_day,
                count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
                CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax,
                avg(v) AS vavg

@@ -151,3 +151,47 @@ def test_gap_fill_long_span_chunked(spark):
     # spot-check boundaries survived the chunking
     row = filled.where(F.col("bucket_ts") == hi).collect()[0]
     assert row["cnt"] == 4 and row["vsum"] == 2.0
+
+
+def test_calendar_agg_timezone_dst(spark):
+    """calendar_agg(tz=) composes hourly partials in the target zone; a
+    whole-hour-offset zone stays exact across the DST fall-back (the
+    reference inherits the JVM default Calendar zone, Segment.java:135)."""
+    import pandas as pd
+
+    from modelardb_dynamic_spark.operators.rollup import calendar_agg
+
+    # hourly buckets spanning the 2023-11-05 America/New_York fall-back
+    # (06:00 UTC): UTC hours 04..08 are NY hours 0,1,1,2,3
+    hours_utc = [
+        1699156800000,  # 2023-11-05 04:00 UTC = 00:00 EDT
+        1699160400000,  # 05:00 UTC = 01:00 EDT
+        1699164000000,  # 06:00 UTC = 01:00 EST (repeated local hour)
+        1699167600000,  # 07:00 UTC = 02:00 EST
+        1699171200000,  # 08:00 UTC = 03:00 EST
+    ]
+    tier = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sid": ["s"] * 5,
+                "metric": ["m"] * 5,
+                "bucket_ts": hours_utc,
+                "cnt": [1, 2, 4, 8, 16],
+                "vsum": [1.0, 2.0, 4.0, 8.0, 16.0],
+                "vmin": [1.0] * 5,
+                "vmax": [1.0] * 5,
+            }
+        )
+    )
+    got = {
+        r["hour_of_day"]: r["cnt"]
+        for r in calendar_agg(
+            tier, "hour_of_day", tz="America/New_York"
+        ).collect()
+    }
+    assert got == {0: 1, 1: 6, 2: 8, 3: 16}
+    utc = {
+        r["hour_of_day"]: r["cnt"]
+        for r in calendar_agg(tier, "hour_of_day").collect()
+    }
+    assert utc == {4: 1, 5: 2, 6: 4, 7: 8, 8: 16}

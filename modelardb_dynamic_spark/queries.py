@@ -349,6 +349,18 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """Trained-IVF top-k (sampled spherical k-means, probe by centroid
+    distance). Rows-only driver gate BY DESIGN: the centroids are trained
+    from the corpus, so no static SQL string can replay them in DuckDB;
+    value quality is pinned by the recall@5 >= 0.9 pytest instead
+    (tests/test_training_ops.py::test_ivf_kmeans_recall)."""
+    return similarity.ivf_kmeans_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(20)), k=5,
+        n_probe=8,
+    )
+
+
 # --- text analysis --------------------------------------------------------------
 
 
@@ -548,6 +560,7 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,

@@ -126,3 +126,36 @@ def test_rolling_fingerprint_whole_doc(spark):
     )
     out = {r["id"]: r["rfp"] for r in textstats.rolling_fingerprint(d).collect()}
     assert out[1] == out[2] != out[3]
+
+
+def test_ivf_kmeans_recall(spark):
+    """VERDICT r2 #4 done-bar: trained IVF (C=256 sampled spherical
+    k-means cells, probe by centroid distance) reaches recall@5 >= 0.9
+    vs exact cosine_topk on a 1e5-vector clustered fixture."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    n, dim, n_clusters = 100_000, 32, 300
+    centers = rng.standard_normal((n_clusters, dim)) * 4.0
+    labels = rng.integers(0, n_clusters, n)
+    vecs = (centers[labels] + rng.standard_normal((n, dim))).astype("float32")
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": list(map(list, vecs))}),
+        "vec_id long, embedding array<float>",
+    ).repartition(16)
+    emb = emb.localCheckpoint()  # train + assign + brute reuse one scan
+    qids = list(range(0, 1000, 20))  # 50 queries
+    k = 5
+    brute = {
+        (r["qid"], r["nid"])
+        for r in similarity.cosine_topk(emb, qids, k=k).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in similarity.ivf_kmeans_topk(
+            emb, qids, k=k, n_cells=256, n_probe=16
+        ).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.9, f"recall@{k} = {recall:.3f}"

@@ -534,6 +534,26 @@ def q_corr_grouped_tiers(spark, sf_dir):
     )
 
 
+def q_dod_times(spark, sf_dir):
+    """Raw-tier irregular-timestamp archive (delta-of-delta, models/dod.py):
+    per-user event arrival times -> one DoD blob per user -> exact
+    restore. Output is the restored (user_id, seq, ts_us); the oracle
+    recomputes it straight from the raw table, so any bit lost in the
+    codec or the Arrow plumbing hash-mismatches. Microsecond unit keeps
+    full parquet timestamp precision."""
+    from modelardb_dynamic_spark.operators.rawtier import (
+        compress_times,
+        restore_times,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    blobs = compress_times(ev, "user_id", "ts_us")
+    return restore_times(blobs, "user_id", "ts_us")
+
+
 QUERIES = {
     "seg_count_s": q_seg_count_s,
     "seg_agg_s": q_seg_agg_s,
@@ -570,6 +590,7 @@ QUERIES = {
     "transcript_tiers": q_transcript_tiers,
     "grouped_tiers": q_grouped_tiers,
     "corr_grouped_tiers": q_corr_grouped_tiers,
+    "dod_times": q_dod_times,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -1008,6 +1029,13 @@ ORACLES = {
     "corr_grouped_tiers": f"""
         WITH b AS ({_MINUTE_BUCKETS})
         {_HOURLY}
+    """,
+    "dod_times": """
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+                   AS seq,
+               epoch_us(ts) AS ts_us
+        FROM events
     """,
     "grouped_tiers": f"""
         WITH b AS ({_MINUTE_BUCKETS}),

@@ -701,3 +701,72 @@ int64_t mdbs_compress_series(
     *consumed_out = consumed;
     return nseg;
 }
+
+/* ---------- gorilla decode ---------- */
+
+/* MSB-first bit reader over a byte buffer (BitBuffer.java read order). */
+typedef struct {
+    const uint8_t *buf;
+    int64_t nbytes;
+    int64_t pos; /* bit position */
+} br_t;
+
+static inline uint32_t br_get(br_t *r, int k) {
+    int64_t byte = r->pos >> 3;
+    int off = (int)(r->pos & 7);
+    r->pos += k;
+    int need = (off + k + 7) >> 3; /* <= 5 for k <= 32 */
+    uint64_t acc = 0;
+    for (int i = 0; i < need; i++) {
+        uint8_t b = (byte + i < r->nbytes) ? r->buf[byte + i] : 0;
+        acc = (acc << 8) | b;
+    }
+    acc >>= (need * 8 - off - k);
+    return (uint32_t)(acc & ((k >= 32) ? 0xFFFFFFFFull : ((1ull << k) - 1)));
+}
+
+/* Decode n float32 values (as uint32 bit patterns) from one Gorilla
+ * stream — exact inverse of gorilla_encode above, same window-reuse
+ * semantics as the Python models/gorilla.py gorilla_decode. */
+int64_t mdbs_gorilla_decode(const uint8_t *buf, int64_t nbytes,
+                            int64_t n, uint32_t *out) {
+    if (n <= 0) return 0;
+    br_t r = {buf, nbytes, 0};
+    uint32_t last = br_get(&r, 32);
+    out[0] = last;
+    int64_t stored_lz = ((int64_t)1) << 30;
+    int64_t stored_tz = 0;
+    for (int64_t i = 1; i < n; i++) {
+        if (br_get(&r, 1)) {
+            if (br_get(&r, 1)) {
+                stored_lz = (int64_t)br_get(&r, 5);
+                int sig = (int)br_get(&r, 6);
+                if (sig == 0) sig = 32;
+                stored_tz = 32 - sig - stored_lz;
+            }
+            int width = (int)(32 - stored_lz - stored_tz);
+            uint64_t value = (uint64_t)br_get(&r, width);
+            value = (value << stored_tz) & 0xFFFFFFFFull;
+            last ^= (uint32_t)value;
+        }
+        out[i] = last;
+    }
+    return 0;
+}
+
+/* Batched variant: many concatenated streams in one call (rollup and
+ * reconstruction decode millions of small segments; one ctypes hop per
+ * segment would cost more than the decode).  offs[j] is the byte offset
+ * of stream j in buf, cnts[j] its point count, out_offs[j] the slot in
+ * out where its values go. */
+int64_t mdbs_gorilla_decode_batch(const uint8_t *buf, int64_t nbytes,
+                                  const int64_t *offs, const int64_t *lens,
+                                  const int64_t *cnts, const int64_t *out_offs,
+                                  int64_t n_streams, uint32_t *out) {
+    for (int64_t j = 0; j < n_streams; j++) {
+        int64_t off = offs[j];
+        if (off < 0 || off + lens[j] > nbytes) return -1;
+        mdbs_gorilla_decode(buf + off, lens[j], cnts[j], out + out_offs[j]);
+    }
+    return 0;
+}

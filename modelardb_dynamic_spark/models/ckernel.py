@@ -114,5 +114,12 @@ def load() -> ctypes.CDLL | None:
         p_u8, i64,                          # arena, arena_cap
         p_u8,                               # gscratch
     ]
+    p_u32 = ctypes.POINTER(ctypes.c_uint32)
+    lib.mdbs_gorilla_decode.restype = i64
+    lib.mdbs_gorilla_decode.argtypes = [p_u8, i64, i64, p_u32]
+    lib.mdbs_gorilla_decode_batch.restype = i64
+    lib.mdbs_gorilla_decode_batch.argtypes = [
+        p_u8, i64, p_i64, p_i64, p_i64, p_i64, i64, p_u32
+    ]
     _lib = lib
     return _lib

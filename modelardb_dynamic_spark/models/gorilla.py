@@ -126,7 +126,75 @@ def gorilla_size_bytes(values: np.ndarray) -> int:
 
 
 def gorilla_decode(model: bytes, n: int) -> np.ndarray:
-    """Decode n float32 values from a Gorilla stream."""
+    """Decode n float32 values from a Gorilla stream. Dispatches to the C
+    kernel when available (bit-identical — differential test in
+    tests/test_ckernel.py); the Python path below is the fallback and the
+    readable specification."""
+    import ctypes
+
+    from modelardb_dynamic_spark.models import ckernel
+
+    lib = ckernel.load()
+    if lib is not None and n > 0:
+        out = np.empty(n, dtype=np.uint32)
+        buf = np.frombuffer(model, dtype=np.uint8)
+        lib.mdbs_gorilla_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(model), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        return out.view(np.float32)
+    return _gorilla_decode_py(model, n)
+
+
+def gorilla_decode_batch(
+    models: list[bytes],
+    counts: np.ndarray,
+    out: np.ndarray,
+    out_offs: np.ndarray,
+) -> None:
+    """Decode many Gorilla streams into slices of a preallocated float32
+    array: stream j fills out[out_offs[j] : out_offs[j] + counts[j]].
+
+    One C call for the whole batch — rollup/reconstruction decode millions
+    of ~15-70-point segments, so a per-segment ctypes (or Python-loop)
+    hop dominates the actual bit-twiddling. Falls back to the Python
+    decoder per stream when no C kernel is available."""
+    import ctypes
+
+    from modelardb_dynamic_spark.models import ckernel
+
+    if len(models) == 0:
+        return
+    lib = ckernel.load()
+    if lib is None:
+        for mdl, c, o in zip(models, counts.tolist(), out_offs.tolist()):
+            out[o : o + c] = _gorilla_decode_py(mdl, c)
+        return
+    buf = np.frombuffer(b"".join(models), dtype=np.uint8)
+    lens = np.fromiter((len(m) for m in models), np.int64, len(models))
+    offs = np.empty(len(models), dtype=np.int64)
+    offs[0] = 0
+    np.cumsum(lens[:-1], out=offs[1:])
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    out_offs = np.ascontiguousarray(out_offs, dtype=np.int64)
+    out_u32 = out.view(np.uint32)
+
+    def p(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    rc = lib.mdbs_gorilla_decode_batch(
+        p(buf, ctypes.c_uint8), len(buf),
+        p(offs, ctypes.c_int64), p(lens, ctypes.c_int64),
+        p(counts, ctypes.c_int64), p(out_offs, ctypes.c_int64),
+        len(models), p(out_u32, ctypes.c_uint32),
+    )
+    if rc != 0:
+        raise ValueError("gorilla_decode_batch: inconsistent offsets")
+
+
+def _gorilla_decode_py(model: bytes, n: int) -> np.ndarray:
+    """Pure-Python Gorilla decode (specification / no-compiler fallback)."""
     total = len(model) * 8
     acc = int.from_bytes(model, "big")
     pos = 0

@@ -29,7 +29,7 @@ from modelardb_dynamic_spark.config import (
     MTID_SWING,
     MTID_UNCOMPRESSED,
 )
-from modelardb_dynamic_spark.models.gorilla import gorilla_decode
+from modelardb_dynamic_spark.models.gorilla import gorilla_decode_batch
 from modelardb_dynamic_spark.models.kernels import swing_decode
 
 DATAPOINT_SCHEMA = "sid string, metric string, ts_ms long, value float"
@@ -82,12 +82,16 @@ def _grid_batch(rb: pa.RecordBatch) -> pa.RecordBatch:
         values[mask] = (
             ab[sidx, 0] * ts[mask].astype(np.float64) + ab[sidx, 1]
         ).astype(np.float32)
-    for i in np.flatnonzero((mtid == MTID_GORILLA) | (mtid == MTID_UNCOMPRESSED)):
+    g_ids = np.flatnonzero(mtid == MTID_GORILLA)
+    if len(g_ids):
+        # one C call decodes every Gorilla stream of the batch straight
+        # into its values[] slice (per-segment decode hops dominated here)
+        gorilla_decode_batch(
+            [models[i] for i in g_ids], lens[g_ids], values, offs[g_ids]
+        )
+    for i in np.flatnonzero(mtid == MTID_UNCOMPRESSED).tolist():
         a, b = offs[i], offs[i] + lens[i]
-        if mtid[i] == MTID_GORILLA:
-            values[a:b] = gorilla_decode(models[i], int(lens[i]))
-        else:
-            values[a:b] = np.frombuffer(models[i], dtype=">f4")[: lens[i]]
+        values[a:b] = np.frombuffer(models[i], dtype=">f4")[: lens[i]]
     # string columns fan out via Arrow take (C++), never via Python objects
     idx = pa.array(seg_idx, type=pa.int64())
     return pa.RecordBatch.from_arrays(

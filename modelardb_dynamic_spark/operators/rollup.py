@@ -39,7 +39,7 @@ from modelardb_dynamic_spark.config import (
     MTID_SWING,
     MTID_UNCOMPRESSED,
 )
-from modelardb_dynamic_spark.models.gorilla import gorilla_decode
+from modelardb_dynamic_spark.models.gorilla import gorilla_decode_batch
 from modelardb_dynamic_spark.models.kernels import swing_decode
 
 TIER_SCHEMA = (
@@ -125,25 +125,40 @@ def _bucket_partials(rb: pa.RecordBatch, bucket_ms: int) -> pa.RecordBatch:
         b32 = b.astype(np.float32)
         vmin[mask] = np.where(a == 0, b32, np.where(a > 0, f_lo, f_hi))
         vmax[mask] = np.where(a == 0, b32, np.where(a > 0, f_hi, f_lo))
-    for i in np.flatnonzero((mtid == MTID_GORILLA) | (mtid == MTID_UNCOMPRESSED)):
-        n_i = int((end[i] - start[i]) // si[i]) + 1
-        if mtid[i] == MTID_GORILLA:
-            vals = gorilla_decode(models[i], n_i)
-        else:
-            vals = np.frombuffer(models[i], dtype=">f4")[:n_i]
-        # this segment's bucket rows are contiguous: [offs[i], offs[i]+k[i])
-        rows = np.arange(offs[i], offs[i] + k[i])
-        rows = rows[valid[rows]]
-        if len(rows) == 0:
-            continue
-        pos = ((lo_g[rows] - start[i]) // si[i]).astype(np.int64)
-        vals64 = vals.astype(np.float64)
-        # within one segment the buckets partition the grid, so reduceat
-        # slice [pos_j, pos_{j+1}) is exactly bucket j; the last runs to the
-        # segment end which equals its hi_g by construction
-        vsum[rows] = np.add.reduceat(vals64, pos)
-        vmin[rows] = np.minimum.reduceat(vals, pos)
-        vmax[rows] = np.maximum.reduceat(vals, pos)
+    gu_segs = np.flatnonzero((mtid == MTID_GORILLA) | (mtid == MTID_UNCOMPRESSED))
+    if len(gu_segs):
+        # decode EVERY payload-carrying segment of the batch into one
+        # concatenated value array (single C call for all Gorilla streams
+        # — a per-segment decode hop dominated this loop), then aggregate
+        # every bucket of every segment with ONE reduceat per statistic.
+        n_pts = (end[gu_segs] - start[gu_segs]) // si[gu_segs] + 1
+        seg_out = np.zeros(n_seg, dtype=np.int64)  # value offset per segment
+        seg_out[gu_segs] = np.concatenate(([0], np.cumsum(n_pts)[:-1]))
+        vals = np.empty(int(n_pts.sum()), dtype=np.float32)
+        g_sel = mtid[gu_segs] == MTID_GORILLA
+        g_ids = gu_segs[g_sel]
+        gorilla_decode_batch(
+            [models[i] for i in g_ids], n_pts[g_sel], vals, seg_out[g_ids]
+        )
+        for i in gu_segs[~g_sel].tolist():
+            o = seg_out[i]
+            c = int((end[i] - start[i]) // si[i]) + 1
+            vals[o : o + c] = np.frombuffer(models[i], dtype=">f4")[:c]
+        # rows of gu segments, valid buckets only, in (segment, bucket)
+        # order; within one segment the buckets partition the grid, so
+        # reduceat slice [pos_j, pos_{j+1}) is exactly bucket j: the last
+        # bucket of a segment runs to the segment end, whose value index
+        # + 1 is the NEXT segment's offset by construction of seg_out
+        rows = np.flatnonzero(
+            ((m == MTID_GORILLA) | (m == MTID_UNCOMPRESSED)) & valid
+        )
+        if len(rows):
+            sor = seg_idx[rows]
+            pos = seg_out[sor] + (lo_g[rows] - start[sor]) // si[sor]
+            vals64 = vals.astype(np.float64)
+            vsum[rows] = np.add.reduceat(vals64, pos)
+            vmin[rows] = np.minimum.reduceat(vals, pos)
+            vmax[rows] = np.maximum.reduceat(vals, pos)
     # exclusivity: every grid slot of the bucket inside [start, end]
     excl = (bucket_ts >= st) & (bucket_ts + bucket_ms - s_i <= en)
     # keep only valid rows; string keys fan out via Arrow take (C++)

@@ -100,3 +100,41 @@ def test_c_kernel_handles_tiny_inputs():
         cfg, True,
     )[0]
     assert [_key(s) for s in one] == [_key(s) for s in py]
+
+
+def test_c_gorilla_decode_matches_python():
+    """C decoder vs the Python specification, bit-for-bit, on streams with
+    zero-XOR runs, window reuse, window resets, sig==32 wrap, NaN/inf."""
+    from modelardb_dynamic_spark.models.gorilla import (
+        _gorilla_decode_py,
+        gorilla_decode,
+        gorilla_decode_batch,
+        gorilla_encode,
+    )
+
+    rng = np.random.default_rng(42)
+    corpora = [
+        np.array([1.5], dtype=np.float32),
+        np.array([1.5, 1.5, 1.5, 1.5], dtype=np.float32),
+        np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-38], dtype=np.float32),
+        rng.normal(0, 10, 500).astype(np.float32),
+        np.repeat(rng.normal(0, 1, 50), 10).astype(np.float32),
+        (rng.integers(0, 5, 300) * 0.25).astype(np.float32),
+    ]
+    blobs, counts = [], []
+    for v in corpora:
+        blob, _ = gorilla_encode(v)
+        got_c = gorilla_decode(blob, len(v))
+        got_py = _gorilla_decode_py(blob, len(v))
+        np.testing.assert_array_equal(
+            got_c.view(np.uint32), got_py.view(np.uint32)
+        )
+        np.testing.assert_array_equal(got_c.view(np.uint32), v.view(np.uint32))
+        blobs.append(blob)
+        counts.append(len(v))
+    counts = np.array(counts, dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out = np.empty(int(counts.sum()), dtype=np.float32)
+    gorilla_decode_batch(blobs, counts, out, offs)
+    expect = np.concatenate(corpora)
+    np.testing.assert_array_equal(out.view(np.uint32), expect.view(np.uint32))

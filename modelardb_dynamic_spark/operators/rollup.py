@@ -65,7 +65,9 @@ _PARTIAL_SCHEMA = pa.schema(
 )
 
 
-def _bucket_partials(rb: pa.RecordBatch, bucket_ms: int) -> pa.RecordBatch:
+def _bucket_partials(
+    rb: pa.RecordBatch, bucket_ms: int, keep: str = "all"
+) -> pa.RecordBatch:
     n_seg = rb.num_rows
     start = rb.column("start_ts").to_numpy(zero_copy_only=False).astype(np.int64)
     end = rb.column("end_ts").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -162,7 +164,12 @@ def _bucket_partials(rb: pa.RecordBatch, bucket_ms: int) -> pa.RecordBatch:
     # exclusivity: every grid slot of the bucket inside [start, end]
     excl = (bucket_ts >= st) & (bucket_ts + bucket_ms - s_i <= en)
     # keep only valid rows; string keys fan out via Arrow take (C++)
-    vrows = np.flatnonzero(valid)
+    if keep == "interior":
+        vrows = np.flatnonzero(valid & excl)
+    elif keep == "boundary":
+        vrows = np.flatnonzero(valid & ~excl)
+    else:
+        vrows = np.flatnonzero(valid)
     idx = pa.array(seg_idx[vrows], type=pa.int64())
     return pa.RecordBatch.from_arrays(
         [
@@ -179,7 +186,9 @@ def _bucket_partials(rb: pa.RecordBatch, bucket_ms: int) -> pa.RecordBatch:
     )
 
 
-def rollup(segments: DataFrame, bucket_ms: int) -> DataFrame:
+def rollup(
+    segments: DataFrame, bucket_ms: int, materialize: bool = True
+) -> DataFrame:
     """Segment table -> tier table at bucket_ms granularity.
 
     Shuffle-minimal: a bucket wholly inside one segment's range can never
@@ -190,23 +199,37 @@ def rollup(segments: DataFrame, bucket_ms: int) -> DataFrame:
     (bucket_ms == si) that is a ~0-row shuffle instead of every point,
     measured 8x less shuffle volume on the 73.6M-point bench tier. The
     interior rows equal what a single-row aggregate would produce, so the
-    union is value-identical to the full groupBy."""
+    union is value-identical to the full groupBy.
 
-    def map_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb in batches:
-            if rb.num_rows:
-                yield _bucket_partials(rb, bucket_ms)
+    Memory-traffic shape (matters at >=16 cores, where the pipeline is
+    bandwidth-bound — BENCH.md): the two branches each re-scan the
+    SEGMENTS (compact, ~16x fewer rows than the fine tier) and re-run the
+    batched C decode (~28 M pts/s/core, negligible), instead of
+    checkpointing the exploded per-bucket partials, which for a fine tier
+    materializes every point twice through the block store. r2 did the
+    opposite because decode was then the expensive step.
 
-    partials = segments.select(
+    materialize=False skips the segments checkpoint — pass it when the
+    input is already a storage scan or persisted (re-scanning is cheaper
+    than copying it into the block store)."""
+    src = segments.select(
         "sid", "metric", "start_ts", "end_ts", "si", "mtid", "model"
-    ).mapInArrow(map_fn, schema=TIER_SCHEMA + ", excl boolean")
-    # materialize once: the interior/boundary branches would otherwise each
-    # re-execute the whole upstream pipeline (compress + decode), which
-    # costs more than storing the compact partial rows
-    partials = partials.localCheckpoint(eager=False)
-    interior = partials.where(F.col("excl")).drop("excl")
+    )
+    if materialize:
+        src = src.localCheckpoint(eager=False)
+
+    def make_fn(keep: str):
+        def map_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for rb in batches:
+                if rb.num_rows:
+                    yield _bucket_partials(rb, bucket_ms, keep)
+
+        return map_fn
+
+    out_schema = TIER_SCHEMA + ", excl boolean"
+    interior = src.mapInArrow(make_fn("interior"), schema=out_schema).drop("excl")
     boundary = (
-        partials.where(~F.col("excl"))
+        src.mapInArrow(make_fn("boundary"), schema=out_schema)
         .drop("excl")
         .groupBy("sid", "metric", "bucket_ts")
         .agg(

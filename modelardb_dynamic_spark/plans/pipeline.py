@@ -172,8 +172,12 @@ class TierPipeline:
         for tier_name, bucket_ms in TIERS:
             def build(bucket_ids: list[int], prev=prev, bucket_ms=bucket_ms) -> DataFrame:
                 src = self._read_buckets(prev, bucket_ids)
-                tier = rollup(src, bucket_ms) if prev == "segments" else downsample(
-                    src, bucket_ms
+                # src is a storage scan: re-scanning it in the two rollup
+                # branches is cheaper than copying it into the block store
+                tier = (
+                    rollup(src, bucket_ms, materialize=False)
+                    if prev == "segments"
+                    else downsample(src, bucket_ms)
                 )
                 return tier.withColumn(
                     "sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets)

@@ -261,6 +261,7 @@ int64_t mdbs_compress_run(
     uint8_t *gscratch, /* caller-zeroed, >= 6*min(length_bound,n)+16 bytes */
     int64_t *consumed_out)
 {
+    if (length_bound < 1) return -2; /* see mdbs_compress_group */
     double bound = (double)(float)error_bound;
     double ebdiv = ((double)(float)error_bound) / 100.1;
     int64_t i = 0, nseg = 0, used = 0;
@@ -572,6 +573,10 @@ int64_t mdbs_compress_group(
     int64_t *seg_model_off, int64_t *seg_model_len,
     uint8_t *arena, int64_t arena_cap, uint8_t *gscratch)
 {
+    /* -2: invalid args (a 0 length_bound would make the uncompressed
+     * fallback's blen=0 never advance i). EngineConfig already rejects
+     * it; this keeps the kernel safe standalone. -1 stays "arena full". */
+    if (length_bound < 1) return -2;
     double ebdiv = ((double)(float)error_bound) / 100.1;
     int64_t i = 0, nseg = 0, used = 0;
     while (i < n) {
@@ -675,6 +680,7 @@ int64_t mdbs_compress_series(
     uint8_t *gscratch,
     int64_t *consumed_out)
 {
+    if (length_bound < 1) return -2; /* see mdbs_compress_group */
     int64_t nseg = 0, used = 0, consumed = 0;
     int64_t a = 0;
     while (a < n) {

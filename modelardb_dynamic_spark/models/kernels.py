@@ -424,8 +424,14 @@ def _c_call(fn, t, v, cfg, extra_args, n) -> tuple[list[Segment], int]:
         )
         if k >= 0:
             break
+        if k != -1:
+            raise ValueError(f"C kernel rejected its arguments (rc={k})")
         arena_cap *= 2
-    ab = arena.tobytes()
+    # copy only the used prefix: the arena is 8n+1k but the model bytes
+    # occupy max(off+mlen) of it (ADVICE r3 — avoids a transient copy
+    # several times the payload on large series)
+    used = int((seg_off[:k] + seg_mlen[:k]).max()) if k else 0
+    ab = arena[:used].tobytes()
     out = []
     for j in range(k):
         a = int(seg_idx[j])

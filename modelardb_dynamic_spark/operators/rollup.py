@@ -316,7 +316,38 @@ _CALENDAR_FIELDS = {
 }
 
 
-def calendar_agg(tier: DataFrame, field: str, tz: str = "UTC") -> DataFrame:
+def _validate_tz_exact(tz: str, tier_ms: int) -> None:
+    """Raise unless every UTC offset the zone uses (daily samples across
+    1990-2040 catch every persistent offset, including DST halves) is a
+    multiple of the tier width — the exactness condition calendar_agg's
+    docstring states, enforced instead of trusted (ADVICE r3)."""
+    import datetime as _dt
+    from zoneinfo import ZoneInfo
+
+    zone = ZoneInfo(tz)
+    day = _dt.timedelta(days=1)
+    t = _dt.datetime(1990, 1, 1, tzinfo=_dt.timezone.utc)
+    end = _dt.datetime(2040, 1, 1, tzinfo=_dt.timezone.utc)
+    seen: set[int] = set()
+    while t < end:
+        off = zone.utcoffset(t)
+        ms = int(off.total_seconds() * 1000)
+        if ms not in seen:
+            seen.add(ms)
+            if ms % tier_ms != 0:
+                raise ValueError(
+                    f"calendar_agg(tz={tz!r}) is not exact on a "
+                    f"{tier_ms} ms tier: the zone's UTC offset "
+                    f"{off} is not a multiple of the tier width — "
+                    f"use a finer tier (e.g. the minute tier for "
+                    f":30/:45-offset zones)"
+                )
+        t += day
+
+
+def calendar_agg(
+    tier: DataFrame, field: str, tz: str = "UTC", tier_ms: int | None = None
+) -> DataFrame:
     """The reference's {COUNT,MIN,MAX,SUM,AVG}_{YEAR..SECOND} UDAF family
     (engines/spark/SparkUDAF.scala:189-342 walking Segment.cube,
     core/models/Segment.java:135-168), re-expressed as a columnar groupBy
@@ -331,8 +362,12 @@ def calendar_agg(tier: DataFrame, field: str, tz: str = "UTC") -> DataFrame:
     Exactness condition: the tier width must divide the zone's UTC offset
     (hour tier is exact for whole-hour-offset zones incl. their DST
     shifts, e.g. America/New_York; use the minute tier for :30/:45-offset
-    zones like Asia/Kolkata or Asia/Kathmandu)."""
-    expr, _ = _CALENDAR_FIELDS[field]
+    zones like Asia/Kolkata or Asia/Kathmandu). The condition is ENFORCED:
+    a zone whose offsets don't divide tier_ms (default: the field's finest
+    exact tier) raises instead of silently mis-bucketing."""
+    expr, finest_ms = _CALENDAR_FIELDS[field]
+    if tz != "UTC":
+        _validate_tz_exact(tz, tier_ms if tier_ms is not None else finest_ms)
     ts = F.timestamp_millis(F.col("bucket_ts"))
     if tz != "UTC":
         ts = F.from_utc_timestamp(ts, tz)

@@ -162,6 +162,56 @@ def ivf_topk(
     )
 
 
+def kmeans_cells_for(n: int) -> int:
+    """C ~ sqrt(corpus), floored at 16, capped at 4096 — shared between
+    the GEMM scale path and the oracle-exact path so both train the same
+    number of cells on the same corpus."""
+    return int(min(4096, max(16, round(n**0.5))))
+
+
+def load_embeddings_sorted(
+    parquet_path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """(ids int64, X float64) sorted by id, read straight from parquet.
+    Engine-independent on purpose: the Spark query path and the DuckDB
+    oracle generator both call this, so k-means training sees the
+    byte-identical matrix in the identical row order and produces
+    bit-identical centroids on both sides of the driver's value gate."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+    X = np.array(tbl.column(vec_col).to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], X[order]
+
+
+def train_kmeans_exact(
+    X: np.ndarray, n_cells: int, seed: int = 29, iters: int = 15
+) -> np.ndarray:
+    """The train_kmeans_centroids Lloyd loop on a canonically ordered
+    (sorted-by-id) full matrix: seeded init + fixed iterations + ordered
+    member sums make the result a pure function of the table contents,
+    replayable as SQL literals by the DuckDB oracle. Full-corpus training
+    is the oracle-scale path; at 100 TB use train_kmeans_centroids (the
+    bounded-sample variant) instead."""
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    C = min(n_cells, len(X))
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=C, replace=False)].copy()
+    for _ in range(iters):
+        sims = X @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(C):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+        # normalize AFTER the member-sum update, every iteration — the
+        # exact op order of train_kmeans_centroids
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    return cent
+
+
 def train_kmeans_centroids(
     corpus: DataFrame,
     n_cells: int,
@@ -170,14 +220,17 @@ def train_kmeans_centroids(
     seed: int = 29,
     sample_cap: int = 100_000,
     iters: int = 15,
+    n: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means centroids (C, dim), unit-norm, trained on a
     seeded sample of <= sample_cap vectors. Deterministic: seeded Spark
     sample + seeded numpy init + fixed Lloyd iteration count. At 100 TB
     only the sample ever leaves the executors (sample_cap * dim floats);
     training is a driver-side numpy loop over that fixed-size matrix, so
-    its cost does not grow with the corpus."""
-    n = corpus.count()
+    its cost does not grow with the corpus. Pass n (the corpus row count)
+    when the caller already knows it to avoid a second full scan."""
+    if n is None:
+        n = corpus.count()
     frac = min(1.0, (sample_cap * 1.05) / max(n, 1))
     sample = (
         corpus.select(vec_col).sample(False, frac, seed).limit(sample_cap)
@@ -209,6 +262,7 @@ def ivf_kmeans_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 29,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Real IVF top-k (VERDICT r2 'What's wrong #2'): sampled spherical
     k-means centroids (C ~ sqrt(corpus), capped at 4096), corpus assigned
@@ -222,11 +276,15 @@ def ivf_kmeans_topk(
     tests/test_training_ops.py recall@5 >= 0.9 vs cosine_topk on a 1e5
     x 32 clustered fixture with C=256."""
     spark = corpus.sparkSession
-    if n_cells is None:
-        n_cells = int(min(4096, max(16, round(corpus.count() ** 0.5))))
-    cent = train_kmeans_centroids(
-        corpus, n_cells, id_col, vec_col, seed=seed
-    )
+    if centroids is not None:
+        cent = centroids
+    else:
+        n_corpus = corpus.count()  # counted ONCE, reused by the trainer
+        if n_cells is None:
+            n_cells = kmeans_cells_for(n_corpus)
+        cent = train_kmeans_centroids(
+            corpus, n_cells, id_col, vec_col, seed=seed, n=n_corpus
+        )
     n_probe = min(n_probe, len(cent))
     bc_cent = spark.sparkContext.broadcast(cent)
 
@@ -303,4 +361,66 @@ def ivf_kmeans_topk(
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "nid", "rank")
+    )
+
+
+def ivf_kmeans_topk_exact(
+    corpus: DataFrame,
+    query_ids: list[int],
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained-IVF pipeline (assign -> probe n_probe nearest cells ->
+    exact re-rank) expressed as pure fold-exact SQL over a broadcast
+    centroid table — the same algorithm as ivf_kmeans_topk with the same
+    centroids, but every dot product is the sequential left-fold the
+    DuckDB oracle replays (list_reduce), so ranks are bit-deterministic
+    across engines (the driver's value gate). Pinned equal to the GEMM
+    scale path by tests/test_training_ops.py::test_ivf_kmeans_exact_
+    matches_gemm. Argmax cell assignment uses the RAW dot (centroids are
+    unit-norm, so the per-row norm divides out of the argmax)."""
+    spark = corpus.sparkSession
+    C, dim = centroids.shape
+    n_probe = min(n_probe, C)
+    cent_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell": np.arange(C, dtype=np.int64),
+                "cvec": [[float(x) for x in row] for row in centroids],
+            }
+        ),
+        schema="cell long, cvec array<double>",
+    )
+    e = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    dots = e.crossJoin(F.broadcast(cent_df)).withColumn(
+        "dot", dot_fold(F.col("vec"), F.col("cvec"))
+    )
+    wa = Window.partitionBy("id").orderBy(F.desc("dot"), F.asc("cell"))
+    assigned = (
+        dots.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("id", "vec", "cell")
+    )
+    probes = (
+        dots.where(F.col("id").isin(query_ids))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= n_probe)
+        .select(
+            F.col("id").alias("qid"), F.col("vec").alias("qvec"), "cell"
+        )
+    )
+    cand = probes.join(assigned, "cell").where(F.col("qid") != F.col("id"))
+    scored = cand.withColumn(
+        "cosine",
+        dot_fold(F.col("qvec"), F.col("vec"))
+        / (norm_fold(F.col("qvec")) * norm_fold(F.col("vec"))),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("id").alias("nid"), "rank")
     )

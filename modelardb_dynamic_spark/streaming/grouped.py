@@ -103,11 +103,18 @@ def _make_handler(
         if sealed.any():
             if sids is None:
                 known = members_of.get((gid, metric))
-                sids = (
-                    known
-                    if known is not None
-                    else tuple(sorted(set(p_sid[sealed].tolist())))
-                )
+                observed = tuple(sorted(set(p_sid[sealed].tolist())))
+                if known is None:
+                    sids = observed
+                else:
+                    # an observed sid missing from the map's member list
+                    # (xxhash64 fallback-gid collision between unmapped
+                    # series) gets its OWN column appended after the known
+                    # members instead of being dropped (ADVICE r3) — batch
+                    # co-groups such series, streaming now does too
+                    sids = known + tuple(
+                        s for s in observed if s not in set(known)
+                    )
                 eng = GroupEngine(
                     None, None, cfg, split_fraction,
                     maximum_latency=max_latency_points,
@@ -121,7 +128,18 @@ def _make_handler(
             V = np.full((len(grid), len(sids)), np.nan, dtype=np.float32)
             rows = np.searchsorted(grid, st)
             cols = np.array([col_of.get(s, -1) for s in ss])
-            ok = cols >= 0  # unknown sid for a mapped gid: 64-bit collision
+            # a sid first seen AFTER engine creation can't grow the matrix;
+            # count and log the drop instead of losing it silently
+            ok = cols >= 0
+            if not ok.all():
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "grouped stream (gid=%s, metric=%s): dropped %d rows "
+                    "from sids %s that appeared after engine creation",
+                    gid, metric, int((~ok).sum()),
+                    sorted(set(ss[~ok].tolist())),
+                )
             V[rows[ok], cols[ok]] = sv[ok]
             segs = eng.feed(grid, V)
             p_t, p_sid, p_v = p_t[~sealed], p_sid[~sealed], p_v[~sealed]

@@ -195,3 +195,24 @@ def test_calendar_agg_timezone_dst(spark):
         for r in calendar_agg(tier, "hour_of_day").collect()
     }
     assert utc == {4: 1, 5: 2, 6: 4, 7: 8, 8: 16}
+
+
+def test_calendar_agg_rejects_fractional_offset_zone(spark):
+    """ADVICE r3: the tz exactness condition is enforced — Asia/Kolkata
+    (+05:30) on the hour tier raises instead of silently mis-bucketing;
+    the minute tier accepts it."""
+    import pytest as _pytest
+
+    from modelardb_dynamic_spark.operators.rollup import calendar_agg
+
+    tier = spark.createDataFrame(
+        [("a", "m", 0, 1, 1.0, 1.0, 1.0)],
+        "sid string, metric string, bucket_ts long, cnt long, "
+        "vsum double, vmin double, vmax double",
+    )
+    with _pytest.raises(ValueError, match="not exact"):
+        calendar_agg(tier, "hour_of_day", tz="Asia/Kolkata")
+    # a :30-offset zone IS exact on the minute tier
+    calendar_agg(tier, "minute", tz="Asia/Kolkata")
+    # and a whole-hour zone stays accepted on the hour tier
+    calendar_agg(tier, "hour_of_day", tz="America/New_York")

@@ -159,3 +159,50 @@ def test_ivf_kmeans_recall(spark):
     }
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.9, f"recall@{k} = {recall:.3f}"
+
+
+def test_ivf_kmeans_exact_matches_gemm(spark):
+    """The fold-exact SQL pipeline the driver value-gates
+    (ivf_kmeans_topk_exact) and the GEMM scale path (ivf_kmeans_topk)
+    return identical (qid, nid, rank) sets when given the same centroids
+    — so the green DuckDB oracle transitively pins the scale path too."""
+    import numpy as np
+
+    _, X = similarity.load_embeddings_sorted(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    cent = similarity.train_kmeans_exact(
+        X, similarity.kmeans_cells_for(len(X))
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(20))
+    exact = {
+        (r["qid"], r["nid"], r["rank"])
+        for r in similarity.ivf_kmeans_topk_exact(
+            emb, qids, centroids=cent, k=5, n_probe=8
+        ).collect()
+    }
+    gemm = {
+        (r["qid"], r["nid"], r["rank"])
+        for r in similarity.ivf_kmeans_topk(
+            emb, qids, centroids=cent, k=5, n_probe=8
+        ).collect()
+    }
+    assert exact == gemm
+
+
+def test_train_kmeans_exact_deterministic():
+    """Two independent trainings from the parquet produce bit-identical
+    centroids — the property the generated DuckDB oracle relies on."""
+    import numpy as np
+
+    _, X1 = similarity.load_embeddings_sorted(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    _, X2 = similarity.load_embeddings_sorted(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    c1 = similarity.train_kmeans_exact(X1, 22)
+    c2 = similarity.train_kmeans_exact(X2, 22)
+    assert c1.shape == (22, 64)
+    assert np.array_equal(c1, c2)

@@ -51,6 +51,11 @@ def to_sorted_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    import os
+
+    # generated oracles (kmeans centroid literals) must train on the
+    # same sf dir the views point at
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()

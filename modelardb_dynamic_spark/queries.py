@@ -412,6 +412,18 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_wav_features(spark, sf_dir):
+    """REAL audio decode end-to-end: genuine RIFF/WAVE 16-bit PCM payloads
+    built with the stdlib wave module, parsed back with the same module,
+    features computed by numpy — gated by a DuckDB oracle that recomputes
+    the same features from the waveform's closed form, so a wrong encode,
+    decode, or feature kernel all surface as a hash mismatch."""
+    from modelardb_dynamic_spark.operators import multimodal
+
+    media = multimodal.synth_wav_media(spark, n=128)
+    return multimodal.wav_features(media)
+
+
 # --- transcript pipeline (rows-only smoke at driver scale) ----------------------
 
 
@@ -594,6 +606,7 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
     "multimodal_features": q_multimodal_features,
+    "wav_features": q_wav_features,
     "transcript_tiers": q_transcript_tiers,
     "grouped_tiers": q_grouped_tiers,
     "corr_grouped_tiers": q_corr_grouped_tiers,
@@ -1021,6 +1034,45 @@ ORACLES = {
                      + unicode(substr(hexpayload, 4, 1)) * 16777216) % 1000
                     AS FLOAT) AS f0
         FROM m
+    """,
+    "wav_features": """
+        WITH m AS (
+            SELECT CAST(r.range AS BIGINT) AS media_id,
+                   CAST((r.range * 97) % 2000 + 100 AS INT) AS duration_ms,
+                   (CAST((r.range * 97) % 2000 + 100 AS BIGINT) * 8000) // 1000
+                       AS n_samples
+            FROM range(0, 128) r
+        ),
+        v AS (
+            SELECT media_id, duration_ms, n_samples,
+                   unnest(range(0, n_samples)) AS k
+            FROM m
+        ),
+        sv AS (
+            SELECT media_id, duration_ms, n_samples, k,
+                   (media_id * 31 + k * 17) % 2001 - 1000 AS s
+            FROM v
+        ),
+        zc AS (
+            SELECT media_id,
+                   CASE WHEN (s < 0) != (lag(s) OVER (
+                       PARTITION BY media_id ORDER BY k) < 0)
+                        THEN 1 ELSE 0 END AS flip,
+                   s
+            FROM sv
+        ),
+        agg AS (
+            SELECT media_id,
+                   CAST(sum(s * s) AS DOUBLE) AS sq,
+                   CAST(sum(flip) AS BIGINT) AS zero_crossings,
+                   CAST(max(s) AS DOUBLE) AS peak
+            FROM zc GROUP BY media_id
+        )
+        SELECT m.media_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(1 AS INT) AS n_channels, m.n_samples,
+               m.duration_ms, sqrt(agg.sq / m.n_samples) AS rms,
+               agg.zero_crossings, agg.peak
+        FROM m JOIN agg ON m.media_id = agg.media_id
     """,
     "rolling_fingerprint": """
         SELECT doc_id AS id,

@@ -206,3 +206,27 @@ def test_train_kmeans_exact_deterministic():
     c2 = similarity.train_kmeans_exact(X2, 22)
     assert c1.shape == (22, 64)
     assert np.array_equal(c1, c2)
+
+
+def test_wav_real_decode_roundtrip(spark):
+    """synth_wav_media writes real RIFF/WAVE PCM and wav_features parses
+    it back: header fields and all features must equal the closed-form
+    computation over the generating waveform (no fake decode anywhere in
+    this path)."""
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators import multimodal as mm
+
+    media = mm.synth_wav_media(spark, n=16)
+    rows = {r["media_id"]: r for r in mm.wav_features(media).collect()}
+    assert len(rows) == 16
+    for mid in range(16):
+        dur = (mid * 97) % 2000 + 100
+        ns = dur * mm.WAV_RATE // 1000
+        s = mm._wav_samples(mid, ns).astype(np.int64)
+        r = rows[mid]
+        assert r["sample_rate"] == mm.WAV_RATE and r["n_channels"] == 1
+        assert r["n_samples"] == ns and r["duration_ms"] == dur
+        assert r["rms"] == float(np.sqrt(int((s**2).sum()) / ns))
+        assert r["zero_crossings"] == int(((s[:-1] < 0) != (s[1:] < 0)).sum())
+        assert r["peak"] == float(s.max())

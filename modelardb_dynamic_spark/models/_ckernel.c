@@ -554,24 +554,47 @@ static int64_t gorilla_encode_rows(const float *v, int64_t rows, int64_t G,
     return (w.nbits + 7) / 8;
 }
 
-/* _ratio_g with n_gaps == 0: float32 all the way. */
-static inline float ratio_grp32(int64_t rows, double size) {
+/* _ratio_g: float32 all the way, incl. the 4*n_gaps denominator term
+ * (models/grouped.py _ratio_g; ModelType.java:65-70). Left-assoc float
+ * adds match numpy: (24 + size) + (4 * gaps). */
+static inline float ratio_grp32(int64_t rows, double size, int64_t n_gaps) {
     if (rows == 0 || isnan(size)) return NAN;
     float num = 16.0f * (float)rows;
-    float den = 24.0f + (float)size;
+    float den = (24.0f + (float)size) + 4.0f * (float)n_gaps;
     return num / den;
 }
 
 /* Grouped cascade driver; same output layout as mdbs_compress_run minus
  * the summary columns (GroupSegment carries none).  Caller guarantees
  * eligibility (see header comment); gscratch >= 6*min(lb,n)*G+16 bytes.
+ * allow_flush=0 stops before an incomplete trailing segment (windowed
+ * mode: the tail re-seeds the Python engine's open buffer); n_gaps is
+ * the constant gaps-set size feeding the ratio denominator (a split
+ * sub-generator counts the group members it does NOT carry);
+ * seg_emit_row[j] = input row index whose CONSUME emits segment j in the
+ * sequential engine — the pass-order sort key. This is NOT simply the
+ * row that sticks the last model: after an emission the engine's reset
+ * cascade may find models already stuck inside the leftover buffer, and
+ * each stuck model costs one further consume to advance past (one
+ * model-append attempt per consumed row, models/grouped.py
+ * _append_to_cascade). The exact recurrence, seeded with cur=prev_row0:
+ *   PMC advance    cur = max(i + p, cur + 1)   (skipped for the first
+ *                  segment when model_idx0 >= 1: it happened pre-call)
+ *   Swing advance  cur = max(i + s, cur + 1)   (skipped when >= 2)
+ *   Gorilla full   cur = max(i + length_bound, cur + 1) -> emit at cur.
+ * model_idx0/prev_row0 describe the engine state at input row 0: the
+ * whole-buffer entry passes (0, -1); the windowed caller passes the
+ * open-buffer cascade depth and nb-1.
  * Returns segment count or -1 on arena overflow. */
 int64_t mdbs_compress_group(
     const int64_t *t, const float *v, int64_t n, int64_t G,
-    double error_bound, int64_t length_bound,
+    double error_bound, int64_t length_bound, int allow_flush,
+    int64_t n_gaps, int64_t model_idx0, int64_t prev_row0,
     int64_t *seg_start_idx, int64_t *seg_len, int32_t *seg_mtid,
     int64_t *seg_model_off, int64_t *seg_model_len,
-    uint8_t *arena, int64_t arena_cap, uint8_t *gscratch)
+    int64_t *seg_emit_row,
+    uint8_t *arena, int64_t arena_cap, uint8_t *gscratch,
+    int64_t *consumed_out)
 {
     /* -2: invalid args (a 0 length_bound would make the uncompressed
      * fallback's blen=0 never advance i). EngineConfig already rejects
@@ -579,6 +602,7 @@ int64_t mdbs_compress_group(
     if (length_bound < 1) return -2;
     double ebdiv = ((double)(float)error_bound) / 100.1;
     int64_t i = 0, nseg = 0, used = 0;
+    int64_t cur = prev_row0; /* last consumed row of the trigger recurrence */
     while (i < n) {
         int64_t rem = n - i;
         const int64_t *tw = t + i;
@@ -591,8 +615,26 @@ int64_t mdbs_compress_group(
                                      &ua, &ub, &la, &lb);
         int64_t m = p > s ? p : s;
         if (length_bound > m) m = length_bound;
-        int64_t bsize = (m + 1 <= rem) ? m + 1 : rem;
+        int64_t bsize;
+        if (m + 1 <= rem) bsize = m + 1;        /* all models stuck */
+        else if (allow_flush) bsize = rem;       /* run ended: flush */
+        else break;                              /* open tail: stop */
         int64_t len_g = length_bound < bsize ? length_bound : bsize;
+
+        /* engine emit-trigger recurrence (see header) */
+        {
+            int64_t c2;
+            if (!(nseg == 0 && model_idx0 >= 1)) {
+                c2 = i + p;
+                cur = c2 > cur + 1 ? c2 : cur + 1;
+            }
+            if (!(nseg == 0 && model_idx0 >= 2)) {
+                c2 = i + s;
+                cur = c2 > cur + 1 ? c2 : cur + 1;
+            }
+            c2 = i + length_bound;
+            cur = c2 > cur + 1 ? c2 : cur + 1;
+        }
 
         double size_p = p > 0 ? 4.0 : NAN;
         double sa = 0.0, sb = 0.0, size_s = NAN;
@@ -602,8 +644,9 @@ int64_t mdbs_compress_group(
         memset(gscratch, 0, (size_t)(6 * len_g * G + 16));
         int64_t g_bytes = gorilla_encode_rows(vw, len_g, G, gscratch);
 
-        float rr[3] = {ratio_grp32(p, size_p), ratio_grp32(s, size_s),
-                       ratio_grp32(len_g, (double)g_bytes)};
+        float rr[3] = {ratio_grp32(p, size_p, n_gaps),
+                       ratio_grp32(s, size_s, n_gaps),
+                       ratio_grp32(len_g, (double)g_bytes, n_gaps)};
         int best = 0;
         float rbest = rr[0];
         for (int c = 0; c < 3; c++) {
@@ -662,10 +705,29 @@ int64_t mdbs_compress_group(
         seg_mtid[nseg] = mtid;
         seg_model_off[nseg] = off;
         seg_model_len[nseg] = mlen;
+        seg_emit_row[nseg] = cur;
         nseg++;
         i += blen;
     }
+    *consumed_out = i;
     return nseg;
+}
+
+/* Prefix probes for the windowed grouped fast path: the Python engine
+ * reconstructs its open-buffer cascade state (model_idx + PMC/Swing
+ * internals) from these instead of re-feeding long tails row-by-row. */
+int64_t mdbs_pmc_prefix_grp(const float *v, int64_t n, int64_t G,
+                            double error_bound, double *sum_out) {
+    return pmc_prefix_grp(v, n, G, error_bound, sum_out);
+}
+
+int64_t mdbs_swing_prefix_grp(const int64_t *t, const float *v, int64_t n,
+                              int64_t G, double error_bound,
+                              double *oua, double *oub,
+                              double *ola, double *olb) {
+    double ebdiv = ((double)(float)error_bound) / 100.1;
+    return swing_prefix_grp(t, v, n, G, error_bound, ebdiv,
+                            oua, oub, ola, olb);
 }
 
 /* Whole-series entry: splits into gap-free runs (timestamp delta != si)

@@ -110,9 +110,21 @@ def load() -> ctypes.CDLL | None:
     lib.mdbs_compress_group.restype = i64
     lib.mdbs_compress_group.argtypes = [
         p_i64, p_f32, i64, i64, ctypes.c_double, i64,
+        ctypes.c_int, i64,                  # allow_flush, n_gaps
+        i64, i64,                           # model_idx0, prev_row0
         p_i64, p_i64, p_i32, p_i64, p_i64,  # start_idx, len, mtid, off, mlen
+        p_i64,                              # emit_row (pass-order sort key)
         p_u8, i64,                          # arena, arena_cap
         p_u8,                               # gscratch
+        p_i64,                              # consumed_out
+    ]
+    lib.mdbs_pmc_prefix_grp.restype = i64
+    lib.mdbs_pmc_prefix_grp.argtypes = [
+        p_f32, i64, i64, ctypes.c_double, p_f64
+    ]
+    lib.mdbs_swing_prefix_grp.restype = i64
+    lib.mdbs_swing_prefix_grp.argtypes = [
+        p_i64, p_f32, i64, i64, ctypes.c_double, p_f64, p_f64, p_f64, p_f64
     ]
     p_u32 = ctypes.POINTER(ctypes.c_uint32)
     lib.mdbs_gorilla_decode.restype = i64

@@ -132,14 +132,15 @@ def _key_codes(col: pa.Array) -> np.ndarray:
     return pc.dictionary_encode(col).indices.to_numpy(zero_copy_only=False)
 
 
-def _make_map_fn(cfg: EngineConfig, has_salt: bool):
+def _make_map_fn(cfg: EngineConfig, span_ms: int | None):
     """Group-and-compress over sorted Arrow batches.
 
-    Boundary detection keys are (sid, metric[, salt]); emitted rows carry
-    only (sid, metric) — a salt edge forces a segment boundary exactly
-    like a gap flush."""
+    Boundary detection keys are (sid, metric[, salt]); the salt is derived
+    in-kernel from the ts-sorted timestamps (salt = ts // span is monotone
+    within a (sid, metric) run) so it never crosses the shuffle; emitted
+    rows carry only (sid, metric) — a salt edge forces a segment boundary
+    exactly like a gap flush."""
     si = cfg.sampling_interval_ms
-    keys = ["sid", "metric", "salt"] if has_salt else ["sid", "metric"]
 
     def map_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         carry_key: tuple | None = None
@@ -152,19 +153,24 @@ def _make_map_fn(cfg: EngineConfig, has_salt: bool):
             out = _Out()
             change = np.zeros(n, dtype=bool)
             change[0] = True
-            for k in keys:
+            for k in ("sid", "metric"):
                 codes = _key_codes(rb.column(k))
                 change[1:] |= codes[1:] != codes[:-1]
+            t_all = rb.column("ts_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+            if span_ms:
+                salt_all = t_all // span_ms
+                change[1:] |= salt_all[1:] != salt_all[:-1]
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], n)
-            t_all = rb.column("ts_ms").to_numpy(zero_copy_only=False).astype(np.int64)
             v_all = (
                 rb.column("value").to_numpy(zero_copy_only=False).astype(np.float32)
             )
             # group keys as python scalars: one lookup per group, not per row
-            keycols = [rb.column(k) for k in keys]
+            keycols = [rb.column("sid"), rb.column("metric")]
             for gi, (a, b) in enumerate(zip(starts.tolist(), ends.tolist())):
-                key = tuple(kc[a].as_py() for kc in keycols)
+                key = tuple(kc[a].as_py() for kc in keycols) + (
+                    (int(salt_all[a]),) if span_ms else ()
+                )
                 is_last = gi == len(starts) - 1
                 if carry_key is not None and key != carry_key:
                     # flush the carried group: it ended at a batch boundary
@@ -235,19 +241,22 @@ def compress(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-    hash_keys = ["sid"]
-    if salt_span_points:
-        span_ms = salt_span_points * cfg.sampling_interval_ms
-        df = df.withColumn("salt", (F.col("ts_ms") / span_ms).cast("long"))
-        hash_keys = ["sid", "salt"]
-    sort_keys = ["sid", "metric"] + (["salt"] if salt_span_points else [])
+    span_ms = (
+        salt_span_points * cfg.sampling_interval_ms if salt_span_points else None
+    )
+    if span_ms:
+        # partition on the salt EXPRESSION; the column itself never ships
+        hash_exprs = [F.col("sid"), (F.col("ts_ms") / span_ms).cast("long")]
+    else:
+        hash_exprs = [F.col("sid")]
     # 2x cores: two waves of map tasks so a straggler partition (skewed
     # series mix) doesn't idle the rest of the cluster
     n_part = num_partitions or 2 * series.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(n_part, *hash_keys).sortWithinPartitions(*sort_keys, "ts_ms")
-    sel = ["sid", "metric", "ts_ms", "value"] + (["salt"] if salt_span_points else [])
-    return df.select(*sel).mapInArrow(
-        _make_map_fn(cfg, has_salt=bool(salt_span_points)), schema=SEGMENT_SCHEMA
+    df = df.repartition(n_part, *hash_exprs).sortWithinPartitions(
+        "sid", "metric", "ts_ms"
+    )
+    return df.select("sid", "metric", "ts_ms", "value").mapInArrow(
+        _make_map_fn(cfg, span_ms=span_ms), schema=SEGMENT_SCHEMA
     )
 
 
@@ -296,15 +305,19 @@ def compress_transcripts(
             "tokens"
         ),
     ).where(F.col("ts_ms").isNotNull())
-    hash_keys = ["sid"]
-    keys = ["sid"]
-    if salt_span_points:
-        span_ms = salt_span_points * si
-        df = df.withColumn("salt", (F.col("ts_ms") / span_ms).cast("long"))
-        hash_keys = ["sid", "salt"]
-        keys = ["sid", "salt"]
+    # the salt never crosses the wire: partitioning and sorting use the
+    # ts_ms expression directly and the kernel re-derives salt = ts//span
+    # from the shuffled ts_ms — 8 fewer bytes per shuffled turn row
+    span_ms = salt_span_points * si if salt_span_points else None
+    if span_ms:
+        salt_expr = (F.col("ts_ms") / span_ms).cast("long")
+        hash_exprs = [F.col("sid"), salt_expr]
+    else:
+        hash_exprs = [F.col("sid")]
     n_part = num_partitions or 2 * transcripts.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(n_part, *hash_keys).sortWithinPartitions(*keys)
+    df = df.repartition(n_part, *hash_exprs).sortWithinPartitions(
+        "sid", "ts_ms"
+    )
 
     def map_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         carry_key: tuple | None = None
@@ -317,16 +330,22 @@ def compress_transcripts(
             out = _Out()
             change = np.zeros(n, dtype=bool)
             change[0] = True
-            for k in keys:
-                codes = _key_codes(rb.column(k))
-                change[1:] |= codes[1:] != codes[:-1]
+            codes = _key_codes(rb.column("sid"))
+            change[1:] |= codes[1:] != codes[:-1]
+            t_all = rb.column("ts_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+            if span_ms:
+                # rows are ts-sorted within sid, so the derived salt is
+                # monotone within each sid run: diffs mark range edges
+                salt_all = t_all // span_ms
+                change[1:] |= salt_all[1:] != salt_all[:-1]
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], n)
-            t_all = rb.column("ts_ms").to_numpy(zero_copy_only=False).astype(np.int64)
             tok_all = rb.column("tokens").to_numpy(zero_copy_only=False).astype(np.int64)
-            keycols = [rb.column(k) for k in keys]
+            sidcol = rb.column("sid")
             for gi, (a, b) in enumerate(zip(starts.tolist(), ends.tolist())):
-                key = tuple(kc[a].as_py() for kc in keycols)
+                key = (sidcol[a].as_py(), int(salt_all[a])) if span_ms else (
+                    sidcol[a].as_py(),
+                )
                 is_last = gi == len(starts) - 1
                 if carry_key is not None and key != carry_key:
                     _derive_and_compress_group(

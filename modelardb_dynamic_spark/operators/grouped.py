@@ -104,6 +104,7 @@ def compress_grouped(
     groups: DataFrame,
     cfg: EngineConfig,
     split_fraction: float = 10.0,
+    salt_span_points: int | None = None,
 ) -> DataFrame:
     """Compress (sid, metric, ts_ms, value) rows as multi-series groups.
 
@@ -118,11 +119,32 @@ def compress_grouped(
     ingests every configured series regardless of grouping
     (core/Partitioner.java:30-96). Fallback gids are xxhash64(sid,
     metric); a 64-bit collision with a real gid is negligible and would
-    only co-group, never lose data."""
+    only co-group, never lose data.
+
+    Skew / hot groups: one (gid, metric) is always ONE task — the
+    sequential split/join state machine cannot parallelize. The measured
+    per-task ceiling is high (windowed C fast path: 1.5-13 M member-rows
+    per second per core, so a 16-member group with a year of minute
+    buckets is ~5s), but a group whose HISTORY is unboundedly long can
+    still pin a task. salt_span_points splits each group on disjoint time
+    ranges (salt = ts_ms // span) that compress independently, like the
+    single-series salting in operators/compress.py. Semantics: a salt
+    boundary cold-starts the group engine — every member flushes (the
+    gap-flush rule at range edges) and the split/join adaptivity state
+    (ratio average, join schedule) resets per range. Reconstruction and
+    error bounds are unaffected; only segment boundaries and the
+    split/join timeline can differ from the unsalted run, which the
+    reference has no equivalent knob for (it is an opt-in scale guard)."""
     si = cfg.sampling_interval_ms
     df = series.join(F.broadcast(groups), ["sid", "metric"], "left").withColumn(
         "gid", F.coalesce(F.col("gid"), F.xxhash64("sid", "metric"))
     )
+    keys: list = ["gid", "metric"]
+    if salt_span_points:
+        span_ms = salt_span_points * si
+        keys = keys + [
+            (F.col("ts_ms") / span_ms).cast("long").alias("salt")
+        ]
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         gid, metric = int(key[0]), key[1]
@@ -147,7 +169,7 @@ def compress_grouped(
             }
         )
 
-    return df.groupBy("gid", "metric").applyInPandas(fn, schema=GROUP_SEGMENT_SCHEMA)
+    return df.groupBy(*keys).applyInPandas(fn, schema=GROUP_SEGMENT_SCHEMA)
 
 
 def grouped_datapoints(segments: DataFrame) -> DataFrame:

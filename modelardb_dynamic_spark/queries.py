@@ -394,8 +394,10 @@ def q_rolling_fingerprint(spark, sf_dir):
 
 
 def q_winnow_fingerprints(spark, sf_dir):
-    """MOSS-style winnowed fingerprints (shared-passage detection);
-    pandas-siphash based, so rows-only in the oracle gate."""
+    """MOSS-style winnowed fingerprints (shared-passage detection).
+    Value-gated: the DuckDB oracle replays the md5-derived 60-bit gram
+    hash and the min-of-window selection, and the row has been hash-green
+    since round 2."""
     return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 

@@ -43,6 +43,13 @@ def build_session(
         # sums) exceed the default 100-field codegen cutoff, which silently
         # drops the whole stage to interpreted mode (~6x slower measured)
         .config("spark.sql.codegen.maxFields", "256")
+        # zstd over the default lz4 for shuffle blocks and parquet pages:
+        # the pipeline is memory-bandwidth-bound at >=16 cores (BENCH.md
+        # STREAM probe), so spending CPU to move fewer bytes is the right
+        # trade — with the salt-column drop: 21.0 -> 12.2 shuffle B/turn
+        # (-42%) on the 12.3M-turn probe, results value-identical
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )

@@ -564,3 +564,46 @@ class TestWindowedFastPath:
         got.extend(eng.out[done:])
         assert eng.windows_hit > 0
         assert [self._key(s) for s in got] == [self._key(s) for s in batch]
+
+
+def test_grouped_salting_reconstructs_identically(spark):
+    """compress_grouped(salt_span_points=...) — the hot-group skew guard —
+    cold-starts the engine at range boundaries: segment boundaries may
+    differ from the unsalted run, but reconstruction is value-identical
+    and every group still lands in one task per (gid, metric, range)."""
+    import pandas as pd
+
+    from modelardb_dynamic_spark.models.error import percentage_error
+    from modelardb_dynamic_spark.operators.grouped import (
+        compress_grouped,
+        grouped_datapoints,
+    )
+
+    n = 600
+    rng = np.random.default_rng(5)
+    rows = []
+    for sid in ("a", "b"):
+        base = 10.0 if sid == "a" else 10.5
+        for i in range(n):
+            rows.append((sid, "m", i * SI, float(np.float32(base + rng.normal(0, 0.1)))))
+    series = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["sid", "metric", "ts_ms", "value"])
+    )
+    groups = spark.createDataFrame(
+        pd.DataFrame({"sid": ["a", "b"], "metric": "m", "gid": [7, 7]})
+    )
+    def points(segs):
+        return {
+            (r["sid"], r["ts_ms"]): r["value"]
+            for r in grouped_datapoints(segs).collect()
+        }
+
+    plain = points(compress_grouped(series, groups, CFG))
+    salted = points(
+        compress_grouped(series, groups, CFG, salt_span_points=100)
+    )
+    assert len(plain) == 2 * n
+    assert set(plain) == set(salted)
+    for k, v in plain.items():
+        err = percentage_error(salted[k], v)
+        assert err <= 2 * CFG.error_bound + 1e-9, (k, v, salted[k])

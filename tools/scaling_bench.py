@@ -101,9 +101,11 @@ def main() -> None:
     # best-of-N per level: the sandbox VM shows up to 5x run-to-run noise
     # (CPU steal), so the best run is the honest estimate of each
     # configuration's capability
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # BENCH_SCALING.md, not BENCH.md: the hand-maintained BENCH.md keeps
+    # the cross-round analysis and references this regenerated table
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write(
-            "# BENCH — throughput & two-size scaling evidence\n\n"
+            "# BENCH_SCALING — latest two-size scaling run\n\n"
             "Identical transcript tier pipeline (synthesize -> series -> "
             "compress (PMC/Swing/Gorilla cascade, error 10%) -> 1m/1h/1d "
             "tiers + gap-fill) on the SAME deterministic input at two "

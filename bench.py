@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "embedding_dups",
     "ann_topk",
     "ann_ivf",
+    "wav_features",
     "dod_times",
 ]
 

@@ -193,3 +193,55 @@ def test_iceberg_wiring_degrades_gracefully(spark):
     assert iceberg.iceberg_available(spark) is False
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
         iceberg.create_warehouse(spark)
+
+
+def test_socket_interface_line_protocol(spark, tmp_path):
+    """Interface.scala:48-88 raw-socket parity (closes a former non-goal):
+    one query per line over TCP, JSON line back; an empty line answers
+    'only SELECT is supported'; a non-SELECT line closes the connection."""
+    from modelardb_dynamic_spark.operators.compress import compress
+    from modelardb_dynamic_spark.sources.readers import series_from_parquet
+
+    pdf = _series_pdf(200)
+    src = str(tmp_path / "sock_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    series = series_from_parquet(spark, src, sid="s1")
+    seg_path = str(tmp_path / "sock_segments")
+    compress(series, CFG).write.mode("overwrite").parquet(seg_path)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [
+            sys.executable, os.path.join(REPO, "tools", "serve.py"),
+            "--segments", seg_path, "--port", str(port),
+            "--interface", "socket", "--sampling-interval-ms", "100",
+        ],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        deadline = time.time() + 120
+        line = ""
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "listening" in line:
+                break
+        assert "listening" in line, "server never came up"
+        conn = socket.create_connection(("127.0.0.1", port), timeout=120)
+        f = conn.makefile("rw", encoding="utf-8")
+        f.write("SELECT COUNT_S(#) AS pts FROM Segment\n")
+        f.flush()
+        body = json.loads(f.readline())
+        assert body["rows"] == [{"pts": 200}]
+        f.write("\n")  # empty line: the reference's quirky hint reply
+        f.flush()
+        assert f.readline().strip() == "only SELECT is supported"
+        f.write("quit\n")  # any other non-empty line closes the connection
+        f.flush()
+        assert f.readline() == ""  # EOF: server closed its side
+        conn.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

@@ -1,9 +1,18 @@
 #!/usr/bin/env python
-"""Minimal HTTP query endpoint — Interface.scala parity (:32-45 HTTP POST
-on :9999, responses as JSON rows with wall time, :153-166).
+"""Query interfaces — Interface.scala parity: HTTP POST (:91-128), raw
+socket (:48-88), and REPL (:128-134), all on the same engine.
 
-    python tools/serve.py --segments /path/to/segments.parquet --port 9999
+    python tools/serve.py --segments /path/to/segments.parquet            # http
     curl -d "SELECT sid, AVG_S(#) AS avg_s FROM Segment GROUP BY sid" :9999
+
+    python tools/serve.py --segments ... --interface socket
+    # then: one query per line over TCP; a line containing SELECT (and not
+    # starting with --) executes and returns one JSON line; any other
+    # non-empty line closes the connection; an empty line answers
+    # "only SELECT is supported" — the reference's exact line protocol.
+
+    python tools/serve.py --segments ... --interface repl
+    # interactive: <table>> prompt, one query per line, JSON per line.
 
 The engine applies the reference's '#'/UDAF rewrites (COUNT_S/MIN_S/MAX_S/
 SUM_S/AVG_S) before handing the query to Spark SQL.
@@ -14,12 +23,89 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import socketserver
 import sys
 import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def _execute(engine, query: str) -> tuple[dict, bool]:
+    """(JSON body, ok) for one query — shared by all three interfaces."""
+    t0 = time.time()
+    try:
+        rows = [r.asDict(recursive=True) for r in engine.sql(query).collect()]
+        return {
+            "time_ms": round((time.time() - t0) * 1000, 1),
+            "rows": rows,
+        }, True
+    except Exception as e:  # surface analysis errors to the client
+        return {"error": str(e).split("\n")[0]}, False
+
+
+def _serve_http(engine, host: str, port: int) -> None:
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (stdlib naming)
+            length = int(self.headers.get("Content-Length", 0))
+            query = self.rfile.read(length).decode()
+            body, ok = _execute(engine, query)
+            payload = json.dumps(body, default=str).encode()
+            self.send_response(200 if ok else 400)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    print(f"listening on {host}:{port}", flush=True)
+    HTTPServer((host, port), Handler).serve_forever()
+
+
+def _serve_socket(engine, host: str, port: int) -> None:
+    """The reference's raw-socket line protocol (Interface.scala:48-88):
+    newline-delimited queries; `--` comments and non-SELECT lines end the
+    connection; an empty line gets "only SELECT is supported"."""
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            while True:
+                raw = self.rfile.readline()
+                if not raw:
+                    return  # client closed mid-read (the NPE catch)
+                query = raw.decode().strip()
+                if not query.startswith("--") and "SELECT" in query:
+                    body, _ = _execute(engine, query)
+                    self.wfile.write(
+                        (json.dumps(body, default=str) + "\n").encode()
+                    )
+                elif query:
+                    return  # any other non-empty line closes the connection
+                else:
+                    self.wfile.write(b"only SELECT is supported\n")
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    print(f"listening on {host}:{port}", flush=True)
+    Server((host, port), Handler).serve_forever()
+
+
+def _serve_repl(engine, table: str) -> None:
+    prompt = f"{table}> "
+    while True:
+        try:
+            line = input(prompt)
+        except EOFError:
+            return
+        if not line.strip():
+            continue
+        body, _ = _execute(engine, line)
+        print(json.dumps(body, default=str), flush=True)
 
 
 def main() -> None:
@@ -31,6 +117,12 @@ def main() -> None:
         default="127.0.0.1",
         help="bind address; the endpoint executes Spark SQL, so expose "
         "beyond localhost (e.g. 0.0.0.0) only deliberately",
+    )
+    ap.add_argument(
+        "--interface",
+        choices=("http", "socket", "repl"),
+        default="http",
+        help="Interface.scala's three query surfaces",
     )
     ap.add_argument("--error-bound", type=float, default=10.0)
     ap.add_argument("--sampling-interval-ms", type=int, default=60_000)
@@ -51,33 +143,12 @@ def main() -> None:
     )
     engine.register_views()
 
-    class Handler(BaseHTTPRequestHandler):
-        def do_POST(self):  # noqa: N802 (stdlib naming)
-            length = int(self.headers.get("Content-Length", 0))
-            query = self.rfile.read(length).decode()
-            t0 = time.time()
-            try:
-                rows = [r.asDict(recursive=True) for r in engine.sql(query).collect()]
-                body = {
-                    "time_ms": round((time.time() - t0) * 1000, 1),
-                    "rows": rows,
-                }
-                code = 200
-            except Exception as e:  # surface analysis errors to the client
-                body = {"error": str(e).split("\n")[0]}
-                code = 400
-            payload = json.dumps(body, default=str).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
-
-        def log_message(self, *a):  # quiet
-            pass
-
-    print(f"listening on {args.host}:{args.port}", flush=True)
-    HTTPServer((args.host, args.port), Handler).serve_forever()
+    if args.interface == "http":
+        _serve_http(engine, args.host, args.port)
+    elif args.interface == "socket":
+        _serve_socket(engine, args.host, args.port)
+    else:
+        _serve_repl(engine, os.path.basename(args.segments.rstrip("/")))
 
 
 if __name__ == "__main__":

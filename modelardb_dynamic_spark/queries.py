@@ -575,6 +575,41 @@ def q_dod_times(spark, sf_dir):
     return restore_times(blobs, "user_id", "ts_us")
 
 
+def q_embedded_seg_agg(spark, sf_dir):
+    """EmbeddedEngine (DuckDB twin of the reference's H2 engine,
+    engines/h2/H2.scala:208-236 + H2UDAF.scala): the SAME segment table the
+    Spark engine queries, answered driver-locally through the registered
+    UDAF macro twins and the '#' sugar. The oracle recomputes everything
+    from the raw events table, so the whole chain — compression, segment
+    summaries, macro expansion, DuckDB execution — is value-gated."""
+    from modelardb_dynamic_spark.embedded import EmbeddedEngine
+
+    segs = _event_segments(spark, sf_dir)
+    emb = EmbeddedEngine(segs.toArrow())
+    out = emb.sql(
+        "SELECT sid, COUNT_S(#) AS points, MIN_S(#) AS min_s, MAX_S(#) AS max_s, "
+        "SUM_S(#) AS sum_s, AVG_S(#) AS avg_s FROM Segment GROUP BY sid"
+    ).to_pandas()
+    return spark.createDataFrame(out)
+
+
+def q_embedded_dp_range(spark, sf_dir):
+    """EmbeddedEngine two-phase DataPoint scan: the conservative predicate
+    walk (embedded.py:_extract_point_bounds, the H2.scala:318-370 analog)
+    prunes segments by overlap, the shared numpy/C kernels grid them, and
+    DuckDB re-applies the exact WHERE. Same window as dp_restore_range, so
+    the embedded reconstruction is pinned to the same raw-replay oracle."""
+    from modelardb_dynamic_spark.embedded import EmbeddedEngine
+
+    segs = _event_segments(spark, sf_dir)
+    emb = EmbeddedEngine(segs.toArrow())
+    out = emb.sql(
+        f"SELECT sid, ts_ms, CAST(value AS DOUBLE) AS value FROM DataPoint "
+        f"WHERE ts_ms >= {RANGE_LO} AND ts_ms <= {RANGE_HI - 1}"
+    ).to_pandas()
+    return spark.createDataFrame(out)
+
+
 QUERIES = {
     "seg_count_s": q_seg_count_s,
     "seg_agg_s": q_seg_agg_s,
@@ -613,6 +648,8 @@ QUERIES = {
     "grouped_tiers": q_grouped_tiers,
     "corr_grouped_tiers": q_corr_grouped_tiers,
     "dod_times": q_dod_times,
+    "embedded_seg_agg": q_embedded_seg_agg,
+    "embedded_dp_range": q_embedded_dp_range,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -1097,6 +1134,18 @@ ORACLES = {
                    AS seq,
                epoch_us(ts) AS ts_us
         FROM events
+    """,
+    "embedded_seg_agg": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid, count(*) AS points,
+               CAST(min(v) AS DOUBLE) AS min_s, CAST(max(v) AS DOUBLE) AS max_s,
+               CAST(sum(v) AS DOUBLE) AS sum_s, avg(v) AS avg_s
+        FROM b GROUP BY sid
+    """,
+    "embedded_dp_range": f"""
+        WITH b AS ({_MINUTE_BUCKETS})
+        SELECT sid, m AS ts_ms, CAST(v AS DOUBLE) AS value
+        FROM b WHERE m >= {RANGE_LO} AND m < {RANGE_HI}
     """,
     "grouped_tiers": f"""
         WITH b AS ({_MINUTE_BUCKETS}),

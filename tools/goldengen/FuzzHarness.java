@@ -14,9 +14,11 @@ import java.util.function.Supplier;
 /** Batch fuzz driver: one JVM runs MANY reference-engine cases (a fresh
  * TimeSeriesGroup + SegmentGenerator per case) so the differential fuzz
  * pytest pays JVM startup once for 100+ cases. Manifest line format:
- *   eb lengthBound si splitFraction outPath seriesCsv1 [seriesCsv2 ...]
- * Output rows per case (GroupHarness format, finalized segments only):
+ *   eb lengthBound si splitFraction maxLatency outPath seriesCsv1 [...]
+ * Output rows per case (GroupHarness format; maxLatency > 0 interleaves
+ * temporary T rows with finalized F rows):
  *   F,start,end,mtid,count,modelhex,gaps   (gaps ;-separated sorted tids)
+ *   T,start,end,mtid,count,modelhex,gaps
  * Original harness code that merely drives the reference classes, like
  * GoldenHarness/GroupHarness. */
 public class FuzzHarness {
@@ -34,13 +36,14 @@ public class FuzzHarness {
         int lengthBound = Integer.parseInt(a[1]);
         final int si = Integer.parseInt(a[2]);
         float splitFraction = Float.parseFloat(a[3]);
-        String outPath = a[4];
-        int nSeries = a.length - 5;
+        int maximumLatency = Integer.parseInt(a[4]);
+        String outPath = a[5];
+        int nSeries = a.length - 6;
         TimeSeries[] tss = new TimeSeries[nSeries];
         List<Integer> tids = new ArrayList<>();
         for (int i = 0; i < nSeries; i++) {
             tss[i] = new TimeSeriesCSV(
-                    a[5 + i], i + 1, si, ",", false, 0, "java", "UTC", 1, "en");
+                    a[6 + i], i + 1, si, ",", false, 0, "java", "UTC", 1, "en");
             tids.add(i + 1);
         }
         TimeSeriesGroup tsg = new TimeSeriesGroup(1, tss);
@@ -54,18 +57,22 @@ public class FuzzHarness {
                 () -> ModelTypeFactory.getModelTypes(names, mtids, eb, lengthBound);
         ModelType fallback = ModelTypeFactory.getFallbackModelType(eb, lengthBound);
         try (PrintWriter w = new PrintWriter(outPath)) {
-            SegmentFunction drop = (gid, st, et, mtid, model, gaps) -> {};
+            SegmentFunction temp = (gid, st, et, mtid, model, gaps) ->
+                    emitRow(w, "T", si, st, et, mtid, model, gaps);
             SegmentFunction out = (gid, st, et, mtid, model, gaps) ->
-                    emitRow(w, si, st, et, mtid, model, gaps);
+                    emitRow(w, "F", si, st, et, mtid, model, gaps);
             SegmentGenerator sg = new SegmentGenerator(
-                    tsg, init, fallback, tids, 0, splitFraction, drop, out);
+                    tsg, init, fallback, tids, maximumLatency, splitFraction,
+                    maximumLatency > 0 ? temp
+                            : (gid, st, et, mtid, model, gaps) -> {},
+                    out);
             sg.consumeAllDataPoints();
             sg.close();
         }
     }
 
-    private static void emitRow(PrintWriter w, int si, long st, long et,
-                                int mtid, byte[] model, byte[] gaps) {
+    private static void emitRow(PrintWriter w, String kind, int si, long st,
+                                long et, int mtid, byte[] model, byte[] gaps) {
         StringBuilder sb = new StringBuilder();
         for (byte b : model) sb.append(String.format("%02x", b));
         java.nio.IntBuffer ib = java.nio.ByteBuffer.wrap(gaps).asIntBuffer();
@@ -78,7 +85,7 @@ public class FuzzHarness {
             gs.append(g);
         }
         long cnt = (et - st) / si + 1;
-        w.println("F," + st + "," + et + "," + mtid + "," + cnt + "," + sb
+        w.println(kind + "," + st + "," + et + "," + mtid + "," + cnt + "," + sb
                 + "," + gs);
     }
 }

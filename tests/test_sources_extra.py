@@ -245,3 +245,77 @@ def test_socket_interface_line_protocol(spark, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_http_interface_embedded_engine(spark, tmp_path):
+    """serve.py --engine embedded: the same HTTP surface answered by the
+    driver-local DuckDB engine (the reference's H2 deployment choice) —
+    no Spark session in the server process, same segment files, same
+    answers as the Spark-backed test above."""
+    from modelardb_dynamic_spark.operators.compress import compress
+    from modelardb_dynamic_spark.sources.readers import series_from_parquet
+
+    pdf = _series_pdf(200)
+    src = str(tmp_path / "src_parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    series = series_from_parquet(spark, src, sid="s1")
+    seg_path = str(tmp_path / "segments_parquet")
+    compress(series, CFG).write.mode("overwrite").parquet(seg_path)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "serve.py"),
+            "--segments", seg_path,
+            "--port", str(port),
+            "--engine", "embedded",
+        ],
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        deadline = time.time() + 60
+        line = ""
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "listening" in line:
+                break
+        assert "listening" in line, "embedded server never came up"
+
+        def post(sql: str) -> dict:
+            last: Exception | None = None
+            for _ in range(5):  # the box can stall under suite load
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}", data=sql.encode()
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=60) as resp:
+                        return json.loads(resp.read())
+                except urllib.error.HTTPError as e:
+                    return json.loads(e.read())
+                except (urllib.error.URLError, TimeoutError, OSError) as e:
+                    last = e
+                    time.sleep(5)
+            raise last
+
+        body = post("SELECT COUNT_S(#) AS pts FROM Segment")
+        assert body["rows"] == [{"pts": 200}]
+        body = post(
+            "SELECT sid, MIN_S(#) AS mn, MAX_S(#) AS mx FROM Segment GROUP BY sid"
+        )
+        assert body["rows"] == [{"sid": "s1", "mn": 5.0, "mx": 9.0}]
+        # DataPoint view through the embedded two-phase scan
+        body = post(
+            "SELECT COUNT(*) AS n FROM DataPoint WHERE ts_ms >= 1000"
+        )
+        assert body["rows"] == [{"n": 200}]
+        body = post("SELECT broken syntax")
+        assert "error" in body
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

@@ -33,10 +33,16 @@ sys.path.insert(0, REPO)
 
 
 def _execute(engine, query: str) -> tuple[dict, bool]:
-    """(JSON body, ok) for one query — shared by all three interfaces."""
+    """(JSON body, ok) for one query — shared by all three interfaces and
+    both engines (ModelarEngine returns a Spark DataFrame, EmbeddedEngine
+    an Arrow table)."""
     t0 = time.time()
     try:
-        rows = [r.asDict(recursive=True) for r in engine.sql(query).collect()]
+        res = engine.sql(query)
+        if hasattr(res, "collect"):
+            rows = [r.asDict(recursive=True) for r in res.collect()]
+        else:
+            rows = res.to_pylist()
         return {
             "time_ms": round((time.time() - t0) * 1000, 1),
             "rows": rows,
@@ -126,22 +132,35 @@ def main() -> None:
     )
     ap.add_argument("--error-bound", type=float, default=10.0)
     ap.add_argument("--sampling-interval-ms", type=int, default=60_000)
+    ap.add_argument(
+        "--engine",
+        choices=("spark", "embedded"),
+        default="spark",
+        help="spark = cluster engine; embedded = driver-local DuckDB twin "
+        "(the reference's Spark-vs-H2 dual-engine choice) — no JVM, same "
+        "segment files, same answers",
+    )
     args = ap.parse_args()
 
-    from modelardb_dynamic_spark.config import EngineConfig
-    from modelardb_dynamic_spark.engine import ModelarEngine
-    from modelardb_dynamic_spark.session import build_session
+    if args.engine == "embedded":
+        from modelardb_dynamic_spark.embedded import EmbeddedEngine
 
-    spark = build_session("modelardb_dynamic_spark-serve")
-    engine = ModelarEngine(
-        spark,
-        spark.read.parquet(args.segments),
-        EngineConfig(
-            error_bound=args.error_bound,
-            sampling_interval_ms=args.sampling_interval_ms,
-        ),
-    )
-    engine.register_views()
+        engine = EmbeddedEngine(args.segments)
+    else:
+        from modelardb_dynamic_spark.config import EngineConfig
+        from modelardb_dynamic_spark.engine import ModelarEngine
+        from modelardb_dynamic_spark.session import build_session
+
+        spark = build_session("modelardb_dynamic_spark-serve")
+        engine = ModelarEngine(
+            spark,
+            spark.read.parquet(args.segments),
+            EngineConfig(
+                error_bound=args.error_bound,
+                sampling_interval_ms=args.sampling_interval_ms,
+            ),
+        )
+        engine.register_views()
 
     if args.interface == "http":
         _serve_http(engine, args.host, args.port)

@@ -89,19 +89,21 @@ _TS_CMP_RE = re.compile(r"\bts_ms\s*(>=|<=|>|<|=)\s*(-?\d+)")
 _TS_BETWEEN_RE = re.compile(r"\bts_ms\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)", re.I)
 _SID_EQ_RE = re.compile(r"\bsid\s*=\s*'([^']*)'")
 _SID_IN_RE = re.compile(r"\bsid\s+IN\s*\(([^)]*)\)", re.I)
+_METRIC_EQ_RE = re.compile(r"\bmetric\s*=\s*'([^']*)'")
+_METRIC_IN_RE = re.compile(r"\bmetric\s+IN\s*\(([^)]*)\)", re.I)
 _STR_LIT_RE = re.compile(r"'([^']*)'")
 
 
 def _extract_point_bounds(query: str):
     """Conservative predicate walk over the query text: returns
-    (lo_ms, hi_ms, sids) that are SAFE to use for segment pruning, or
-    (None, None, None) when nothing can be claimed. Sound by construction:
+    (lo_ms, hi_ms, sids, metrics) that are SAFE to use for segment
+    pruning, or all-None when nothing can be claimed. Sound by construction:
     only pure-conjunction queries are walked (any OR disables extraction,
     like the reference bailing on expression shapes it doesn't model,
     H2.scala:318-370), bounds only ever widen the window vs the true
     predicate, and the full WHERE is re-applied exactly afterwards."""
     if _OR_RE.search(query):
-        return None, None, None
+        return None, None, None, None
     lo = hi = None
     for op, lit in _TS_CMP_RE.findall(query):
         v = int(lit)
@@ -116,13 +118,20 @@ def _extract_point_bounds(query: str):
         a, b = int(a), int(b)
         lo = a if lo is None else max(lo, a)
         hi = b if hi is None else min(hi, b)
-    sids: set[str] | None = None
-    for s in _SID_EQ_RE.findall(query):
-        sids = {s} if sids is None else (sids & {s})
-    for body in _SID_IN_RE.findall(query):
-        in_set = set(_STR_LIT_RE.findall(body))
-        sids = in_set if sids is None else (sids & in_set)
-    return lo, hi, sids
+    def _str_set(eq_re, in_re):
+        vals: set[str] | None = None
+        for s in eq_re.findall(query):
+            vals = {s} if vals is None else (vals & {s})
+        for body in in_re.findall(query):
+            in_set = set(_STR_LIT_RE.findall(body))
+            vals = in_set if vals is None else (vals & in_set)
+        return vals
+
+    return (
+        lo, hi,
+        _str_set(_SID_EQ_RE, _SID_IN_RE),
+        _str_set(_METRIC_EQ_RE, _METRIC_IN_RE),
+    )
 
 
 class EmbeddedEngine:
@@ -159,6 +168,7 @@ class EmbeddedEngine:
         lo_ms: int | None = None,
         hi_ms: int | None = None,
         sids: Iterable[str] | None = None,
+        metrics: Iterable[str] | None = None,
     ) -> pa.Table:
         """Prune segments by overlap (DuckDB pushes this into parquet
         zone maps), grid with the shared numpy/C kernels, re-filter
@@ -169,13 +179,16 @@ class EmbeddedEngine:
         if hi_ms is not None:
             conds.append(f"start_ts <= {int(hi_ms)}")
         params: list = []
-        if sids is not None:
-            sid_list = list(sids)
+        for col, vals in (("sid", sids), ("metric", metrics)):
+            if vals is None:
+                continue
+            val_list = list(vals)
             conds.append(
-                "sid IN (" + ", ".join("?" for _ in sid_list) + ")" if sid_list
+                f"{col} IN (" + ", ".join("?" for _ in val_list) + ")"
+                if val_list
                 else "FALSE"
             )
-            params = sid_list
+            params += val_list
         where = (" WHERE " + " AND ".join(conds)) if conds else ""
         segs = self._con.execute(
             f"SELECT sid, metric, start_ts, end_ts, si, mtid, model "
@@ -200,13 +213,17 @@ class EmbeddedEngine:
         return self._con.execute(f"SELECT * FROM _dp_src{fw}").arrow()
 
     def _ensure_datapoint_view(self, query: str) -> None:
-        lo, hi, sids = _extract_point_bounds(query)
-        key = (lo, hi, tuple(sorted(sids)) if sids is not None else None)
+        lo, hi, sids, metrics = _extract_point_bounds(query)
+        key = (
+            lo, hi,
+            tuple(sorted(sids)) if sids is not None else None,
+            tuple(sorted(metrics)) if metrics is not None else None,
+        )
         if key == self._dp_cache_key:
             return
         # Materialize only the pruned window; the query's own WHERE
         # re-filters exactly (pruning is sound, never a substitute).
-        pts = self.datapoints(lo_ms=lo, hi_ms=hi, sids=sids)
+        pts = self.datapoints(lo_ms=lo, hi_ms=hi, sids=sids, metrics=metrics)
         self._con.register("_dp_view_src", pts)
         self._con.execute(
             "CREATE OR REPLACE VIEW DataPoint AS SELECT * FROM _dp_view_src"

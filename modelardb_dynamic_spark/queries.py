@@ -401,7 +401,10 @@ def q_winnow_fingerprints(spark, sf_dir):
     return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
-# --- multimodal plumbing (rows-only: fake decode kernels, real Spark shape) -----
+# --- multimodal: hash-gated feature plumbing + REAL WAV decode ------------------
+# (multimodal_features uses the deterministic stand-in decode kernel — the
+# container has no image/video codecs — but IS value-gated: its oracle
+# replays the stand-in's closed form. wav_features decodes real RIFF/PCM.)
 
 
 def q_multimodal_features(spark, sf_dir):

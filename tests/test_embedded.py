@@ -112,19 +112,19 @@ def test_calendar_twin_matches_spark(spark, store):
 
 
 def test_pushdown_extraction_is_conservative():
-    lo, hi, sids = _extract_point_bounds(
+    lo, hi, sids, metrics = _extract_point_bounds(
         "SELECT * FROM DataPoint WHERE ts_ms >= 100 AND ts_ms < 900 "
-        "AND sid IN ('a', 'b') AND value > 0"
+        "AND sid IN ('a', 'b') AND metric = 'turn_rate' AND value > 0"
     )
-    assert (lo, hi, sids) == (100, 900, {"a", "b"})
+    assert (lo, hi, sids, metrics) == (100, 900, {"a", "b"}, {"turn_rate"})
     # an OR anywhere disables extraction entirely (soundness first)
     assert _extract_point_bounds(
         "SELECT * FROM DataPoint WHERE ts_ms >= 100 OR sid = 'a'"
-    ) == (None, None, None)
-    lo, hi, sids = _extract_point_bounds(
+    ) == (None, None, None, None)
+    lo, hi, sids, metrics = _extract_point_bounds(
         "SELECT * FROM DataPoint WHERE ts_ms BETWEEN 5 AND 10 AND sid = 'x'"
     )
-    assert (lo, hi, sids) == (5, 10, {"x"})
+    assert (lo, hi, sids, metrics) == (5, 10, {"x"}, None)
 
 
 def test_pruned_window_still_answers_exactly(store):

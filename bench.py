@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_ivf",
     "wav_features",
+    "png_features",
     "dod_times",
 ]
 

@@ -401,10 +401,11 @@ def q_winnow_fingerprints(spark, sf_dir):
     return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
-# --- multimodal: hash-gated feature plumbing + REAL WAV decode ------------------
-# (multimodal_features uses the deterministic stand-in decode kernel — the
-# container has no image/video codecs — but IS value-gated: its oracle
-# replays the stand-in's closed form. wav_features decodes real RIFF/PCM.)
+# --- multimodal: hash-gated feature plumbing + REAL WAV + REAL PNG decode -------
+# (multimodal_features uses the deterministic stand-in decode kernel — only
+# video lacks a stdlib codec — but IS value-gated: its oracle replays the
+# stand-in's closed form. wav_features decodes real RIFF/PCM; png_features
+# decodes real PNG with all five filter types.)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -427,6 +428,20 @@ def q_wav_features(spark, sf_dir):
 
     media = multimodal.synth_wav_media(spark, n=128)
     return multimodal.wav_features(media)
+
+
+def q_png_features(spark, sf_dir):
+    """REAL image decode end-to-end: genuine spec-compliant PNG payloads
+    (stdlib zlib/struct encode; 8-bit RGB, all FIVE row filter types
+    cycled across the corpus), parsed back with an original chunk-walk +
+    inflate + unfilter decoder — gated by a DuckDB oracle that recomputes
+    width/height/channel means/byte checksum from the pixels' closed
+    form, so a wrong encoder, a wrong CRC, or any wrong unfilter kernel
+    all surface as a hash mismatch."""
+    from modelardb_dynamic_spark.operators import multimodal
+
+    media = multimodal.synth_png_media(spark, n=96)
+    return multimodal.png_features(media)
 
 
 # --- transcript pipeline (rows-only smoke at driver scale) ----------------------
@@ -647,6 +662,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "multimodal_features": q_multimodal_features,
     "wav_features": q_wav_features,
+    "png_features": q_png_features,
     "transcript_tiers": q_transcript_tiers,
     "grouped_tiers": q_grouped_tiers,
     "corr_grouped_tiers": q_corr_grouped_tiers,
@@ -1115,6 +1131,30 @@ ORACLES = {
                m.duration_ms, sqrt(agg.sq / m.n_samples) AS rms,
                agg.zero_crossings, agg.peak
         FROM m JOIN agg ON m.media_id = agg.media_id
+    """,
+    "png_features": """
+        WITH m AS (
+            SELECT CAST(r.range AS BIGINT) AS media_id,
+                   (r.range * 13) % 24 + 4 AS w,
+                   (r.range * 17) % 24 + 4 AS h
+            FROM range(0, 96) r
+        ),
+        ys AS (SELECT media_id, w, h, unnest(range(0, h)) AS y FROM m),
+        px AS (SELECT media_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+        v AS (
+            SELECT media_id, w, h,
+                   (media_id * 31 + y * 7 + x * 3) % 256 AS r,
+                   (media_id * 31 + y * 7 + x * 3 + 11) % 256 AS g,
+                   (media_id * 31 + y * 7 + x * 3 + 22) % 256 AS b
+            FROM px
+        )
+        SELECT media_id,
+               CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+               CAST(sum(r) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
+               CAST(sum(g) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
+               CAST(sum(b) AS DOUBLE) / (max(w) * max(h)) AS mean_b,
+               CAST(sum(r) + sum(g) + sum(b) AS BIGINT) AS px_sum
+        FROM v GROUP BY media_id
     """,
     "rolling_fingerprint": """
         SELECT doc_id AS id,

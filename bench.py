@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "ann_ivf",
     "wav_features",
     "png_features",
+    "avi_features",
     "dod_times",
 ]
 

@@ -14,11 +14,16 @@ codec) and png_features parses them back with an original chunk-walk /
 CRC / inflate / unfilter decoder covering all five PNG filter types,
 value-gated the same way (queries.py `png_features`).
 
-Only VIDEO decode remains a deterministic fake gated behind
-`real_codecs=False` (no video codec is expressible in the stdlib); the
-Spark-side plumbing — schemas, Arrow batch shapes, partition-friendly
-mapInPandas operators — is real and tested. Swapping in ffmpeg means
-replacing only `_fake_decode_features` for the video kind.
+VIDEO is decoded for real as well: synth_avi_media writes genuine
+uncompressed AVI files (RIFF container, BI_RGB 24-bit DIB frames — a
+spec-standard format any player opens, needing no native codec) and
+avi_features demuxes them back, honoring the DIB quirks (bottom-up rows,
+BGR order, 4-byte row padding), value-gated the same way (queries.py
+`avi_features`). COMPRESSED codecs (H.264, JPEG, MP3, ...) are out of
+stdlib reach: `extract_features(real_codecs=True)` stays an honest
+NotImplementedError pointing at the three real per-kind decoders; the
+`_fake_decode_features` path remains only as the mixed-kind plumbing
+demo (itself value-gated on its own closed form).
 """
 
 from __future__ import annotations
@@ -71,9 +76,9 @@ def extract_features(media: DataFrame, dim: int = 8, real_codecs: bool = False) 
     if real_codecs:
         raise NotImplementedError(
             "real decode for the mixed-kind fake table is per-kind: use "
-            "wav_features (real RIFF/PCM) and png_features (real PNG) on "
-            "synth_wav_media/synth_png_media; only video lacks a stdlib "
-            "codec — install ffmpeg off-sandbox and implement it here"
+            "wav_features (real RIFF/PCM), png_features (real PNG), and "
+            "avi_features (real uncompressed AVI) on their synth tables; "
+            "COMPRESSED codecs (H.264/JPEG/MP3) need ffmpeg/PIL off-sandbox"
         )
 
     def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -437,3 +442,230 @@ def png_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(map_fn, schema=PNG_FEATURE_SCHEMA)
+
+
+# --- real video codec (stdlib struct RIFF/AVI, BI_RGB frames) -------------------
+#
+# VIDEO decode is real too: uncompressed AVI — the RIFF container (same
+# family as WAVE) with BI_RGB 24-bit DIB frames — is a genuine
+# spec-standard video format any player opens, and it needs no native
+# codec: the container is struct-sized chunks and the frames are raw
+# pixels with the two classic DIB quirks (bottom-up row order, BGR
+# channel order, rows padded to 4 bytes) that a decoder must actually
+# honor to read the pixels back. synth_avi_media writes spec-compliant
+# files (RIFF('AVI ') -> LIST(hdrl){avih, LIST(strl){strh 'vids'/'DIB ',
+# strf BITMAPINFOHEADER}} -> LIST(movi){'00db' frames} -> idx1);
+# avi_features walks the chunks, validates the headers, de-pads,
+# re-flips and re-swaps every frame, and computes per-channel means and
+# inter-frame motion. Pixels have a closed form, so the DuckDB oracle
+# recomputes every feature from scratch: a wrong mux, a wrong stride, a
+# missed row flip or channel swap all surface as a value hash mismatch.
+
+_AVI_FPS = 10
+
+
+def _avi_pixels(media_id: int, n_frames: int, w: int, h: int) -> np.ndarray:
+    """Closed form, non-separable across frames so motion varies:
+    pix[f, y, x, c] = (id*31 + f*19 + y*7 + x*3 + c*11 + f*y*x) % 256.
+    Returns uint8 (f, h, w, 3) in RGB order."""
+    f = np.arange(n_frames, dtype=np.int64)[:, None, None, None]
+    y = np.arange(h, dtype=np.int64)[None, :, None, None]
+    x = np.arange(w, dtype=np.int64)[None, None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, None, :]
+    return (
+        (media_id * 31 + f * 19 + y * 7 + x * 3 + c * 11 + f * y * x) % 256
+    ).astype(np.uint8)
+
+
+def _dib_frame(rgb: np.ndarray) -> bytes:
+    """One BI_RGB DIB frame: bottom-up rows, BGR order, stride padded to
+    a 4-byte boundary (the Windows bitmap layout AVI 'DIB ' mandates)."""
+    h, w, _ = rgb.shape
+    bgr = rgb[::-1, :, ::-1]  # flip rows, swap channels
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    if pad:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        return rows.tobytes()
+    return bgr.tobytes()
+
+
+def _avi_encode(pix: np.ndarray) -> bytes:
+    """Spec-compliant uncompressed AVI (RIFF 'AVI ', one 'vids' stream,
+    handler 'DIB ', BI_RGB 24bpp, _AVI_FPS fps) with an idx1 index."""
+    import struct
+
+    nf, h, w, _ = pix.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\0" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // _AVI_FPS,  # µs per frame
+        frame_bytes * _AVI_FPS,  # max bytes/sec
+        0, 0x10,  # padding, flags (AVIF_HASINDEX)
+        nf, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, _AVI_FPS,  # scale, rate -> fps
+        0, nf, frame_bytes, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    frames = [chunk(b"00db", _dib_frame(pix[f])) for f in range(nf)]
+    movi = lst(b"movi", b"".join(frames))
+    # idx1: one entry per frame, offsets relative to the start of 'movi'
+    idx = bytearray()
+    off = 4
+    for f in range(nf):
+        idx += struct.pack("<4sIII", b"00db", 0x10, off, frame_bytes)
+        off += 8 + frame_bytes + (frame_bytes & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_decode(payload: bytes) -> np.ndarray:
+    """Real AVI demux: RIFF walk, header validation (BI_RGB 24bpp 'vids'
+    stream), then every '00db' frame de-padded, re-flipped bottom-up ->
+    top-down and BGR -> RGB. Returns uint8 (n_frames, h, w, 3)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF header)")
+
+    w = h = None
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal w, h
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", buf, pos + 4)
+            body_at = pos + 8
+            if tag == b"LIST":
+                walk(buf, body_at + 4, body_at + ln)
+            elif tag == b"strf":
+                (size, bw, bh, planes, bpp, comp) = struct.unpack_from(
+                    "<IiiHHI", buf, body_at
+                )
+                if (planes, bpp, comp) != (1, 24, 0):
+                    raise ValueError("only BI_RGB 24bpp AVI supported")
+                w, h = bw, abs(bh)
+            elif tag in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("frame chunk before strf header")
+                stride = (w * 3 + 3) & ~3
+                if ln != stride * h:
+                    raise ValueError("frame size does not match dimensions")
+                rows = np.frombuffer(
+                    buf, dtype=np.uint8, count=stride * h, offset=body_at
+                ).reshape(h, stride)[:, : w * 3]
+                frames.append(rows.reshape(h, w, 3)[::-1, :, ::-1])
+            pos = body_at + ln + (ln & 1)
+
+    walk(payload, 12, len(payload))
+    if not frames:
+        raise ValueError("no frames")
+    return np.stack(frames)
+
+
+def synth_avi_media(spark, n: int = 48, parallelism: int = 4) -> DataFrame:
+    """Deterministic table of REAL uncompressed-AVI payloads. Sizes and
+    frame counts vary per id (w = id*7 % 12 + 5 so the 4-byte row padding
+    path is exercised for w % 4 != 0, h = id*11 % 12 + 4,
+    n_frames = id*5 % 7 + 2)."""
+    base = spark.range(0, n, 1, parallelism).select(
+        F.col("id").alias("media_id"),
+        ((F.col("id") * 7) % 12 + 5).cast("int").alias("width"),
+        ((F.col("id") * 11) % 12 + 4).cast("int").alias("height"),
+        ((F.col("id") * 5) % 7 + 2).cast("int").alias("n_frames"),
+    )
+
+    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _avi_encode(_avi_pixels(int(m), int(nf), int(w), int(h)))
+                for m, w, h, nf in zip(
+                    pdf["media_id"], pdf["width"], pdf["height"], pdf["n_frames"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": "video",
+                    "payload": payloads,
+                    "width": pdf["width"].to_numpy(),
+                    "height": pdf["height"].to_numpy(),
+                    "n_frames": pdf["n_frames"].to_numpy(),
+                }
+            )
+
+    return base.mapInPandas(
+        map_fn,
+        schema=(
+            "media_id long, kind string, payload binary, width int, "
+            "height int, n_frames int"
+        ),
+    )
+
+
+AVI_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, n_frames int, "
+    "mean_r double, mean_g double, mean_b double, motion double, px_sum long"
+)
+
+
+def avi_features(media: DataFrame) -> DataFrame:
+    """REAL video decode end-to-end: demux the AVI out of the binary
+    column, validate BI_RGB headers, reconstruct every frame (de-pad,
+    un-flip, un-swap), then compute per-channel means over all frames,
+    inter-frame motion (mean |frame[f+1] - frame[f]| — exact int64 sums,
+    bit-deterministic in float64), and a byte checksum. mapInPandas keeps
+    payloads inside each Arrow batch: at 100 TB the demux+frame-sample is
+    embarrassingly parallel and shuffles only feature rows."""
+
+    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pix = _avi_decode(bytes(payload)).astype(np.int64)
+                nf, h, w, _ = pix.shape
+                sums = pix.sum(axis=(0, 1, 2))
+                npx = nf * h * w
+                if nf > 1:
+                    dsum = int(np.abs(pix[1:] - pix[:-1]).sum())
+                    motion = dsum / ((nf - 1) * h * w * 3)
+                else:
+                    motion = 0.0
+                rows.append(
+                    (
+                        int(mid), w, h, nf,
+                        float(sums[0]) / npx,
+                        float(sums[1]) / npx,
+                        float(sums[2]) / npx,
+                        float(motion),
+                        int(sums.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "mean_r", "mean_g", "mean_b", "motion", "px_sum",
+                ],
+            )
+
+    return media.mapInPandas(map_fn, schema=AVI_FEATURE_SCHEMA)

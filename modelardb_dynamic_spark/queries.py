@@ -444,6 +444,20 @@ def q_png_features(spark, sf_dir):
     return multimodal.png_features(media)
 
 
+def q_avi_features(spark, sf_dir):
+    """REAL video decode end-to-end: genuine uncompressed AVI payloads
+    (RIFF container, BI_RGB 24-bit DIB frames — spec-standard, stdlib
+    struct only), demuxed back with an original chunk walker that must
+    honor the DIB layout (bottom-up rows, BGR, 4-byte padding) to read
+    the pixels — gated by a DuckDB oracle that recomputes frame counts,
+    per-channel means, inter-frame motion, and the byte checksum from the
+    pixels' closed form."""
+    from modelardb_dynamic_spark.operators import multimodal
+
+    media = multimodal.synth_avi_media(spark, n=48)
+    return multimodal.avi_features(media)
+
+
 # --- transcript pipeline (rows-only smoke at driver scale) ----------------------
 
 
@@ -663,6 +677,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "wav_features": q_wav_features,
     "png_features": q_png_features,
+    "avi_features": q_avi_features,
     "transcript_tiers": q_transcript_tiers,
     "grouped_tiers": q_grouped_tiers,
     "corr_grouped_tiers": q_corr_grouped_tiers,
@@ -1153,6 +1168,44 @@ ORACLES = {
                CAST(sum(r) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
                CAST(sum(g) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
                CAST(sum(b) AS DOUBLE) / (max(w) * max(h)) AS mean_b,
+               CAST(sum(r) + sum(g) + sum(b) AS BIGINT) AS px_sum
+        FROM v GROUP BY media_id
+    """,
+    "avi_features": """
+        WITH m AS (
+            SELECT CAST(r.range AS BIGINT) AS media_id,
+                   (r.range * 7) % 12 + 5 AS w,
+                   (r.range * 11) % 12 + 4 AS h,
+                   (r.range * 5) % 7 + 2 AS nf
+            FROM range(0, 48) r
+        ),
+        fs AS (SELECT *, unnest(range(0, nf)) AS f FROM m),
+        ys AS (SELECT *, unnest(range(0, h)) AS y FROM fs),
+        px AS (SELECT *, unnest(range(0, w)) AS x FROM ys),
+        v AS (
+            SELECT media_id, w, h, nf, f,
+                   (media_id*31 + f*19 + y*7 + x*3 + f*y*x) % 256 AS r,
+                   (media_id*31 + f*19 + y*7 + x*3 + 11 + f*y*x) % 256 AS g,
+                   (media_id*31 + f*19 + y*7 + x*3 + 22 + f*y*x) % 256 AS b,
+                   CASE WHEN f < nf - 1 THEN
+                     abs((media_id*31 + (f+1)*19 + y*7 + x*3 + (f+1)*y*x) % 256
+                         - (media_id*31 + f*19 + y*7 + x*3 + f*y*x) % 256)
+                   + abs((media_id*31 + (f+1)*19 + y*7 + x*3 + 11 + (f+1)*y*x) % 256
+                         - (media_id*31 + f*19 + y*7 + x*3 + 11 + f*y*x) % 256)
+                   + abs((media_id*31 + (f+1)*19 + y*7 + x*3 + 22 + (f+1)*y*x) % 256
+                         - (media_id*31 + f*19 + y*7 + x*3 + 22 + f*y*x) % 256)
+                   ELSE 0 END AS d
+            FROM px
+        )
+        SELECT media_id,
+               CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+               CAST(max(nf) AS INT) AS n_frames,
+               CAST(sum(r) AS DOUBLE) / (max(nf) * max(h) * max(w)) AS mean_r,
+               CAST(sum(g) AS DOUBLE) / (max(nf) * max(h) * max(w)) AS mean_g,
+               CAST(sum(b) AS DOUBLE) / (max(nf) * max(h) * max(w)) AS mean_b,
+               CASE WHEN max(nf) > 1 THEN
+                   CAST(sum(d) AS DOUBLE) / ((max(nf)-1) * max(h) * max(w) * 3)
+               ELSE 0.0 END AS motion,
                CAST(sum(r) + sum(g) + sum(b) AS BIGINT) AS px_sum
         FROM v GROUP BY media_id
     """,

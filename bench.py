@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "wav_features",
     "png_features",
     "avi_features",
+    "decontaminate",
+    "stratified_sample",
     "dod_times",
 ]
 

@@ -458,6 +458,36 @@ def q_avi_features(spark, sf_dir):
     return multimodal.avi_features(media)
 
 
+# --- corpus curation: decontamination + deterministic sampling ------------------
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/C4-style word n-gram overlap):
+    every corpus doc sharing >= 1 distinct 8-gram with the benchmark
+    subset (doc_id % 17 == 3 stands in for an eval suite) is flagged,
+    with the distinct-overlap count. Broadcast semi-join shape: corpus
+    rows never shuffle."""
+    from modelardb_dynamic_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    return curation.decontaminate(docs, bench, n=8)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling: keep iff h60(doc_id) % 1e6
+    falls under the stratum's fraction — reproducible across reruns,
+    task retries, and partitionings (unlike rand()-based df.sample),
+    and exactly replayable by the DuckDB oracle."""
+    from modelardb_dynamic_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.stratified_sample(
+        docs, "lang", {"en": 0.5, "fr": 0.25, "zh": 0.1}, default_fraction=0.05
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 # --- transcript pipeline (rows-only smoke at driver scale) ----------------------
 
 
@@ -678,6 +708,8 @@ QUERIES = {
     "wav_features": q_wav_features,
     "png_features": q_png_features,
     "avi_features": q_avi_features,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
     "transcript_tiers": q_transcript_tiers,
     "grouped_tiers": q_grouped_tiers,
     "corr_grouped_tiers": q_corr_grouped_tiers,
@@ -1208,6 +1240,38 @@ ORACLES = {
                ELSE 0.0 END AS motion,
                CAST(sum(r) + sum(g) + sum(b) AS BIGINT) AS px_sum
         FROM v GROUP BY media_id
+    """,
+    "decontaminate": """
+        WITH grams AS (
+            SELECT doc_id, unnest(list_distinct([
+                CAST(('0x' || substr(md5(
+                    array_to_string(w[i : i + 7], ' ')), 1, 15)) AS BIGINT)
+                FOR i IN range(1, greatest(len(w) - 7, 1) + 1)
+            ])) AS gh
+            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+                  FROM documents)
+        ),
+        bench AS (
+            SELECT DISTINCT gh FROM grams WHERE doc_id % 17 = 3
+        ),
+        hits AS (
+            SELECT g.doc_id, count(DISTINCT g.gh) AS n
+            FROM grams g JOIN bench b USING (gh)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id AS id,
+               coalesce(h.n, 0) AS n_contaminated,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000
+            < CAST(round((CASE lang WHEN 'en' THEN 0.5
+                                    WHEN 'fr' THEN 0.25
+                                    WHEN 'zh' THEN 0.1
+                                    ELSE 0.05 END) * 1000000) AS BIGINT)
     """,
     "rolling_fingerprint": """
         SELECT doc_id AS id,

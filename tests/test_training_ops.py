@@ -320,3 +320,54 @@ def test_avi_decoder_rejects_malformed():
     struct.pack_into("<I", bad, movi_at + 4, 11)  # lie about frame length
     with pytest.raises(ValueError, match="frame size"):
         mm._avi_decode(bytes(bad))
+
+
+def test_decontaminate_semantics_and_plan(spark):
+    """Benchmark members must flag themselves (they share all their own
+    grams); a doc with no benchmark 8-gram stays clean; the benchmark
+    gram set arrives via broadcast (corpus rows never shuffle on the
+    join key)."""
+    from modelardb_dynamic_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),        # benchmark member
+            (2, "a b c d e f g h i j extra"),  # contains bench 8-grams
+            (3, "q r s t u v w x y z"),        # clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    out = curation.decontaminate(docs, bench, n=8)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["contaminated"] and rows[2]["contaminated"]
+    assert not rows[3]["contaminated"]
+    # doc 1 has 3 distinct 8-grams; doc 2 shares all 3 of them
+    assert rows[1]["n_contaminated"] == 3 and rows[2]["n_contaminated"] == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_stratified_sample_deterministic_and_mapside(spark):
+    """The same rows are selected regardless of partitioning (pure
+    function of doc_id), fractions are honored approximately, and the
+    plan is shuffle-free (a filter over the scan)."""
+    from modelardb_dynamic_spark.operators import curation
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de")), (F.pmod("id", F.lit(2)) + 1).cast("int")
+        ).alias("lang"),
+    )
+    frac = {"en": 0.5, "de": 0.1}
+    a = curation.stratified_sample(docs, "lang", frac)
+    b = curation.stratified_sample(docs.repartition(17), "lang", frac)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.collect())
+    by_lang = {r["lang"]: r["n"] for r in a.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert abs(by_lang["en"] / 2000 - 0.5) < 0.05
+    assert abs(by_lang["de"] / 2000 - 0.1) < 0.05
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

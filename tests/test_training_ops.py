@@ -371,3 +371,27 @@ def test_stratified_sample_deterministic_and_mapside(spark):
     assert abs(by_lang["de"] / 2000 - 0.1) < 0.05
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_media_codecs_random_content_roundtrip():
+    """Codec fuzz beyond the closed-form pixels: RANDOM content exercises
+    the PNG filter kernels and AVI stride handling on inputs with no
+    algebraic structure to hide a cancelling bug. Seeded, 40 cases each."""
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(0xC0DEC)
+    for case in range(40):
+        w = int(rng.integers(1, 40))
+        h = int(rng.integers(1, 40))
+        pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = mm._png_decode(mm._png_encode(pix, media_id=case))
+        assert np.array_equal(out, pix), f"png case {case} ({w}x{h})"
+    for case in range(40):
+        w = int(rng.integers(1, 24))
+        h = int(rng.integers(1, 24))
+        nf = int(rng.integers(1, 9))
+        pix = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+        out = mm._avi_decode(mm._avi_encode(pix))
+        assert np.array_equal(out, pix), f"avi case {case} ({nf}f {w}x{h})"

@@ -365,3 +365,27 @@ def embedding_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("ida", "idb", "cosine")
     )
+
+
+def dedup_stream(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """STREAMING exact dedup: the first-arriving doc per content hash
+    survives; later duplicates are dropped by Spark's built-in stateful
+    dropDuplicates, whose state (the seen-hash set) is partitioned by
+    fingerprint across executors and checkpointed — the online twin of
+    exact_dedup for ingest-time dedup of a document firehose.
+
+    State growth: for archival dedup the hash set legitimately grows with
+    the distinct corpus (16 B md5 + id per distinct doc — ~1.6 TB of
+    distributed state per 10^11 docs, partitioned, RocksDB-backed). When
+    only a dedup horizon is needed, pass within_watermark=True and attach
+    an event-time watermark upstream: dropDuplicatesWithinWatermark lets
+    Spark evict state older than the horizon."""
+    fp = docs_stream.withColumn("fp", F.md5(F.col(text_col)))
+    if within_watermark:
+        return fp.dropDuplicatesWithinWatermark(["fp"])
+    return fp.dropDuplicates(["fp"])

@@ -137,3 +137,48 @@ def test_streamed_points_roundtrip(spark, series_chunks):
         "NOT (rec = value OR abs((value - rec) / value) * 100.0 <= 10.0)"
     )
     assert bad.count() == 0
+
+
+def test_streamed_exact_dedup_matches_batch(spark, tmp_path):
+    """dedup_stream keeps exactly one doc per content hash across
+    micro-batches (duplicates span chunk boundaries on purpose) and the
+    surviving fingerprint set equals batch exact_dedup's."""
+    import os
+
+    from modelardb_dynamic_spark.operators.dedup import dedup_stream, exact_dedup
+
+    # 3 chunks x 8 docs; text repeats every 5 ids -> cross-chunk dupes
+    rows = [(i, f"text {i % 5}") for i in range(24)]
+    for c in range(3):
+        spark.createDataFrame(
+            rows[c * 8 : (c + 1) * 8], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), f"chunk={c}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(str(tmp_path), "chunk=*"))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("streamed_dedup")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = spark.table("streamed_dedup").collect()
+    batch = {
+        r["fp"] for r in exact_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert len(kept) == len(batch) == 5          # one survivor per hash
+    assert {r["fp"] for r in kept} == batch
+    by_fp = {r["fp"]: r["doc_id"] for r in kept}
+    for r in kept:                               # survivor carries its own text's hash
+        assert r["text"] == f"text {r['doc_id'] % 5}"
+    assert len(by_fp) == 5

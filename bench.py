@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "avi_features",
     "decontaminate",
     "stratified_sample",
+    "pack_documents",
     "dod_times",
 ]
 

@@ -92,3 +92,41 @@ def stratified_sample(
     threshold = F.round(frac_col * 1_000_000).cast("long")
     bucket = F.pmod(spark_h60(F.col(id_col).cast("string")), F.lit(1_000_000))
     return docs.filter(bucket < threshold)
+
+
+def pack_documents(
+    docs: DataFrame,
+    window_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic contiguous sequence packing for pretraining batch
+    construction: documents are laid end-to-end in id order and cut into
+    fixed token windows. Each doc reports the bin its first token lands
+    in, its offset inside that bin, and how many bins it spans (a doc
+    straddling a boundary is split downstream at exactly these offsets).
+
+    Tokens = whitespace-separated words here (swap in a BPE count column
+    upstream without changing the packing). Deterministic and exactly
+    SQL-replayable: bin_id = floor(start_offset / window) where
+    start_offset is the exclusive prefix sum of token counts in id order.
+
+    Scale shape: one global sort-by-id (a range-partitioned exchange —
+    unavoidable for a globally contiguous layout; at 100 TB shard first
+    by a corpus partition key and pack within shards) and one window
+    prefix sum — no other shuffle, no Python."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        start.alias("start_offset"),
+        (start / window_tokens).cast("long").alias("bin_id"),
+        F.pmod(start, F.lit(window_tokens)).alias("offset_in_bin"),
+        (
+            (start + n_tok - 1) / window_tokens
+        ).cast("long").alias("end_bin_id"),
+    )

@@ -488,6 +488,15 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_pack_documents(spark, sf_dir):
+    """Deterministic contiguous sequence packing into 512-token windows
+    (pretraining batch construction): docs laid end-to-end in id order,
+    each reporting its start bin, in-bin offset, and end bin."""
+    from modelardb_dynamic_spark.operators import curation
+
+    return curation.pack_documents(_t(spark, sf_dir, "documents"), 512)
+
+
 # --- transcript pipeline (rows-only smoke at driver scale) ----------------------
 
 
@@ -710,6 +719,7 @@ QUERIES = {
     "avi_features": q_avi_features,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
+    "pack_documents": q_pack_documents,
     "transcript_tiers": q_transcript_tiers,
     "grouped_tiers": q_grouped_tiers,
     "corr_grouped_tiers": q_corr_grouped_tiers,
@@ -1263,6 +1273,28 @@ ORACLES = {
                coalesce(h.n, 0) AS n_contaminated,
                coalesce(h.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    "pack_documents": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_offset
+            FROM t
+        )
+        SELECT doc_id, n_tokens, start_offset,
+               CAST(start_offset // 512 AS BIGINT) AS bin_id,
+               CAST(start_offset % 512 AS BIGINT) AS offset_in_bin,
+               CAST((start_offset + n_tokens - 1) // 512 AS BIGINT)
+                   AS end_bin_id
+        FROM s
     """,
     "stratified_sample": """
         SELECT doc_id, lang, source FROM documents

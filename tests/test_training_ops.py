@@ -395,3 +395,23 @@ def test_media_codecs_random_content_roundtrip():
         pix = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
         out = mm._avi_decode(mm._avi_encode(pix))
         assert np.array_equal(out, pix), f"avi case {case} ({nf}f {w}x{h})"
+
+
+def test_pack_documents_semantics(spark):
+    """Packing invariants: offsets are the exclusive prefix sum in id
+    order, bins tile [0, total_tokens) with no gaps, and a doc straddles
+    exactly the bins its token span covers."""
+    from modelardb_dynamic_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, " ".join("x" * 1 for _ in range(7))),
+         (4, "y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.pack_documents(docs, 4).collect()}
+    assert [out[i]["start_offset"] for i in (1, 2, 3, 4)] == [0, 3, 5, 12]
+    assert [out[i]["bin_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 3]
+    assert [out[i]["offset_in_bin"] for i in (1, 2, 3, 4)] == [0, 3, 1, 0]
+    # doc 3: tokens 5..11 -> bins 1..2
+    assert (out[3]["bin_id"], out[3]["end_bin_id"]) == (1, 2)
+    assert out[4]["end_bin_id"] == 3

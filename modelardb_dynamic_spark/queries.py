@@ -549,6 +549,80 @@ def q_transcript_tiers(spark, sf_dir):
     )
 
 
+def q_stream_tier_5m(spark, sf_dir):
+    """Streaming continuous aggregate under the value-level oracle gate:
+    the transcript table replayed as an ARRIVING file stream through the
+    chained watermarked windowed aggregation (streaming/rollup.py —
+    turns -> per-minute grid slots -> 5-minute tier buckets, each bucket
+    emitted exactly once when the watermark passes it), run to completion
+    with availableNow. Two far-future sentinel chunks push the watermark
+    past every real bucket, so the append-mode output must equal the
+    batch aggregation over the full table — which is exactly what the
+    DuckDB oracle computes from the raw rows."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    bucket_ms = 5 * SI_MS
+    # testdata ts is TIMESTAMP_NTZ; the stream watermarks on a zoned
+    # TIMESTAMP (session tz pinned UTC, sources/timeseries.to_ms contract)
+    tr = _events_as_transcripts(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hi = tr.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    d = tempfile.mkdtemp(prefix="mdbs_stream_tier_")
+    try:
+        tr.write.mode("overwrite").parquet(os.path.join(d, "chunk=0"))
+        for j, extra_ms in enumerate((100 * SI_MS, 200 * SI_MS)):
+            (
+                spark.createDataFrame(
+                    [("__sentinel__", 0, "user", "x", "none")],
+                    "conv_id string, turn_idx int, role string, "
+                    "text string, tool string",
+                )
+                .withColumn("ts", F.timestamp_millis(F.lit(hi + extra_ms)))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(d, f"chunk={j + 1}"))
+            )
+        from modelardb_dynamic_spark.streaming.rollup import continuous_aggregate
+
+        schema = spark.read.parquet(os.path.join(d, "chunk=0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "chunk=*"))
+        )
+        tier = continuous_aggregate(
+            stream, SI_MS, bucket_ms, watermark_delay="2 minutes"
+        )
+        name = "stream_tier_" + uuid.uuid4().hex[:8]
+        q = (
+            tier.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # localCheckpoint: the memory-sink rows are already driver-side; pin
+    # them so the returned plan no longer references the stopped stream
+    return (
+        spark.table(name)
+        .where("sid != '__sentinel__'")
+        .select(
+            "sid", "metric", "bucket_ts", "cnt", "vsum",
+            F.col("vmin").cast("double").alias("vmin"),
+            F.col("vmax").cast("double").alias("vmax"),
+        )
+        .localCheckpoint()
+    )
+
+
 def q_grouped_tiers(spark, sf_dir):
     """End-to-end grouped compression under the value-level oracle: each
     user's event-count series is paired with an exact duplicate in a
@@ -721,6 +795,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pack_documents": q_pack_documents,
     "transcript_tiers": q_transcript_tiers,
+    "stream_tier_5m": q_stream_tier_5m,
     "grouped_tiers": q_grouped_tiers,
     "corr_grouped_tiers": q_corr_grouped_tiers,
     "dod_times": q_dod_times,
@@ -1384,6 +1459,31 @@ ORACLES = {
                h.vsum, h.vmin, h.vmax
         FROM allb a LEFT JOIN h
           ON a.sid = h.sid AND a.metric = h.metric AND a.bucket_ts = h.bucket_ts
+    """,
+    # stream_tier_5m: the watermark sentinel guarantees every real bucket
+    # was emitted, so the streamed append output == this batch aggregation
+    "stream_tier_5m": f"""
+        WITH tr AS (
+            SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+                   event_type || ' ' ||
+                   repeat(event_type || ' ', CAST(event_id % 5 AS INT) + 1) ||
+                   event_type AS text,
+                   ts
+            FROM events
+        ), series AS (
+            SELECT conv_id AS sid, (epoch_ms(ts) // {SI_MS}) * {SI_MS} AS ts_ms,
+                   count(*) AS turn_rate, sum(len(text) // 4) AS token_rate
+            FROM tr GROUP BY 1, 2
+        ), u AS (
+            SELECT sid, 'turn_rate' AS metric, ts_ms,
+                   CAST(turn_rate AS DOUBLE) AS v FROM series
+            UNION ALL
+            SELECT sid, 'token_rate', ts_ms, CAST(token_rate AS DOUBLE) FROM series
+        )
+        SELECT sid, metric, (ts_ms // {5 * SI_MS}) * {5 * SI_MS} AS bucket_ts,
+               count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+               CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax
+        FROM u GROUP BY 1, 2, 3
     """,
 }
 

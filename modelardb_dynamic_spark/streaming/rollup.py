@@ -1,0 +1,122 @@
+"""Streaming continuous aggregates: the tier tables maintained online.
+
+The north star materializes "continuous aggregates (count/avg/min/max
+turn-rate and token-rate per conv_id per 1m/1h/1d bucket) via windowed
+aggregation with explicit gap-fill". The batch path does this from the
+segment table (operators/rollup.py); this module is the ONLINE twin — an
+unbounded transcript-turn stream maintained as an append-only tier table
+with Structured Streaming windowed aggregation, watermarks handling late
+data (reference analog: the streaming ingest path of SparkEngine feeding
+the same aggregate views it answers queries from, engines/spark/
+Spark.scala:41 + SparkStreamReceiver; the reference keeps ONE code path by
+re-running batch queries over the growing segment store — Spark-first, we
+instead use the engine's native incremental windowed aggregation, which
+emits each bucket exactly once when the event-time watermark passes its
+end).
+
+Two chained stateful aggregations (SPARK-40925, append mode):
+
+  stage 1 — turns.withWatermark(ts).groupBy(window(ts, si), conv_id)
+            -> turn_rate / token_rate per SI grid slot (the streaming twin
+            of sources/timeseries.transcript_series: a grid slot is final
+            once the watermark passes it, late turns are dropped exactly
+            like the batch engine's in-order contract drops them);
+  stage 2 — groupBy(window(window_time(slot), bucket), sid, metric)
+            -> cnt / vsum / vmin / vmax per tier bucket (the streaming
+            twin of operators/rollup.rollup's aggregate semantics).
+
+Output schema == the batch TIER_SCHEMA, so downsample() composes on the
+sink table unchanged, and the batch/stream results are directly
+comparable: with error bound 0 the batch tier (which goes through model
+compression + analytic rollup) is value-identical to the streamed tier at
+the watermark frontier — pinned in tests/test_streaming_rollup.py.
+
+Scale shape: both stages are built-in JVM windowed aggregations (RocksDB/
+HDFS-backed state store per (key, window), partial aggregation map-side,
+one shuffle each on the grouping key); no Python crosses the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TURN_RATE = "turn_rate"
+TOKEN_RATE = "token_rate"
+
+
+def _secs(ms: int) -> str:
+    if ms % 1000:
+        raise ValueError(f"bucket must be whole seconds, got {ms} ms")
+    return f"{ms // 1000} seconds"
+
+
+def continuous_series(turns: DataFrame, si_ms: int) -> DataFrame:
+    """Streaming twin of sources/timeseries.transcript_series: per conv_id
+    per SI window, turn_rate = count of turns, token_rate = sum of approx
+    tokens (len(text) // 4; exact small integers, lossless in float32).
+
+    `turns` must already carry an event-time watermark on `ts`. The window
+    struct is KEPT (column `w`) so a second windowed aggregation can chain
+    on window_time(w)."""
+    return (
+        turns.groupBy(
+            F.window("ts", _secs(si_ms)).alias("w"),
+            F.col("conv_id").alias("sid"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("float").alias(TURN_RATE),
+            F.sum(F.floor(F.length("text") / 4)).cast("float").alias(TOKEN_RATE),
+        )
+    )
+
+
+def continuous_tier(series_w: DataFrame, bucket_ms: int) -> DataFrame:
+    """Chained windowed aggregation: SI grid slots -> tier buckets, same
+    aggregate semantics as the batch rollup (cnt = grid slots with data,
+    vsum/vmin/vmax over the slot values). Emits TIER_SCHEMA columns."""
+    long_df = series_w.select(
+        "w",
+        "sid",
+        F.expr(
+            f"stack(2, '{TURN_RATE}', {TURN_RATE}, '{TOKEN_RATE}', {TOKEN_RATE})"
+        ).alias("metric", "value"),
+    )
+    return (
+        long_df.groupBy(
+            F.window(F.window_time("w"), _secs(bucket_ms)).alias("b"),
+            "sid",
+            "metric",
+        )
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").cast("double").alias("vsum"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .select(
+            "sid",
+            "metric",
+            F.unix_millis("b.start").alias("bucket_ts"),
+            "cnt",
+            "vsum",
+            "vmin",
+            "vmax",
+        )
+    )
+
+
+def continuous_aggregate(
+    turns: DataFrame,
+    si_ms: int,
+    bucket_ms: int,
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Unbounded transcript-turn stream -> append-only tier table at
+    bucket_ms granularity (TIER_SCHEMA), each bucket emitted exactly once
+    when the watermark passes its end. bucket_ms must be a multiple of
+    si_ms (tier buckets nest on the SI grid, FIXTURES.md §4)."""
+    if bucket_ms % si_ms:
+        raise ValueError(f"bucket_ms {bucket_ms} not a multiple of si {si_ms}")
+    wm = turns.withWatermark("ts", watermark_delay)
+    return continuous_tier(continuous_series(wm, si_ms), bucket_ms)

@@ -271,3 +271,111 @@ def asof_join(
         F.col("_last_rts").alias("asof_ts"),
         F.col("_last_rv").alias("asof_" + right_val),
     )
+
+
+# -- repetition filters (Gopher / MassiveText quality rules) -------------------
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Word/n-gram repetition statistics from the MassiveText quality rules
+    (Rae et al. 2021, "Scaling Language Models", table A1): the fraction of
+    tokens covered by the most frequent word / 2-gram / 3-gram and the
+    fraction of token occurrences belonging to duplicated words. Documents
+    that repeat themselves (boilerplate, keyword stuffing, decode loops)
+    score high and get filtered before pretraining.
+
+    Scale shape: one explode of (n, gram) per token position and two hash
+    aggregations — both map-side combinable, keyed by (id, n, gram) then
+    (id), so the plan is linear in corpus size with no self-joins and no
+    per-doc quadratic higher-order-function scans. All outputs are exact
+    integer ratios (single IEEE division), so the DuckDB oracle hash-matches.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col).alias("id"), words.alias("_w"))
+    parts = []
+    for n in (1, 2, 3):
+        if n == 1:
+            arr = F.col("_w")
+        else:
+            # NB: the lambda must be truly unary — Spark's higher-order
+            # transform binds every declared parameter (defaults included)
+            # to a Column, so `lambda i, n=n:` would get n overwritten.
+            def _make(nn):
+                return lambda i: F.concat_ws(
+                    " ", *[F.get("_w", i + k) for k in range(nn)]
+                )
+
+            _join_gram = _make(n)
+            arr = F.when(
+                F.size("_w") >= n,
+                F.transform(F.sequence(F.lit(0), F.size("_w") - n), _join_gram),
+            ).otherwise(F.array().cast("array<string>"))
+        parts.append(
+            base.select("id", F.lit(n).alias("n"), F.explode(arr).alias("gram"))
+        )
+    exploded = parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+    per_gram = exploded.groupBy("id", "n", "gram").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy("id").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("_t1"),
+        F.max(F.when(F.col("n") == 1, F.col("c"))).alias("_m1"),
+        F.sum(F.when((F.col("n") == 1) & (F.col("c") > 1), F.col("c"))).alias("_d1"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("_t2"),
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("_m2"),
+        F.sum(F.when(F.col("n") == 3, F.col("c"))).alias("_t3"),
+        F.max(F.when(F.col("n") == 3, F.col("c"))).alias("_m3"),
+    )
+
+    def frac(m, t):
+        return F.when(F.col(t) > 0, F.col(m) / F.col(t)).otherwise(F.lit(0.0))
+
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        F.col("_t1").alias("n_words"),
+        frac("_m1", "_t1").alias("top_word_frac"),
+        frac("_m2", "_t2").alias("top_bigram_frac"),
+        frac("_m3", "_t3").alias("top_trigram_frac"),
+        F.when(F.col("_t1") > 0, F.coalesce(F.col("_d1"), F.lit(0)) / F.col("_t1"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+    )
+
+
+# -- PII detection / redaction -------------------------------------------------
+
+# Shared-dialect regexes: every construct below means the same thing in Java
+# regex (Spark) and RE2 (DuckDB) — char classes, bounded repetition, \b,
+# non-capturing groups. No lookarounds, no backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d{1,3}[ -]\d{3}[ -]\d{4}\b",
+}
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Detect and redact PII spans (emails, IPv4 addresses, international
+    phone numbers) — the scrub every pretraining corpus runs before
+    tokenization. Pure JVM regex (whole-stage codegen), no UDF: counts via
+    regexp_extract_all, redaction via chained regexp_replace with typed
+    placeholder tokens. Emails are redacted first so an address can never be
+    half-eaten by the IP rule (the domain may look like a dotted quad).
+
+    Returns (id, n_emails, n_ipv4, n_phones, redacted)."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}s")
+        for name, pat in [
+            ("email", PII_PATTERNS["email"]),
+            ("ipv4", PII_PATTERNS["ipv4"]),
+            ("phone", PII_PATTERNS["phone"]),
+        ]
+    ]
+    red = t
+    for name in ("email", "ipv4", "phone"):
+        red = F.regexp_replace(red, PII_PATTERNS[name], f"[{name.upper()}]")
+    return docs.select(F.col(id_col), *counts, red.alias("redacted"))

@@ -755,6 +755,51 @@ def q_embedded_dp_range(spark, sf_dir):
     return spark.createDataFrame(out)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText repetition quality filters: top word/2-gram/3-gram
+    coverage fraction and duplicate-word fraction per document. Pure
+    explode + two hash aggregations (map-side combinable); exact integer
+    ratios, so the DuckDB replay hash-matches."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# deterministic PII augmentation so the scrub has real work at every sf:
+# docs are salted with a synthetic email / dotted-quad / E.164-ish phone by
+# doc_id class, identically in Spark and in the oracle SQL.
+def q_pii_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(
+                F.col("text"), F.lit(" from 10."), (did % 200).cast("string"),
+                F.lit(".3."), (did % 250).cast("string"),
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.col("text"), F.lit(" call +44 555 "),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    scrubbed = textstats.pii_scrub(d.select("doc_id", aug.alias("text")))
+    return scrubbed.select(
+        "doc_id", "n_emails", "n_ipv4s", "n_phones",
+        F.md5("redacted").alias("red_fp"),
+    )
+
+
 QUERIES = {
     "seg_count_s": q_seg_count_s,
     "seg_agg_s": q_seg_agg_s,
@@ -801,6 +846,8 @@ QUERIES = {
     "dod_times": q_dod_times,
     "embedded_seg_agg": q_embedded_seg_agg,
     "embedded_dp_range": q_embedded_dp_range,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -1484,6 +1531,73 @@ ORACLES = {
                count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
                CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax
         FROM u GROUP BY 1, 2, 3
+    """,
+    "repetition_stats": r"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+            FROM documents
+        ), g AS (
+            SELECT doc_id, 1 AS n, unnest(words) AS gram FROM w
+            UNION ALL
+            SELECT doc_id, 2 AS n, unnest([
+                array_to_string(words[i : i + 1], ' ')
+                FOR i IN range(1, greatest(len(words) - 1, 0) + 1)
+            ]) AS gram FROM w
+            UNION ALL
+            SELECT doc_id, 3 AS n, unnest([
+                array_to_string(words[i : i + 2], ' ')
+                FOR i IN range(1, greatest(len(words) - 2, 0) + 1)
+            ]) AS gram FROM w
+        ), c AS (
+            SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3
+        ), d AS (
+            SELECT doc_id,
+                   sum(CASE WHEN n = 1 THEN c END) AS t1,
+                   max(CASE WHEN n = 1 THEN c END) AS m1,
+                   sum(CASE WHEN n = 1 AND c > 1 THEN c END) AS d1,
+                   sum(CASE WHEN n = 2 THEN c END) AS t2,
+                   max(CASE WHEN n = 2 THEN c END) AS m2,
+                   sum(CASE WHEN n = 3 THEN c END) AS t3,
+                   max(CASE WHEN n = 3 THEN c END) AS m3
+            FROM c GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(t1 AS BIGINT) AS n_words,
+               CASE WHEN t1 > 0 THEN m1 / t1 ELSE 0.0 END AS top_word_frac,
+               CASE WHEN t2 > 0 THEN m2 / t2 ELSE 0.0 END AS top_bigram_frac,
+               CASE WHEN t3 > 0 THEN m3 / t3 ELSE 0.0 END AS top_trigram_frac,
+               CASE WHEN t1 > 0 THEN coalesce(d1, 0) / t1 ELSE 0.0 END
+                   AS dup_word_frac
+        FROM d
+    """,
+    "pii_scrub": r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN text || ' contact user'
+                                 || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     WHEN 1 THEN text || ' from 10.'
+                                 || CAST(doc_id % 200 AS VARCHAR) || '.3.'
+                                 || CAST(doc_id % 250 AS VARCHAR)
+                     WHEN 2 THEN text || ' call +44 555 '
+                                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE text
+                   END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t,
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4s,
+               CAST(len(regexp_extract_all(t,
+                   '\+\d{1,3}[ -]\d{3}[ -]\d{4}\b')) AS INT) AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'),
+                   '\+\d{1,3}[ -]\d{3}[ -]\d{4}\b', '[PHONE]', 'g')) AS red_fp
+        FROM aug
     """,
 }
 

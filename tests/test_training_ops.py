@@ -415,3 +415,69 @@ def test_pack_documents_semantics(spark):
     # doc 3: tokens 5..11 -> bins 1..2
     assert (out[3]["bin_id"], out[3]["end_bin_id"]) == (1, 2)
     assert out[4]["end_bin_id"] == 3
+
+
+# -- repetition stats (Gopher/MassiveText filters) ------------------------------
+
+
+def test_repetition_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # 6 words: "a b a b a c" -> top word "a" 3/6, top bigram "a b"
+            # (positions 1,3) 2/5, top trigram "a b a" 2/4, dup words: a,b -> 5/6
+            (1, "a b a b a c"),
+            # single word: no bigrams/trigrams -> fracs 0, top word 1/1
+            (2, "solo"),
+            # all distinct: dup_word_frac 0, every gram frac 1/n
+            (3, "w x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.repetition_stats(docs).collect()
+    }
+    r1 = rows[1]
+    assert r1["n_words"] == 6
+    assert r1["top_word_frac"] == 3 / 6
+    assert r1["top_bigram_frac"] == 2 / 5
+    assert r1["top_trigram_frac"] == 2 / 4
+    assert r1["dup_word_frac"] == 5 / 6
+    r2 = rows[2]
+    assert r2["n_words"] == 1
+    assert r2["top_word_frac"] == 1.0
+    assert r2["top_bigram_frac"] == 0.0
+    assert r2["top_trigram_frac"] == 0.0
+    assert r2["dup_word_frac"] == 0.0
+    r3 = rows[3]
+    assert r3["top_word_frac"] == 1 / 4
+    assert r3["top_bigram_frac"] == 1 / 3
+    assert r3["dup_word_frac"] == 0.0
+
+
+# -- PII scrub -------------------------------------------------------------------
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.org or jd@ex.io thanks"),
+            (2, "server at 192.168.0.17 and 10.0.0.1 went down"),
+            (3, "call +44 555 0134 or +1 800 9999 today"),
+            (4, "clean text with no pii at all"),
+            (5, "mixed: a@b.com from 8.8.8.8 dial +353 123 4567"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.pii_scrub(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ipv4s"], out[1]["n_phones"]) == (2, 0, 0)
+    assert "[EMAIL]" in out[1]["redacted"] and "@" not in out[1]["redacted"]
+    assert (out[2]["n_emails"], out[2]["n_ipv4s"]) == (0, 2)
+    assert out[2]["redacted"].count("[IPV4]") == 2
+    assert out[3]["n_phones"] == 2
+    assert out[3]["redacted"].count("[PHONE]") == 2
+    assert (out[4]["n_emails"], out[4]["n_ipv4s"], out[4]["n_phones"]) == (0, 0, 0)
+    assert out[4]["redacted"] == "clean text with no pii at all"
+    assert (out[5]["n_emails"], out[5]["n_ipv4s"], out[5]["n_phones"]) == (1, 1, 1)
+    # email is redacted before the IP pass so a dotted domain can't be half-eaten
+    assert "[EMAIL]" in out[5]["redacted"] and "[IPV4]" in out[5]["redacted"]

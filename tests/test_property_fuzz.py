@@ -1,0 +1,166 @@
+"""Hypothesis property fuzzing for the model-compression core.
+
+Three invariants the rest of the engine leans on, checked on adversarial
+structured inputs (the reference's own corpora are regular; hypothesis finds
+the irregular shapes — run boundaries, single-point runs, NaN islands,
+denormals, sign flips at the error-bound edge):
+
+1. The C cascade is byte-identical to the Python specification for every
+   input (the Python spec itself is pinned to the Java engine by the golden
+   and 120-case Java-differential suites).
+2. Reconstruction respects the error bound in the reference's own
+   percentageError metric, for every model the cascade picks.
+3. Gorilla encode->decode is a bit-exact identity for arbitrary float32
+   payloads including NaN, +/-inf, and subnormals, on BOTH decoders.
+
+Pure numpy/C — no Spark session — so hundreds of examples run in seconds.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from modelardb_dynamic_spark.config import EngineConfig
+from modelardb_dynamic_spark.models import ckernel
+from modelardb_dynamic_spark.models.error import percentage_error
+from modelardb_dynamic_spark.models.gorilla import (
+    _gorilla_decode_py,
+    gorilla_decode,
+    gorilla_encode,
+)
+from modelardb_dynamic_spark.models.kernels import (
+    _compress_core_py,
+    compress_series,
+    split_runs,
+)
+from modelardb_dynamic_spark.models.segment import grid
+
+SI = 60_000
+
+# -- structured series strategy -------------------------------------------------
+# hypothesis drives the STRUCTURE (block kinds, lengths, error bound, gaps);
+# bulk numeric content comes from a seeded RNG so generation stays fast and
+# examples stay shrinkable.
+
+_block = st.tuples(
+    st.sampled_from(["const", "ramp", "noise", "spike", "tiny"]),
+    st.integers(min_value=1, max_value=80),
+    st.integers(min_value=0, max_value=2**16),
+)
+
+
+def _render(blocks, nan_seed: int) -> np.ndarray:
+    parts = []
+    for kind, n, seed in blocks:
+        rng = np.random.default_rng(seed)
+        if kind == "const":
+            parts.append(np.full(n, rng.uniform(-1e3, 1e3), dtype=np.float32))
+        elif kind == "ramp":
+            base = rng.uniform(-100, 100)
+            slope = rng.uniform(-5, 5)
+            parts.append((base + slope * np.arange(n)).astype(np.float32))
+        elif kind == "noise":
+            parts.append(rng.normal(0, rng.uniform(0.01, 50), n).astype(np.float32))
+        elif kind == "spike":
+            v = np.zeros(n, dtype=np.float32)
+            v[rng.integers(0, n)] = rng.choice([1e6, -1e6, 1e-30]).astype(np.float32)
+            parts.append(v)
+        else:  # tiny: denormal-scale values near the 0/0 percentageError edge
+            parts.append(
+                (rng.normal(0, 1, n) * np.float32(1e-40)).astype(np.float32)
+            )
+    v = np.concatenate(parts)
+    if nan_seed:
+        rng = np.random.default_rng(nan_seed)
+        v[rng.random(len(v)) < 0.03] = np.nan
+    return v
+
+
+series_st = st.tuples(
+    st.lists(_block, min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=2**16),  # nan seed; 0 = no NaNs
+    st.integers(min_value=0, max_value=2**16),  # gap seed; 0 = no gaps
+    st.sampled_from([0.0, 1.0, 10.0]),
+    st.sampled_from([3, 50, 256]),
+)
+
+
+def _timestamps(n: int, gap_seed: int) -> np.ndarray:
+    t = np.arange(n, dtype=np.int64) * SI
+    if gap_seed:
+        rng = np.random.default_rng(gap_seed)
+        keep = rng.random(n) > 0.05
+        keep[0] = True
+        return t[keep]
+    return t
+
+
+def _key(s):
+    return (
+        s.start_ts, s.end_ts, s.mtid, s.model, s.cnt,
+        struct.pack(">ddd", s.vmin, s.vmax, s.vsum),
+    )
+
+
+@pytest.mark.skipif(ckernel.load() is None, reason="no C compiler")
+@settings(max_examples=150, deadline=None)
+@given(series_st)
+def test_cascade_c_matches_python_fuzz(case):
+    blocks, nan_seed, gap_seed, eb, lb = case
+    v = _render(blocks, nan_seed)
+    t = _timestamps(len(v), gap_seed)
+    v = v[: len(t)]
+    cfg = EngineConfig(error_bound=eb, sampling_interval_ms=SI, length_bound=lb)
+    cs = compress_series(t, v, cfg)
+    ps = []
+    for a, b in split_runs(t, SI):
+        ps.extend(_compress_core_py(t[a:b], v[a:b], cfg, True)[0])
+    assert [_key(s) for s in cs] == [_key(s) for s in ps]
+
+
+@settings(max_examples=100, deadline=None)
+@given(series_st)
+def test_cascade_roundtrip_respects_error_bound_fuzz(case):
+    blocks, _nan, gap_seed, eb, lb = case
+    v = _render(blocks, 0)  # bound property is for real values; NaNs are
+    t = _timestamps(len(v), gap_seed)  # covered by the differential test
+    v = v[: len(t)]
+    cfg = EngineConfig(error_bound=eb, sampling_interval_ms=SI, length_bound=lb)
+    segs = compress_series(t, v, cfg)
+    rts, rec = [], []
+    for s in segs:
+        g = grid(s.mtid, s.model, s.start_ts, s.end_ts, SI)
+        rts.append(g[0])
+        rec.append(g[1])
+    rts = np.concatenate(rts) if rts else np.array([], dtype=np.int64)
+    rec = np.concatenate(rec) if rec else np.array([], dtype=np.float32)
+    assert np.array_equal(rts, t)
+    for a, r in zip(rec.tolist(), v.tolist()):
+        assert percentage_error(a, r) <= eb
+
+
+_f32_payload = st.lists(
+    st.one_of(
+        st.floats(width=32, allow_nan=True, allow_infinity=True),
+        st.sampled_from([0.0, -0.0, 1e-45, -1e-45, 3.4e38, 1.0, -1.0]),
+    ),
+    min_size=1,
+    max_size=200,
+)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_f32_payload)
+def test_gorilla_roundtrip_bit_exact_fuzz(vals):
+    v = np.array(vals, dtype=np.float32)
+    model, _bits = gorilla_encode(v)
+    for decoder in (gorilla_decode, _gorilla_decode_py):
+        out = decoder(model, len(v))
+        assert np.array_equal(
+            out.view(np.uint32), v.view(np.uint32)
+        ), decoder.__name__

@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "decontaminate",
     "stratified_sample",
     "pack_documents",
+    "repetition_stats",
+    "pii_scrub",
+    "gopher_quality",
     "dod_times",
 ]
 

@@ -379,3 +379,64 @@ def pii_scrub(
     for name in ("email", "ipv4", "phone"):
         red = F.regexp_replace(red, PII_PATTERNS[name], f"[{name.upper()}]")
     return docs.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+# -- Gopher document-level quality rules ----------------------------------------
+
+# the 8 "must contain >= 2" stopwords from the MassiveText rules
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Document-level quality rules from MassiveText (Rae et al. 2021, A1.1):
+    word-count bounds, mean word length in [3, 10], >80% of words contain an
+    alphabetic character, >=2 of the 8 designated English stopwords present,
+    and a low symbol-to-word ratio ('#' and '...'). Emits each measurement
+    plus the composite keep flag so downstream curation can re-threshold
+    without recomputing.
+
+    Pure higher-order-function SQL over the token array — per-row JVM work
+    linear in document length, no explode, no shuffle: the filter runs
+    map-side at any corpus size."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    sum_word_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    )
+    mean_word_len = F.when(n_words > 0, sum_word_chars / n_words).otherwise(0.0)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(0.0)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+        )
+    )
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), F.lit(0))
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(0.0)
+    out = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        symbol_ratio.alias("symbol_ratio"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("alpha_frac") > 0.8)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("symbol_ratio") < 0.1)
+    )
+    return out.withColumn("keep", keep)

@@ -800,6 +800,17 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """MassiveText/Gopher document-level quality rules: word-count bounds,
+    mean word length, alphabetic-word fraction, designated-stopword test,
+    symbol ratio, and the composite keep flag. Map-side higher-order SQL —
+    no shuffle at any corpus size. min_words lowered to the testdata's doc
+    length profile so the keep flag is non-trivial at every sf."""
+    return textstats.gopher_quality(
+        _t(spark, sf_dir, "documents"), min_words=30
+    )
+
+
 QUERIES = {
     "seg_count_s": q_seg_count_s,
     "seg_agg_s": q_seg_agg_s,
@@ -848,6 +859,7 @@ QUERIES = {
     "embedded_dp_range": q_embedded_dp_range,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
+    "gopher_quality": q_gopher_quality,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -1598,6 +1610,43 @@ ORACLES = {
                    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'),
                    '\+\d{1,3}[ -]\d{3}[ -]\d{4}\b', '[PHONE]', 'g')) AS red_fp
         FROM aug
+    """,
+    "gopher_quality": r"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\s+') AS words
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(words) AS INT) AS n_words,
+                   CAST(list_sum(list_transform(words, x -> len(x)))
+                        AS BIGINT) AS swc,
+                   len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+                   CAST(len(list_intersect(
+                        list_distinct(list_transform(words, x -> lower(x))),
+                        ['the','be','to','of','and','that','have','with']))
+                        AS INT) AS stop_hits,
+                   len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
+            FROM w
+        ), s AS (
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words > 0 THEN swc / n_words
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN n_words > 0 THEN alpha_words / n_words
+                        ELSE 0.0 END AS alpha_frac,
+                   stop_hits,
+                   CASE WHEN n_words > 0 THEN n_symbols / n_words
+                        ELSE 0.0 END AS symbol_ratio
+            FROM m
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+               symbol_ratio,
+               (n_words >= 30 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND alpha_frac > 0.8 AND stop_hits >= 2
+                AND symbol_ratio < 0.1) AS keep
+        FROM s
     """,
 }
 

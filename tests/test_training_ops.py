@@ -481,3 +481,28 @@ def test_pii_scrub_detects_and_redacts(spark):
     assert (out[5]["n_emails"], out[5]["n_ipv4s"], out[5]["n_phones"]) == (1, 1, 1)
     # email is redacted before the IP pass so a dotted domain can't be half-eaten
     assert "[EMAIL]" in out[5]["redacted"] and "[IPV4]" in out[5]["redacted"]
+
+
+# -- Gopher document-level quality rules -----------------------------------------
+
+
+def test_gopher_quality_rules(spark):
+    long_good = "the cat sat with all of us and that was fine to see " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, long_good),                       # passes everything
+            (2, "short doc only"),                # fails min_words
+            (3, ("### " * 40) + long_good),       # symbol ratio too high
+            (4, ("11 22 33 44 " * 20) + "x"),     # alpha_frac too low, no stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.gopher_quality(docs, min_words=30).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[1]["stop_hits"] >= 2
+    assert out[2]["keep"] is False and out[2]["n_words"] == 3
+    assert out[3]["keep"] is False and out[3]["symbol_ratio"] >= 0.1
+    assert out[4]["keep"] is False and out[4]["alpha_frac"] <= 0.8

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "repetition_stats",
     "pii_scrub",
     "gopher_quality",
+    "corr_pairs",
+    "interp_10m",
     "dod_times",
 ]
 

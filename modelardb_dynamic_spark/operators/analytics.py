@@ -1,0 +1,151 @@
+"""Series analytics over the segment store: exact pairwise Pearson
+correlation (top-N-restricted) and linear-interpolation resampling.
+
+Both operators consume the reconstructed datapoint view (so they run on
+the COMPRESSED store, like every engine query), and both are engineered
+for bit-exact replay by a SQL oracle: every aggregate is an exact int64
+sum (order-free), and the single floating-point step is one shared
+expression tree evaluated identically by Spark and DuckDB (IEEE-754 ops
+on exactly-representable integer inputs are deterministic across
+engines).
+
+Scale notes (100 TB):
+- `correlated_pairs` restricts the quadratic pair space to the N most
+  active series FIRST (one linear aggregation + a broadcast semi-join),
+  so the self-join carries at most N rows per grid bucket and the
+  shuffled pair-aggregation state is bounded by N^2 rows regardless of
+  corpus size. For all-pairs discovery at scale, the sketch-based
+  correlation GROUPING operator (operators/grouped.py, reference
+  Correlation.scala) is the linear-cost path; this operator is the exact
+  verifier you run on a candidate set.
+- `interpolate_grid` is one partitionBy(sid) window pass over
+  observed-points + grid-points; no joins, no quadratic terms, and the
+  per-sid state is two running (ts, value) carries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# CASE guard first: a constant series has zero variance -> r undefined.
+# The arithmetic below is the shared Spark/DuckDB expression tree; every
+# name is an exact int64, each CAST double is exact (inputs < 2^53), and
+# *, /, sqrt are correctly-rounded IEEE ops -> bit-identical results.
+_PEARSON_EXPR = (
+    "CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) * "
+    "CAST(n * syy - sy * sy AS DOUBLE) <= 0 THEN NULL "
+    "ELSE CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
+    "CAST(n * syy - sy * sy AS DOUBLE)) END"
+)
+
+# Interpolation tree shared with the oracle: exact when the grid point
+# coincides with an observation (tp = tn), else the canonical
+# v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev).
+_LERP_EXPR = (
+    "CASE WHEN tn = tp THEN CAST(vp AS DOUBLE) "
+    "ELSE CAST(vp AS DOUBLE) + CAST(vn - vp AS DOUBLE) * "
+    "(CAST(t - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)) END"
+)
+
+
+def correlated_pairs(
+    points: DataFrame, top_n: int = 40, min_support: int = 30
+) -> DataFrame:
+    """Exact Pearson correlation for every pair among the `top_n` most
+    active series, over the grid buckets where BOTH series have a point.
+
+    points: (sid string, ts_ms long, v long) — v must be an exact
+    integer (the engine's count-valued series at error bound 0).
+    Returns (sid1, sid2, n, r) for pairs with n >= min_support.
+    """
+    act = points.groupBy("sid").agg(F.sum("v").alias("act"))
+    # deterministic top-N: activity desc, sid asc tiebreak
+    top = (
+        act.orderBy(F.desc("act"), F.asc("sid"))
+        .limit(top_n)
+        .select("sid")
+    )
+    b = points.join(F.broadcast(top), "sid")
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.ts_ms") == F.col("c.ts_ms"))
+        & (F.col("a.sid") < F.col("c.sid")),
+    )
+    agg = pairs.groupBy(
+        F.col("a.sid").alias("sid1"), F.col("c.sid").alias("sid2")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a.v").alias("sx"),
+        F.sum("c.v").alias("sy"),
+        F.sum(F.col("a.v") * F.col("a.v")).alias("sxx"),
+        F.sum(F.col("c.v") * F.col("c.v")).alias("syy"),
+        F.sum(F.col("a.v") * F.col("c.v")).alias("sxy"),
+    )
+    return agg.where(F.col("n") >= min_support).selectExpr(
+        "sid1", "sid2", "n", f"{_PEARSON_EXPR} AS r"
+    )
+
+
+def interpolate_grid(points: DataFrame, grid_ms: int) -> DataFrame:
+    """Linear-interpolation resample: one value per sid per grid_ms-aligned
+    timestamp inside the sid's observed span, interpolated between the
+    nearest observations (exact where a grid point hits an observation).
+
+    points: (sid string, ts_ms long, v long). Returns
+    (sid, ts_ms, value double).
+    """
+    spans = points.groupBy("sid").agg(
+        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+    )
+    # integer grid alignment (no float division on the path)
+    grid = (
+        spans.selectExpr(
+            "sid",
+            f"((lo + {grid_ms - 1}) DIV {grid_ms}) * {grid_ms} AS glo",
+            f"(hi DIV {grid_ms}) * {grid_ms} AS ghi",
+        )
+        .where(F.col("glo") <= F.col("ghi"))
+        .select(
+            "sid",
+            F.explode(
+                F.sequence("glo", "ghi", F.lit(grid_ms).cast("long"))
+            ).alias("t"),
+        )
+    )
+    obs = points.select(
+        "sid",
+        F.col("ts_ms").alias("t"),
+        F.col("v"),
+        F.lit(0).alias("g"),
+    )
+    u = obs.unionByName(
+        grid.select(
+            "sid", "t", F.lit(None).cast("long").alias("v"),
+            F.lit(1).alias("g"),
+        )
+    )
+    # at a shared t the observation (g=0) sorts before the grid row in
+    # BOTH scan directions, so coincident grid points see tp = tn = t
+    wp = (
+        Window.partitionBy("sid")
+        .orderBy(F.asc("t"), F.asc("g"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("sid")
+        .orderBy(F.desc("t"), F.asc("g"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    obs_t = F.when(F.col("g") == 0, F.col("t"))
+    res = (
+        u.withColumn("vp", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("tp", F.last(obs_t, ignorenulls=True).over(wp))
+        .withColumn("vn", F.last("v", ignorenulls=True).over(wn))
+        .withColumn("tn", F.last(obs_t, ignorenulls=True).over(wn))
+    )
+    return res.where(
+        (F.col("g") == 1) & F.col("tp").isNotNull() & F.col("tn").isNotNull()
+    ).selectExpr("sid", "t AS ts_ms", f"{_LERP_EXPR} AS value")

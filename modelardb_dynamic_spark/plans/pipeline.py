@@ -93,9 +93,12 @@ class TierPipeline:
             )
             stats = {}
             tmp_df = self.spark.read.parquet(tmp)
+            # timestamp OR timestamp_ntz (NTZ parquet reads interpret in
+            # the session tz, pinned UTC) -> epoch-ms high-water mark;
+            # anything else is already a long
             hw_col = (
-                F.unix_millis(ts_col)
-                if dict(tmp_df.dtypes).get(ts_col) == "timestamp"
+                F.unix_millis(F.col(ts_col).cast("timestamp"))
+                if dict(tmp_df.dtypes).get(ts_col, "").startswith("timestamp")
                 else F.col(ts_col)
             )
             for r in (
@@ -200,8 +203,10 @@ class TierPipeline:
         fingerprint = f"raw-retained-{horizon_ms}{fingerprint_suffix}"
 
         def build(bucket_ids: list[int]) -> DataFrame:
+            from modelardb_dynamic_spark.sources.timeseries import to_ms
+
             raw = self._read_buckets("raw", bucket_ids)
-            return raw.where(F.unix_millis("ts") >= horizon_ms)
+            return raw.where(to_ms("ts") >= horizon_ms)
 
         self._run_stage("raw", fingerprint, build, ts_col="ts")
 

@@ -811,6 +811,92 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_retention_tiers(spark, sf_dir):
+    """Retention semantics end-to-end through the lineage-checkpointed
+    tier pipeline (plans/pipeline.py): ingest raw -> series -> segments ->
+    1m/1h/1d tiers, then retain_raw(RANGE_LO) drops raw turns older than
+    the horizon while every coarser tier keeps the FULL history. One
+    summary row per table: row count, total points covered, and the exact
+    integer value mass (sum of bucket sums) — the tiers' vsum_total stays
+    the full-history total while raw_retained's covers only the horizon,
+    which is precisely the retention contract (reference:
+    StorageUtil/compaction horizon drop; FIXTURES.md §4)."""
+    import shutil
+    import tempfile
+
+    from modelardb_dynamic_spark.plans.pipeline import TIERS, TierPipeline
+    from modelardb_dynamic_spark.sources.catalog import Warehouse
+
+    d = tempfile.mkdtemp(prefix="mdbs_retention_")
+    try:
+        wh = Warehouse(f"{d}/wh", n_buckets=8)
+        p = TierPipeline(spark, wh, CFG0, chunk_buckets=8, salt_span_points=None)
+        p.run(_events_as_transcripts(spark, sf_dir))
+        p.retain_raw(RANGE_LO)
+        raw = wh.read(spark, "raw")
+        raw_row = raw.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("points"),
+            F.sum(F.lit(1) + F.floor(F.length("text") / 4))
+            .cast("long")
+            .alias("vsum_total"),
+        ).collect()[0]
+        rows = [("raw_retained", raw_row.n_rows, raw_row.points,
+                 raw_row.vsum_total)]
+        for tier_name, _ms in TIERS:
+            t = wh.read(spark, tier_name)
+            r = t.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cnt").cast("long").alias("points"),
+                F.sum("vsum").cast("long").alias("vsum_total"),
+            ).collect()[0]
+            rows.append((tier_name, r.n_rows, r.points, r.vsum_total))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "tbl string, n_rows long, points long, vsum_total long"
+    )
+
+
+def q_corr_pairs(spark, sf_dir):
+    """Exact pairwise Pearson correlation among the 40 most active series,
+    computed ON the compressed store (segments -> datapoint view -> exact
+    int sums -> one shared IEEE expression tree). The oracle replays the
+    identical algebra from the raw rows (operators/analytics.py scale
+    notes: the quadratic pair space is top-N-bounded; the linear-cost
+    all-pairs path is the sketch grouping operator)."""
+    from modelardb_dynamic_spark.operators.analytics import correlated_pairs
+
+    segs = _event_segments(spark, sf_dir)
+    # hourly rebucket: minute-grid points are too sparse for pairwise
+    # co-occurrence; the hourly sums keep every value an exact int64
+    pts = (
+        datapoint_view(segs)
+        .select(
+            "sid",
+            F.expr(f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}").alias("ts_ms"),
+            F.col("value").cast("long").alias("v"),
+        )
+        .groupBy("sid", "ts_ms")
+        .agg(F.sum("v").alias("v"))
+    )
+    return correlated_pairs(pts, top_n=40, min_support=10)
+
+
+def q_interp_10m(spark, sf_dir):
+    """Linear-interpolation resample of the compressed event-rate series
+    onto a 10-minute grid (segments -> datapoint view -> one window pass;
+    operators/analytics.py). Exact where grid hits an observation; the
+    lerp expression tree is shared with the DuckDB oracle bit-for-bit."""
+    from modelardb_dynamic_spark.operators.analytics import interpolate_grid
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return interpolate_grid(pts, grid_ms=10 * SI_MS)
+
+
 QUERIES = {
     "seg_count_s": q_seg_count_s,
     "seg_agg_s": q_seg_agg_s,
@@ -860,6 +946,9 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "gopher_quality": q_gopher_quality,
+    "corr_pairs": q_corr_pairs,
+    "interp_10m": q_interp_10m,
+    "retention_tiers": q_retention_tiers,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -1649,6 +1738,105 @@ ORACLES = {
         FROM s
     """,
 }
+
+# analytics oracles share the exact expression trees the Spark operators
+# evaluate (operators/analytics.py): exact int64 sums in, one IEEE
+# expression out -> bit-identical doubles on both engines
+from modelardb_dynamic_spark.operators.analytics import (  # noqa: E402
+    _LERP_EXPR,
+    _PEARSON_EXPR,
+)
+
+_G10 = 10 * SI_MS
+ORACLES["corr_pairs"] = f"""
+    WITH b AS (
+        SELECT CAST(user_id AS VARCHAR) AS sid,
+               (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS m,
+               count(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    act AS (SELECT sid, sum(v) AS act FROM b GROUP BY sid
+            ORDER BY act DESC, sid ASC LIMIT 40),
+    tb AS (SELECT b.* FROM b JOIN act USING (sid)),
+    p AS (
+      SELECT a.sid AS sid1, c.sid AS sid2, count(*) AS n,
+             sum(a.v) AS sx, sum(c.v) AS sy,
+             sum(a.v * a.v) AS sxx, sum(c.v * c.v) AS syy,
+             sum(a.v * c.v) AS sxy
+      FROM tb a JOIN tb c ON a.m = c.m AND a.sid < c.sid
+      GROUP BY 1, 2)
+    SELECT sid1, sid2, n, {_PEARSON_EXPR} AS r FROM p WHERE n >= 10
+"""
+
+ORACLES["interp_10m"] = f"""
+    WITH b AS ({_MINUTE_BUCKETS}),
+    spans AS (SELECT sid, min(m) AS lo, max(m) AS hi FROM b GROUP BY sid),
+    grid AS (
+      SELECT sid,
+             unnest(range(((lo + {_G10 - 1}) // {_G10}) * {_G10},
+                          (hi // {_G10}) * {_G10} + 1, {_G10})) AS t
+      FROM spans
+      WHERE ((lo + {_G10 - 1}) // {_G10}) * {_G10} <= (hi // {_G10}) * {_G10}),
+    u AS (
+      SELECT sid, m AS t, v, 0 AS g FROM b
+      UNION ALL
+      SELECT sid, t, NULL, 1 FROM grid),
+    w AS (
+      SELECT sid, t, g,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY sid ORDER BY t ASC, g ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        last_value(CASE WHEN g = 0 THEN t END IGNORE NULLS) OVER
+          (PARTITION BY sid ORDER BY t ASC, g ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY sid ORDER BY t DESC, g ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vn,
+        last_value(CASE WHEN g = 0 THEN t END IGNORE NULLS) OVER
+          (PARTITION BY sid ORDER BY t DESC, g ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tn
+      FROM u)
+    SELECT sid, t AS ts_ms, {_LERP_EXPR} AS value
+    FROM w WHERE g = 1 AND tp IS NOT NULL AND tn IS NOT NULL
+"""
+
+# retention contract: raw truncated at the horizon, every tier keeps the
+# full-history totals (points = sum of bucket cnt, vsum_total = exact
+# integer value mass — invariant across tiers)
+ORACLES["retention_tiers"] = f"""
+    WITH tr AS (
+        SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+               event_type || ' ' ||
+               repeat(event_type || ' ', CAST(event_id % 5 AS INT) + 1) ||
+               event_type AS text,
+               ts
+        FROM events
+    ), series AS (
+        SELECT conv_id AS sid, (epoch_ms(ts) // {SI_MS}) * {SI_MS} AS ts_ms,
+               count(*) AS turn_rate, sum(len(text) // 4) AS token_rate
+        FROM tr GROUP BY 1, 2
+    ), u AS (
+        SELECT sid, 'turn_rate' AS metric, ts_ms, turn_rate AS v FROM series
+        UNION ALL
+        SELECT sid, 'token_rate', ts_ms, token_rate FROM series
+    )
+    SELECT 'raw_retained' AS tbl, count(*) AS n_rows,
+           count(*) AS points,
+           CAST(sum(1 + len(text) // 4) AS BIGINT) AS vsum_total
+    FROM tr WHERE epoch_ms(ts) >= {RANGE_LO}
+    UNION ALL
+    SELECT 'tier_1m', count(*), count(*), CAST(sum(v) AS BIGINT) FROM u
+    UNION ALL
+    SELECT 'tier_1h',
+           (SELECT count(*) FROM
+              (SELECT 1 FROM u GROUP BY sid, metric, ts_ms // {HOUR_MS})),
+           count(*), CAST(sum(v) AS BIGINT) FROM u
+    UNION ALL
+    SELECT 'tier_1d',
+           (SELECT count(*) FROM
+              (SELECT 1 FROM u GROUP BY sid, metric, ts_ms // {DAY_MS})),
+           count(*), CAST(sum(v) AS BIGINT) FROM u
+"""
 
 
 def _kmeans_oracle_sql() -> str:

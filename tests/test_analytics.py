@@ -1,0 +1,111 @@
+"""Series analytics operators (operators/analytics.py): exact pairwise
+Pearson correlation and linear-interpolation resampling."""
+
+import math
+
+import numpy as np
+import pytest
+
+from modelardb_dynamic_spark.operators.analytics import (
+    correlated_pairs,
+    interpolate_grid,
+)
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+
+
+def test_correlated_pairs_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    grid = [i * 60_000 for i in range(64)]
+    a = rng.integers(1, 40, size=64)
+    b = (a * 2 + rng.integers(0, 3, size=64)).astype(np.int64)  # ~r=1
+    c = rng.integers(1, 40, size=64)
+    rows = (
+        [("a", t, int(v)) for t, v in zip(grid, a)]
+        + [("b", t, int(v)) for t, v in zip(grid, b)]
+        + [("c", t, int(v)) for t, v in zip(grid, c)]
+    )
+    out = {
+        (r.sid1, r.sid2): (r.n, r.r)
+        for r in correlated_pairs(
+            _points(spark, rows), top_n=3, min_support=10
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (s1, s2), (n, r) in out.items():
+        x = {"a": a, "b": b, "c": c}[s1]
+        y = {"a": a, "b": b, "c": c}[s2]
+        assert n == 64
+        assert r == pytest.approx(float(np.corrcoef(x, y)[0, 1]), abs=1e-12)
+    assert out[("a", "b")][1] > 0.99
+
+
+def test_correlated_pairs_top_n_and_support(spark):
+    grid = [i * 60_000 for i in range(40)]
+    rows = []
+    for sid, base in (("hot1", 100), ("hot2", 90), ("cold", 1)):
+        rows += [(sid, t, base + (i % 3)) for i, t in enumerate(grid)]
+    # short series: above min_support only vs nothing (only 5 buckets)
+    rows += [("brief", t, 50) for t in grid[:5]]
+    out = correlated_pairs(
+        _points(spark, rows), top_n=2, min_support=10
+    ).collect()
+    # top-2 by activity = hot1, hot2; brief/cold excluded by top_n
+    assert [(r.sid1, r.sid2) for r in out] == [("hot1", "hot2")]
+
+
+def test_correlated_pairs_constant_series_null_r(spark):
+    grid = [i * 60_000 for i in range(30)]
+    rows = [("k", t, 5) for t in grid] + [
+        ("m", t, 1 + (i % 4)) for i, t in enumerate(grid)
+    ]
+    out = correlated_pairs(
+        _points(spark, rows), top_n=2, min_support=30
+    ).collect()
+    assert len(out) == 1 and out[0].r is None
+
+
+def test_interpolate_grid_linear_and_exact(spark):
+    # observations at 0ms, 60s, 180s with v = 10, 40, 100
+    rows = [("s", 0, 10), ("s", 60_000, 40), ("s", 180_000, 100)]
+    out = {
+        r.ts_ms: r.value
+        for r in interpolate_grid(
+            _points(spark, rows), grid_ms=30_000
+        ).collect()
+    }
+    # grid: 0, 30k, 60k, 90k, 120k, 150k, 180k
+    assert out[0] == 10.0 and out[60_000] == 40.0 and out[180_000] == 100.0
+    assert out[30_000] == pytest.approx(25.0)
+    assert out[90_000] == pytest.approx(40 + 60 * (30_000 / 120_000))
+    assert out[150_000] == pytest.approx(40 + 60 * (90_000 / 120_000))
+    assert len(out) == 7
+
+
+def test_interpolate_grid_span_without_grid_point_is_empty(spark):
+    # span [70s, 110s] contains no 120s-aligned point -> no output rows
+    rows = [("s", 70_000, 1), ("s", 110_000, 2)]
+    assert interpolate_grid(_points(spark, rows), grid_ms=120_000).count() == 0
+
+
+def test_correlated_pairs_plan_broadcast_no_cartesian(spark):
+    """The top-N activity set arrives broadcast; the pair join is a hash
+    join on the grid bucket, never a cartesian product."""
+    rows = [("a", i * 60_000, i % 5) for i in range(40)] + [
+        ("b", i * 60_000, (i + 1) % 5) for i in range(40)
+    ]
+    df = correlated_pairs(_points(spark, rows), top_n=2, min_support=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interpolate_grid_multi_sid_independent(spark):
+    rows = [("a", 0, 0), ("a", 120_000, 120), ("b", 60_000, 7)]
+    out = interpolate_grid(_points(spark, rows), grid_ms=60_000)
+    got = {(r.sid, r.ts_ms): r.value for r in out.collect()}
+    assert got[("a", 60_000)] == pytest.approx(60.0)
+    assert got[("b", 60_000)] == 7.0
+    assert math.isfinite(got[("a", 0)]) and got[("a", 0)] == 0.0

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "corr_pairs",
     "interp_10m",
     "dod_times",
+    "tiered_agg",
 ]
 
 

@@ -212,6 +212,30 @@ class TierPipeline:
 
     # -- views ---------------------------------------------------------------
 
+    def range_agg(self, lo_ms: int, hi_ms: int, bucket_ms: int) -> DataFrame:
+        """Answer an arbitrary time-range aggregate from the coarsest exact
+        tier cover (plans/planner.py), with each tier's completeness bound
+        taken from its OWN lineage manifests. The LAST materialized bucket
+        of a tier (high_water_ts is its start) is UNSEALED — the build
+        consumed data only part-way through it, and time-ordered appends
+        can still land inside it — so the trust bound is that bucket's
+        START: it and everything after are re-answered from finer tiers /
+        the series table (real-time continuous aggregation). Out-of-order
+        rows landing in buckets strictly before the high-water need a tier
+        rebuild (new fingerprint), not the planner. Result == aggregating
+        the series table directly, pinned by tests/test_pipeline.py and
+        the `tiered_agg` oracle row."""
+        from modelardb_dynamic_spark.plans.planner import tiered_agg
+
+        series = self.wh.read(self.spark, "series")
+        tiers, hw = [], {}
+        for tier_name, w in TIERS:
+            tiers.append((self.wh.read(self.spark, tier_name), w))
+            m = Lineage(self.wh.path(tier_name)).metrics()
+            if m.get("high_water_ts") is not None:
+                hw[w] = int(m["high_water_ts"])
+        return tiered_agg(series, tiers, lo_ms, hi_ms, bucket_ms, high_water=hw)
+
     def tier(self, name: str, gap_filled: bool = False) -> DataFrame:
         df = self.wh.read(self.spark, name)
         if gap_filled:

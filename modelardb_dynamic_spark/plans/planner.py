@@ -1,0 +1,184 @@
+"""Tier-selection query planner: answer an arbitrary time-range aggregate
+from the COARSEST exact cover of the retention tiers, falling through to
+finer tiers at the range edges and to raw series rows past each tier's
+high-water mark ("real-time continuous aggregation").
+
+Given result buckets of width W over [lo, hi) and materialized tiers of
+widths w1 < w2 < ... (all epoch-aligned, as built by plans/pipeline.py),
+every grid point must be counted exactly once. The cover is the classic
+mixed-radix decomposition, expressed as pure column predicates so each
+tier scan keeps parquet row-group pruning:
+
+- a tier row (bucket b, width w) is INSIDE iff its whole interval
+  [b, b+w) lies in [lo, hi), inside ONE result bucket, and at or below
+  the tier's high-water mark (completeness bound from the pipeline's
+  per-bucket lineage manifests, plans/checkpoint.py);
+- a tier row is USED iff it is inside and NO coarser tier's containing
+  bucket is inside (the coarser row already accounts for these points);
+- a raw series row is USED iff it is in [lo, hi) and NO tier's
+  containing bucket is inside.
+
+Exactness: for any grid point in [lo, hi), look at the coarsest level
+whose containing bucket is inside — exactly that level's row (or the raw
+row, if no level qualifies) contributes the point, because USED demands
+every coarser containing bucket fail the inside test. Aggregates compose
+losslessly (count/sum/min/max; avg = vsum/cnt at the end), so the result
+is identical to aggregating raw rows directly — which is what the DuckDB
+oracle (queries.py `tiered_agg`) and the differential pytest check.
+
+Scale notes (100 TB): the interior of a large range is answered from the
+1d tier (hi-lo)/86_400_000 rows per series instead of raw turns — the
+scan volume drops by the tier's compression factor (~1440x minute->day);
+only O(edges + tail-past-high-water) touches finer data. Every branch is
+a filtered parquet scan with an explicit bucket_ts/ts_ms range conjunct
+(pushed to row-group stats; the DIV alignment test rides on top), a
+unionByName, and ONE shuffle for the final groupBy on (sid, metric,
+bucket_ts). No reference counterpart — ModelarDB answers every query from
+the segment store (engines/spark/SparkUDAF.scala); this operator is the
+continuous-aggregate routing layer a tiered deployment needs.
+
+Timestamps must be non-negative epoch ms (DIV truncates toward zero).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIER_COLS = ("cnt", "vsum", "vmin", "vmax")
+
+
+def _inside_sql(
+    b: str, w: int, lo: int, hi: int, bucket_ms: int, hw: int | None
+) -> str:
+    """SQL predicate: the width-w bucket starting at expression `b` is an
+    exact sub-interval of one result bucket within [lo, hi) and complete
+    (<= the tier's high-water mark, if one is known)."""
+    conds = [
+        f"({b}) >= {lo}",
+        f"({b}) + {w} <= {hi}",
+        f"({b}) DIV {bucket_ms} = (({b}) + {w - 1}) DIV {bucket_ms}",
+    ]
+    if hw is not None:
+        conds.append(f"({b}) + {w} <= {hw}")
+    return "(" + " AND ".join(conds) + ")"
+
+
+def _used_sql(
+    col: str,
+    w: int,
+    coarser: list[tuple[int, int | None]],
+    lo: int,
+    hi: int,
+    bucket_ms: int,
+    hw: int | None,
+) -> str:
+    """USED predicate for a tier of width w given the coarser
+    (width, high_water) levels."""
+    parts = [_inside_sql(col, w, lo, hi, bucket_ms, hw)]
+    for cw, chw in coarser:
+        parent = f"(({col}) DIV {cw}) * {cw}"
+        parts.append(f"NOT {_inside_sql(parent, cw, lo, hi, bucket_ms, chw)}")
+    return " AND ".join(parts)
+
+
+def tiered_agg(
+    series: DataFrame,
+    tiers: list[tuple[DataFrame, int]],
+    lo_ms: int,
+    hi_ms: int,
+    bucket_ms: int,
+    high_water: dict[int, int] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """count/sum/min/max per (sid, metric) per bucket_ms-aligned bucket
+    over [lo_ms, hi_ms), routed through the coarsest exact tier cover.
+
+    series: (sid, metric, ts_ms, <value_col>) — the finest (raw grid) rows.
+    tiers:  [(tier_df, width_ms), ...] any order; each tier_df has the
+            TIER_SCHEMA columns (sid, metric, bucket_ts, cnt, vsum,
+            vmin, vmax) as built by operators/rollup.py.
+    high_water: {width_ms: exclusive_complete_to_ms} — buckets at or past
+            a tier's mark are treated as not-yet-materialized and the
+            cover falls through to finer tiers / raw (late-arriving tail).
+    """
+    hw = high_water or {}
+    ordered = sorted(tiers, key=lambda t: -t[1])  # coarse -> fine
+    rb = f"((bucket_ts) DIV {bucket_ms}) * {bucket_ms}"
+    branches = []
+    coarser: list[tuple[int, int | None]] = []
+    for tier, w in ordered:
+        pred = _used_sql("bucket_ts", w, coarser, lo_ms, hi_ms, bucket_ms, hw.get(w))
+        branches.append(
+            tier
+            # explicit range conjunct first: this is the pushable part
+            .where(f"bucket_ts >= {lo_ms} AND bucket_ts < {hi_ms}")
+            .where(pred)
+            .selectExpr("sid", "metric", f"{rb} AS bucket_ts", *TIER_COLS)
+        )
+        coarser.append((w, hw.get(w)))
+    raw_pred = " AND ".join(
+        [f"ts_ms >= {lo_ms} AND ts_ms < {hi_ms}"]
+        + [
+            f"NOT {_inside_sql(f'((ts_ms) DIV {cw}) * {cw}', cw, lo_ms, hi_ms, bucket_ms, chw)}"
+            for cw, chw in coarser
+        ]
+    )
+    branches.append(
+        series.where(raw_pred).selectExpr(
+            "sid",
+            "metric",
+            f"((ts_ms) DIV {bucket_ms}) * {bucket_ms} AS bucket_ts",
+            "CAST(1 AS BIGINT) AS cnt",
+            f"CAST({value_col} AS DOUBLE) AS vsum",
+            f"CAST({value_col} AS FLOAT) AS vmin",
+            f"CAST({value_col} AS FLOAT) AS vmax",
+        )
+    )
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionByName(b)
+    return u.groupBy("sid", "metric", "bucket_ts").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def cover_report(
+    widths: list[int],
+    lo_ms: int,
+    hi_ms: int,
+    bucket_ms: int,
+    high_water: dict[int, int] | None = None,
+    grid_ms: int = 60_000,
+) -> dict[int, int]:
+    """Driver-side (data-free) audit of the cover: for each level width
+    (0 = raw grid), how many grid points of [lo_ms, hi_ms) it supplies.
+    Used by tests to pin that the interior routes to the coarsest tier.
+    O((hi-lo)/grid_ms) ints — an audit tool, not a query path."""
+    hw = high_water or {}
+    ws = sorted(widths, reverse=True)
+
+    def inside(b: int, w: int) -> bool:
+        h = hw.get(w)
+        return (
+            b >= lo_ms
+            and b + w <= hi_ms
+            and b // bucket_ms == (b + w - 1) // bucket_ms
+            and (h is None or b + w <= h)
+        )
+
+    out = {w: 0 for w in ws}
+    out[0] = 0
+    t = ((lo_ms + grid_ms - 1) // grid_ms) * grid_ms
+    while t < hi_ms:
+        for w in ws:
+            if inside((t // w) * w, w):
+                out[w] += 1
+                break
+        else:
+            out[0] += 1
+        t += grid_ms
+    return out

@@ -897,6 +897,41 @@ def q_interp_10m(spark, sf_dir):
     return interpolate_grid(pts, grid_ms=10 * SI_MS)
 
 
+def q_tiered_agg(spark, sf_dir):
+    """Tier-selection planner (plans/planner.py) under the value gate:
+    transcripts -> minute series -> compress (eb 0) -> 1m/1h/1d tiers,
+    then a day-bucket aggregate over an UNALIGNED range [lo, hi) with all
+    tiers' high-water capped a day early — so the plan must compose
+    1d-interior + 1h/1m edges + a raw-series tail, and the result must
+    still equal aggregating the raw series directly (which is exactly
+    what the DuckDB oracle does)."""
+    from modelardb_dynamic_spark.operators.rollup import downsample
+    from modelardb_dynamic_spark.plans.planner import tiered_agg
+    from modelardb_dynamic_spark.sources.timeseries import transcript_series
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    series = transcript_series(tr, SI_MS)
+    segs = compress(series, CFG0)
+    t1m = rollup(segs, SI_MS)
+    t1h = downsample(t1m, HOUR_MS)
+    t1d = downsample(t1h, DAY_MS)
+    lo = RANGE_LO + 90 * SI_MS + 30_000
+    hi = RANGE_HI - 90 * SI_MS - 30_000
+    cut = RANGE_HI - DAY_MS  # tiers lag a day behind the raw series
+    out = tiered_agg(
+        series,
+        [(t1m, SI_MS), (t1h, HOUR_MS), (t1d, DAY_MS)],
+        lo, hi, DAY_MS,
+        high_water={SI_MS: cut, HOUR_MS: cut, DAY_MS: cut},
+    )
+    return out.select(
+        "sid", "metric", "bucket_ts", "cnt", "vsum",
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+        (F.col("vsum") / F.col("cnt")).alias("vavg"),
+    )
+
+
 QUERIES = {
     "seg_count_s": q_seg_count_s,
     "seg_agg_s": q_seg_agg_s,
@@ -949,6 +984,7 @@ QUERIES = {
     "corr_pairs": q_corr_pairs,
     "interp_10m": q_interp_10m,
     "retention_tiers": q_retention_tiers,
+    "tiered_agg": q_tiered_agg,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -1836,6 +1872,37 @@ ORACLES["retention_tiers"] = f"""
            (SELECT count(*) FROM
               (SELECT 1 FROM u GROUP BY sid, metric, ts_ms // {DAY_MS})),
            count(*), CAST(sum(v) AS BIGINT) FROM u
+"""
+
+
+# the planner's routed result must equal a direct aggregate over the raw
+# series rows — tier routing is an implementation detail the oracle never
+# sees, which is exactly the exactness contract plans/planner.py states
+ORACLES["tiered_agg"] = f"""
+    WITH tr AS (
+        SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+               event_type || ' ' ||
+               repeat(event_type || ' ', CAST(event_id % 5 AS INT) + 1) ||
+               event_type AS text,
+               ts
+        FROM events
+    ), series AS (
+        SELECT conv_id AS sid, (epoch_ms(ts) // {SI_MS}) * {SI_MS} AS ts_ms,
+               count(*) AS turn_rate, sum(len(text) // 4) AS token_rate
+        FROM tr GROUP BY 1, 2
+    ), u AS (
+        SELECT sid, 'turn_rate' AS metric, ts_ms, turn_rate AS v FROM series
+        UNION ALL
+        SELECT sid, 'token_rate', ts_ms, token_rate FROM series
+    )
+    SELECT sid, metric, (ts_ms // {DAY_MS}) * {DAY_MS} AS bucket_ts,
+           count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS vsum,
+           CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax,
+           CAST(sum(v) AS DOUBLE) / count(*) AS vavg
+    FROM u
+    WHERE ts_ms >= {RANGE_LO + 90 * SI_MS + 30_000}
+      AND ts_ms < {RANGE_HI - 90 * SI_MS - 30_000}
+    GROUP BY 1, 2, 3
 """
 
 

@@ -163,6 +163,50 @@ def test_fused_compress_transcripts_identical(spark, transcripts, series):
         assert unfused.exceptAll(fused).count() == 0, f"salt={salt}"
 
 
+def test_range_agg_real_time_tail(spark, transcripts, tmp_path):
+    """range_agg (tier-selection planner + lineage high-water): build the
+    warehouse from the OLD 75% of the transcripts, then land the full set
+    in raw/series WITHOUT rebuilding tiers — the planner must answer from
+    the stale tiers up to their lineage high-water and from series rows
+    past it, matching a direct aggregate over the full series table."""
+    from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+    lo_ts, hi_ts = transcripts.agg(
+        F.min(to_ms("ts")), F.max(to_ms("ts"))
+    ).collect()[0]
+    cut = lo_ts + (hi_ts - lo_ts) * 3 // 4
+    wh = Warehouse(str(tmp_path / "rt"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG0, chunk_buckets=4, salt_span_points=None)
+    p.run(transcripts.where(to_ms("ts") < cut))
+    # the late tail arrives: raw + series refreshed, tiers left stale
+    p.ingest_raw(transcripts, fingerprint="raw-v2")
+    p.build_series(fingerprint="series-v2")
+
+    series = wh.read(spark, "series")
+    s_lo, s_hi = series.agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
+    assert s_hi >= cut  # the scenario is real: series extends past the tiers
+    lo = s_lo + 7 * 60_000
+    hi = s_hi - 3 * 60_000
+    got = p.range_agg(lo, hi, HOUR_MS)
+    want = (
+        series.where(f"ts_ms >= {lo} AND ts_ms < {hi}")
+        .groupBy(
+            "sid", "metric",
+            F.expr(f"((ts_ms) DIV {HOUR_MS}) * {HOUR_MS}").alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("double")).alias("vsum"),
+            F.min(F.col("value").cast("float")).alias("vmin"),
+            F.max(F.col("value").cast("float")).alias("vmax"),
+        )
+    )
+    cols = ["sid", "metric", "bucket_ts", "cnt", "vsum", "vmin", "vmax"]
+    g = sorted(tuple(r) for r in got.select(cols).collect())
+    w = sorted(tuple(r) for r in want.select(cols).collect())
+    assert g == w and len(g) > 0
+
+
 def test_compression_ratio_positive(spark, series):
     row = compression_stats(compress(series, CFG10)).collect()[0]
     assert row["n_points"] == series.count()

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "interp_10m",
     "dod_times",
     "tiered_agg",
+    "dup_clusters",
 ]
 
 

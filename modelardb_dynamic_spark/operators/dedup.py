@@ -389,3 +389,107 @@ def dedup_stream(
     if within_watermark:
         return fp.dropDuplicatesWithinWatermark(["fp"])
     return fp.dropDuplicates(["fp"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "ida",
+    b_col: str = "idb",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Distributed connected components over a dup-pair edge list:
+    alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). Returns (id, comp)
+    for every id that appears in an edge, comp = MIN id of its component
+    (ids absent from any pair are singletons — callers coalesce).
+
+    Scale notes (100 TB): each iteration is two bounded shuffles (a
+    groupBy-min keyed on node + a join on node) — no collect_set, so a
+    hot node (one doc near-duplicated a million times) never builds a
+    single giant row; convergence is O(log n) iterations regardless of
+    component diameter (a chain of length 10^6 converges in ~20 rounds,
+    where naive min-label propagation needs 10^6). localCheckpoint per
+    iteration truncates the lineage so the plan stays flat. The fixed
+    point is checked with an exact (count, unordered hash-sum) pair —
+    one cheap aggregate per iteration.
+    """
+    e = (
+        pairs.selectExpr(f"{a_col} AS u", f"{b_col} AS v")
+        .where("u IS NOT NULL AND v IS NOT NULL AND u != v")
+        .distinct()
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0): an int64 hash-sum overflows under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        # large-star: every neighbor LARGER than u points to
+        # min(N(u) + {u}) — breaks long chains in half each round
+        sym = e.unionByName(e.selectExpr("v AS u", "u AS v"))
+        m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("mv", "u").alias("m")
+        )
+        e = (
+            sym.where("v > u")
+            .join(m, "u")
+            .selectExpr("v AS u", "m AS v")
+            .where("u != v")
+            .distinct()
+        )
+        # small-star: after large-star every edge points downward; each
+        # node and its smaller neighbors all re-point at their minimum
+        mm = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            e.join(mm, "u")
+            .where("v != m")
+            .selectExpr("v AS u", "m AS v")
+            .unionByName(mm.selectExpr("u", "m AS v"))
+            .where("u != v")
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = _sig(e)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    # fixed point: e is a star forest (u -> component min); roots appear
+    # only on the v side and map to themselves
+    roots = e.select(F.col("v").alias("u")).distinct().join(
+        e.select("u"), "u", "left_anti"
+    )
+    return (
+        e.selectExpr("u AS id", "v AS comp")
+        .unionByName(roots.selectExpr("u AS id", "u AS comp"))
+    )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "ida",
+    b_col: str = "idb",
+) -> DataFrame:
+    """Near-dup clustering: close the dup-pair relation transitively
+    (connected_components) and pick one canonical survivor per cluster
+    (the MIN id — deterministic across reruns and partitionings).
+    Returns (id_col, cluster_id, keep): keep marks the survivor; docs in
+    no pair are their own singleton cluster and always kept. This is the
+    step that turns pairwise LSH output into an actual dedup decision
+    (a doc may pair with A and B that never paired with each other)."""
+    cc = connected_components(pairs, a_col, b_col)
+    return docs.select(id_col).join(
+        cc.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+        (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("keep"),
+    )

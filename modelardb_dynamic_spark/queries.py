@@ -897,6 +897,18 @@ def q_interp_10m(spark, sf_dir):
     return interpolate_grid(pts, grid_ms=10 * SI_MS)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING (operators/dedup.py dup_clusters): simhash
+    pairs closed transitively by distributed large-star/small-star
+    connected components, one canonical min-id survivor per cluster.
+    The DuckDB oracle replays the identical simhash pair SQL and closes
+    it with a recursive transitive-closure CTE — same clusters, same
+    survivors."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=8)
+    return dedup.dup_clusters(docs, pairs)
+
+
 def q_tiered_agg(spark, sf_dir):
     """Tier-selection planner (plans/planner.py) under the value gate:
     transcripts -> minute series -> compress (eb 0) -> 1m/1h/1d tiers,
@@ -985,6 +997,7 @@ QUERIES = {
     "interp_10m": q_interp_10m,
     "retention_tiers": q_retention_tiers,
     "tiered_agg": q_tiered_agg,
+    "dup_clusters": q_dup_clusters,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -1903,6 +1916,29 @@ ORACLES["tiered_agg"] = f"""
     WHERE ts_ms >= {RANGE_LO + 90 * SI_MS + 30_000}
       AND ts_ms < {RANGE_HI - 90 * SI_MS - 30_000}
     GROUP BY 1, 2, 3
+"""
+
+
+# transitive closure of the simhash pair relation; cluster label = min id
+# reachable (incl. self). The pair CTE is the simhash_pairs oracle verbatim,
+# so any divergence is the clustering, not the pairs.
+ORACLES["dup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["simhash_pairs"]}),
+    sym AS (
+        SELECT ida AS a, idb AS b FROM pairs
+        UNION
+        SELECT idb, ida FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT d.doc_id AS doc_id,
+           least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id,
+           least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id AS keep
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
 """
 
 

@@ -506,3 +506,83 @@ def test_gopher_quality_rules(spark):
     assert out[2]["keep"] is False and out[2]["n_words"] == 3
     assert out[3]["keep"] is False and out[3]["symbol_ratio"] >= 0.1
     assert out[4]["keep"] is False and out[4]["alpha_frac"] <= 0.8
+
+
+# ---------------------------------------------------------------------------
+# connected components / dup clusters
+
+
+def _uf_components(n_nodes, edges):
+    """Reference union-find (driver-side) for differential testing."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # compress to component MIN (the operator's canonical label)
+    comp = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    return {x: min(m) for r, m in comp.items() for x in m}
+
+
+def test_connected_components_chain_cycle_singleton(spark):
+    """A long chain (stresses O(log n) convergence vs naive propagation),
+    a cycle, a star, and untouched singletons."""
+    chain = [(i, i + 1) for i in range(100, 140)]           # 41-node chain
+    cycle = [(1, 2), (2, 3), (3, 1)]
+    star = [(50, 60), (50, 61), (50, 62)]
+    pairs = spark.createDataFrame(
+        chain + cycle + star, "ida long, idb long"
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert all(got[i] == 100 for i in range(100, 141))
+    assert got[1] == got[2] == got[3] == 1
+    assert got[50] == got[60] == got[61] == got[62] == 50
+    assert set(got) == set(range(100, 141)) | {1, 2, 3, 50, 60, 61, 62}
+
+
+def test_connected_components_random_differential(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 300
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(250, 2))
+        if a != b
+    ]
+    want = _uf_components(n, edges)
+    pairs = spark.createDataFrame(edges, "ida long, idb long")
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    touched = {x for e in edges for x in e}
+    assert set(got) == touched
+    assert all(got[x] == want[x] for x in touched)
+
+
+def test_dup_clusters_survivors(spark, docs):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "ida long, idb long"
+    )  # 1-2-3 transitively one cluster; 4, 5 singletons
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup.dup_clusters(docs, pairs).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True) and out[5] == (5, True)
+    assert sum(1 for c, k in out.values() if k) == 3  # one survivor/cluster

@@ -62,17 +62,24 @@ class TierPipeline:
         build: "callable",
         ts_col: str,
         fail_after_chunks: int | None = None,
+        only_buckets: list[int] | None = None,
     ) -> None:
         """build(bucket_ids) -> DataFrame carrying an sbucket column.
 
         Writes each chunk partitioned by sbucket, moves bucket dirs into the
         stage table atomically, then commits one manifest per bucket.
-        fail_after_chunks injects a crash for resume tests.
+        fail_after_chunks injects a crash for resume tests. only_buckets
+        restricts the stage to a bucket subset (incremental append path) —
+        untouched buckets keep their existing data AND manifests.
         """
         root = self.wh.path(stage)
         os.makedirs(root, exist_ok=True)
         lineage = Lineage(root)
-        buckets = list(range(self.wh.n_buckets))
+        buckets = (
+            sorted(only_buckets)
+            if only_buckets is not None
+            else list(range(self.wh.n_buckets))
+        )
         chunks = [
             buckets[i : i + self.chunk_buckets]
             for i in range(0, len(buckets), self.chunk_buckets)
@@ -136,7 +143,12 @@ class TierPipeline:
 
     # -- stages --------------------------------------------------------------
 
-    def ingest_raw(self, transcripts: DataFrame, fingerprint: str = "raw-v1") -> None:
+    def ingest_raw(
+        self,
+        transcripts: DataFrame,
+        fingerprint: str = "raw-v1",
+        only_buckets: list[int] | None = None,
+    ) -> None:
         """Persist the raw tier bucketed by conv_id (per-turn text survives
         byte-identically; verified by tests under ORDER BY conv_id, turn_idx)."""
 
@@ -145,18 +157,27 @@ class TierPipeline:
                 "sbucket", sid_bucket(F.col("conv_id"), self.wh.n_buckets)
             )
 
-        self._run_stage("raw", fingerprint, build, ts_col="ts")
+        self._run_stage("raw", fingerprint, build, ts_col="ts",
+                        only_buckets=only_buckets)
 
-    def build_series(self, fingerprint: str = "series-v1") -> None:
+    def build_series(
+        self,
+        fingerprint: str = "series-v1",
+        only_buckets: list[int] | None = None,
+    ) -> None:
         def build(bucket_ids: list[int]) -> DataFrame:
             raw = self._read_buckets("raw", bucket_ids)
             s = transcript_series(raw, self.cfg.sampling_interval_ms)
             return s.withColumn("sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets))
 
-        self._run_stage("series", fingerprint, build, ts_col="ts_ms")
+        self._run_stage("series", fingerprint, build, ts_col="ts_ms",
+                        only_buckets=only_buckets)
 
     def build_segments(
-        self, fingerprint: str = "segments-v1", fail_after_chunks: int | None = None
+        self,
+        fingerprint: str = "segments-v1",
+        fail_after_chunks: int | None = None,
+        only_buckets: list[int] | None = None,
     ) -> None:
         def build(bucket_ids: list[int]) -> DataFrame:
             series = self._read_buckets("series", bucket_ids)
@@ -167,10 +188,14 @@ class TierPipeline:
 
         self._run_stage(
             "segments", fingerprint, build, ts_col="end_ts",
-            fail_after_chunks=fail_after_chunks,
+            fail_after_chunks=fail_after_chunks, only_buckets=only_buckets,
         )
 
-    def build_tiers(self, fingerprint: str = "tiers-v1") -> None:
+    def build_tiers(
+        self,
+        fingerprint: str = "tiers-v1",
+        only_buckets: list[int] | None = None,
+    ) -> None:
         prev = "segments"
         for tier_name, bucket_ms in TIERS:
             def build(bucket_ids: list[int], prev=prev, bucket_ms=bucket_ms) -> DataFrame:
@@ -186,7 +211,8 @@ class TierPipeline:
                     "sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets)
                 )
 
-            self._run_stage(tier_name, fingerprint, build, ts_col="bucket_ts")
+            self._run_stage(tier_name, fingerprint, build, ts_col="bucket_ts",
+                            only_buckets=only_buckets)
             prev = tier_name
 
     def run(self, transcripts: DataFrame) -> None:
@@ -194,6 +220,59 @@ class TierPipeline:
         self.build_series()
         self.build_segments()
         self.build_tiers()
+
+    # -- incremental maintenance ----------------------------------------------
+
+    def append(self, new_transcripts: DataFrame, batch_id: str) -> dict:
+        """Incrementally maintain every stage for a batch of NEW, LATE, or
+        REPLACED turns: upsert into raw on the (conv_id, turn_idx) turn key
+        (new rows win), then recompute ONLY the series-hash buckets the
+        batch touches — series, segments, and all three tiers. Untouched
+        buckets keep their data and lineage manifests byte-for-byte, so
+        the cost of an append is (touched buckets / total buckets) of a
+        full rebuild regardless of history size; at 10^12 turns a daily
+        batch touching k of 4096 buckets re-rolls only those k. This is
+        also the repair path for out-of-order arrivals that land INSIDE
+        already-rolled-up buckets (which range_agg's high-water routing
+        deliberately does not paper over — see range_agg). Idempotent: a
+        crashed-and-rerun append re-merges via an anti-join on the turn
+        key, so rows never duplicate; per-bucket fingerprints carry the
+        batch_id, so completed buckets are skipped on rerun exactly like
+        a resumed run. Iceberg deployment: the raw upsert becomes a
+        MERGE INTO and the bucket rewrites overwrite-by-filter on the
+        bucket partition; the lineage manifest stays the progress record.
+        """
+        nb = self.wh.n_buckets
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        aff = sorted(
+            r["b"]
+            for r in new_transcripts.select(
+                sid_bucket(F.col("conv_id"), nb).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if not aff:
+            return {"affected_buckets": [], "n_buckets": nb}
+
+        def build(bucket_ids: list[int]) -> DataFrame:
+            old = self._read_buckets("raw", bucket_ids).select(cols)
+            merged = old.join(
+                new_transcripts.select("conv_id", "turn_idx"),
+                ["conv_id", "turn_idx"],
+                "left_anti",
+            ).unionByName(new_transcripts.select(cols))
+            return merged.withColumn(
+                "sbucket", sid_bucket(F.col("conv_id"), nb)
+            )
+
+        self._run_stage(
+            "raw", f"raw+{batch_id}", build, ts_col="ts", only_buckets=aff
+        )
+        self.build_series(fingerprint=f"series+{batch_id}", only_buckets=aff)
+        self.build_segments(fingerprint=f"segments+{batch_id}", only_buckets=aff)
+        self.build_tiers(fingerprint=f"tiers+{batch_id}", only_buckets=aff)
+        return {"affected_buckets": aff, "n_buckets": nb}
 
     # -- retention -----------------------------------------------------------
 

@@ -49,15 +49,19 @@ TIER_COLS = ("cnt", "vsum", "vmin", "vmax")
 
 
 def _inside_sql(
-    b: str, w: int, lo: int, hi: int, bucket_ms: int, hw: int | None
+    b: str, w: int, lo: int, hi: int, bucket_ms: int, hw: int | None,
+    div: str = "DIV",
 ) -> str:
     """SQL predicate: the width-w bucket starting at expression `b` is an
     exact sub-interval of one result bucket within [lo, hi) and complete
-    (<= the tier's high-water mark, if one is known)."""
+    (<= the tier's high-water mark, if one is known). `div` is the
+    dialect's integer-division token (Spark DIV, DuckDB //) — identical
+    on the non-negative timestamps the planner requires; the fuzz suite
+    replays the same algebra through DuckDB with div='//'."""
     conds = [
         f"({b}) >= {lo}",
         f"({b}) + {w} <= {hi}",
-        f"({b}) DIV {bucket_ms} = (({b}) + {w - 1}) DIV {bucket_ms}",
+        f"({b}) {div} {bucket_ms} = (({b}) + {w - 1}) {div} {bucket_ms}",
     ]
     if hw is not None:
         conds.append(f"({b}) + {w} <= {hw}")
@@ -72,13 +76,16 @@ def _used_sql(
     hi: int,
     bucket_ms: int,
     hw: int | None,
+    div: str = "DIV",
 ) -> str:
     """USED predicate for a tier of width w given the coarser
     (width, high_water) levels."""
-    parts = [_inside_sql(col, w, lo, hi, bucket_ms, hw)]
+    parts = [_inside_sql(col, w, lo, hi, bucket_ms, hw, div)]
     for cw, chw in coarser:
-        parent = f"(({col}) DIV {cw}) * {cw}"
-        parts.append(f"NOT {_inside_sql(parent, cw, lo, hi, bucket_ms, chw)}")
+        parent = f"(({col}) {div} {cw}) * {cw}"
+        parts.append(
+            f"NOT {_inside_sql(parent, cw, lo, hi, bucket_ms, chw, div)}"
+        )
     return " AND ".join(parts)
 
 

@@ -256,12 +256,21 @@ class TierPipeline:
             return {"affected_buckets": [], "n_buckets": nb}
 
         def build(bucket_ids: list[int]) -> DataFrame:
-            old = self._read_buckets("raw", bucket_ids).select(cols)
-            merged = old.join(
-                new_transcripts.select("conv_id", "turn_idx"),
-                ["conv_id", "turn_idx"],
-                "left_anti",
-            ).unionByName(new_transcripts.select(cols))
+            root = self.wh.path("raw")
+            have = [
+                b
+                for b in bucket_ids
+                if os.path.exists(os.path.join(root, f"sbucket={b}"))
+            ]
+            if have:  # bootstrap: first-ever batch has nothing to merge
+                old = self._read_buckets("raw", have).select(cols)
+                merged = old.join(
+                    new_transcripts.select("conv_id", "turn_idx"),
+                    ["conv_id", "turn_idx"],
+                    "left_anti",
+                ).unionByName(new_transcripts.select(cols))
+            else:
+                merged = new_transcripts.select(cols)
             return merged.withColumn(
                 "sbucket", sid_bucket(F.col("conv_id"), nb)
             )

@@ -175,3 +175,53 @@ def test_grouped_datapoints_no_extra_exchange(spark):
     base = _formatted_plan(segs)
     full = _formatted_plan(grouped_datapoints(segs))
     assert full.count("Exchange") == base.count("Exchange"), full[:2500]
+
+
+def test_tiered_agg_pushes_range_to_every_tier_scan(spark, tmp_path_factory):
+    """plans/planner.py tiered_agg: each tier branch must reach its parquet
+    scan with PushedFilters containing the bucket_ts range conjuncts (the
+    pushable part of the cover predicate), and exactly ONE Exchange (the
+    final groupBy) — the routing itself is shuffle-free."""
+    import numpy as np
+    import pandas as pd
+
+    from modelardb_dynamic_spark.operators.compress import compress
+    from modelardb_dynamic_spark.operators.rollup import downsample, rollup
+    from modelardb_dynamic_spark.plans.planner import tiered_agg
+
+    SI, HOUR, DAY = 60_000, 3_600_000, 86_400_000
+    t0 = 1_704_067_200_000
+    t = t0 + np.arange(2 * 24 * 60, dtype=np.int64) * SI
+    pdf = pd.DataFrame(
+        {"sid": "s", "metric": "m", "ts_ms": t,
+         "value": (np.arange(len(t)) % 9).astype("float32")}
+    )
+    base = tmp_path_factory.mktemp("planner_plan")
+    series = spark.createDataFrame(pdf)
+    segs = compress(series, EngineConfig(error_bound=0.0,
+                                         sampling_interval_ms=SI))
+    t1m = rollup(segs, SI)
+    t1h = downsample(t1m, HOUR)
+    t1d = downsample(t1h, DAY)
+    paths = {}
+    for name, df in [("series", series), ("t1m", t1m), ("t1h", t1h),
+                     ("t1d", t1d)]:
+        p = str(base / name)
+        df.write.mode("overwrite").parquet(p)
+        paths[name] = spark.read.parquet(p)
+    lo, hi = t0 + 90 * SI, t0 + 2 * DAY - 90 * SI
+    out = tiered_agg(
+        paths["series"],
+        [(paths["t1m"], SI), (paths["t1h"], HOUR), (paths["t1d"], DAY)],
+        lo, hi, DAY,
+    )
+    plan = _formatted_plan(out)
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    tier_pushed = [p for p in pushed if "bucket_ts" in p]
+    assert len(tier_pushed) == 3, plan[:3000]
+    for p in tier_pushed:
+        assert "GreaterThanOrEqual(bucket_ts" in p, p
+        assert "LessThan(bucket_ts" in p, p
+    raw_pushed = [p for p in pushed if "ts_ms" in p]
+    assert raw_pushed and "GreaterThanOrEqual(ts_ms" in raw_pushed[0]
+    assert plan.count("Exchange (") == 1, plan[:3000]

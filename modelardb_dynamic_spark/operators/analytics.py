@@ -41,17 +41,19 @@ _PEARSON_EXPR = (
 )
 
 # Interpolation tree shared with the oracle: exact when the grid point
-# coincides with an observation (tp = tn), else the canonical
-# v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev).
+# coincides with an observation (t = tp — the factor (t-tp)/(tn-tp) is 0,
+# so vn is irrelevant and may even be NULL past the last observation),
+# else the canonical v_prev + (v_next-v_prev) * (t-t_prev)/(t_next-t_prev).
 _LERP_EXPR = (
-    "CASE WHEN tn = tp THEN CAST(vp AS DOUBLE) "
+    "CASE WHEN t = tp THEN CAST(vp AS DOUBLE) "
     "ELSE CAST(vp AS DOUBLE) + CAST(vn - vp AS DOUBLE) * "
     "(CAST(t - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)) END"
 )
 
 
 def correlated_pairs(
-    points: DataFrame, top_n: int = 40, min_support: int = 30
+    points: DataFrame, top_n: int = 40, min_support: int = 30,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact Pearson correlation for every pair among the `top_n` most
     active series, over the grid buckets where BOTH series have a point.
@@ -59,7 +61,16 @@ def correlated_pairs(
     points: (sid string, ts_ms long, v long) — v must be an exact
     integer (the engine's count-valued series at error bound 0).
     Returns (sid1, sid2, n, r) for pairs with n >= min_support.
+
+    materialize (default on): `points` feeds THREE subtrees (the activity
+    ranking and both sides of the self-join) and Spark re-executes the
+    upstream plan per reference — for the engine's usual input (a segment
+    decode chain) that tripled the wall. An eager localCheckpoint of the
+    compact (sid, ts_ms, v) rows computes it once (the dedup self-join
+    pattern, operators/dedup.py _materialize).
     """
+    if materialize:
+        points = points.localCheckpoint(eager=True)
     act = points.groupBy("sid").agg(F.sum("v").alias("act"))
     # deterministic top-N: activity desc, sid asc tiebreak
     top = (
@@ -89,14 +100,22 @@ def correlated_pairs(
     )
 
 
-def interpolate_grid(points: DataFrame, grid_ms: int) -> DataFrame:
+def interpolate_grid(
+    points: DataFrame, grid_ms: int, materialize: bool = True
+) -> DataFrame:
     """Linear-interpolation resample: one value per sid per grid_ms-aligned
     timestamp inside the sid's observed span, interpolated between the
     nearest observations (exact where a grid point hits an observation).
 
     points: (sid string, ts_ms long, v long). Returns
     (sid, ts_ms, value double).
+
+    materialize (default on): `points` feeds both the span derivation and
+    the observation branch of the union — localCheckpoint computes the
+    upstream (typically a segment decode) once instead of twice.
     """
+    if materialize:
+        points = points.localCheckpoint(eager=True)
     spans = points.groupBy("sid").agg(
         F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
     )
@@ -127,25 +146,42 @@ def interpolate_grid(points: DataFrame, grid_ms: int) -> DataFrame:
             F.lit(1).alias("g"),
         )
     )
-    # at a shared t the observation (g=0) sorts before the grid row in
-    # BOTH scan directions, so coincident grid points see tp = tn = t
+    # ONE full-size sort. Each observation first learns its successor via
+    # lead() over the (small) observation set alone; the union pass then
+    # needs only FORWARD-carrying running lasts on the (t asc, g asc)
+    # ordering: a grid row picks up (tp, vp) from the nearest preceding
+    # observation and (tn, vn) from that same observation's stored
+    # successor — which is exactly the nearest following observation,
+    # since no observation lies between them. (A [current, unbounded
+    # following] frame would express "next" directly but Spark evaluates
+    # that frame shape O(n^2) per partition — measured 10x slower than
+    # the original two-sort form, while this carry form halves it.)
+    # Coincident grid points (t = tp) take vp exactly; the lerp factor is
+    # 0 there, so tn being the successor (or NULL at the series end, a
+    # row the filter keeps) never contributes.
+    ow = Window.partitionBy("sid").orderBy("t")
+    obs2 = obs.withColumn("tn0", F.lead("t").over(ow)).withColumn(
+        "vn0", F.lead("v").over(ow)
+    )
+    u = obs2.unionByName(
+        u.where(F.col("g") == 1)
+        .withColumn("tn0", F.lit(None).cast("long"))
+        .withColumn("vn0", F.lit(None).cast("long"))
+    )
     wp = (
         Window.partitionBy("sid")
         .orderBy(F.asc("t"), F.asc("g"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wn = (
-        Window.partitionBy("sid")
-        .orderBy(F.desc("t"), F.asc("g"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_t = F.when(F.col("g") == 0, F.col("t"))
     res = (
         u.withColumn("vp", F.last("v", ignorenulls=True).over(wp))
         .withColumn("tp", F.last(obs_t, ignorenulls=True).over(wp))
-        .withColumn("vn", F.last("v", ignorenulls=True).over(wn))
-        .withColumn("tn", F.last(obs_t, ignorenulls=True).over(wn))
+        .withColumn("vn", F.last("vn0", ignorenulls=True).over(wp))
+        .withColumn("tn", F.last("tn0", ignorenulls=True).over(wp))
     )
     return res.where(
-        (F.col("g") == 1) & F.col("tp").isNotNull() & F.col("tn").isNotNull()
+        (F.col("g") == 1)
+        & F.col("tp").isNotNull()
+        & (F.col("tn").isNotNull() | (F.col("t") == F.col("tp")))
     ).selectExpr("sid", "t AS ts_ms", f"{_LERP_EXPR} AS value")

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dod_times",
     "tiered_agg",
     "dup_clusters",
+    "hll_distinct",
 ]
 
 

@@ -1,0 +1,181 @@
+"""Mergeable sketch tiers: HyperLogLog distinct-count as a first-class
+continuous-aggregate, beside the count/sum/min/max tier family
+(operators/rollup.py) which cannot express COUNT(DISTINCT ...) — distinct
+counts do not compose across buckets, but HLL REGISTERS do (elementwise
+max), which is exactly what a rollup engine needs: build the sketch once
+at the finest tier, downsample it like any other tier, answer
+distinct-count queries at every granularity without re-touching raw data
+(the Druid/Timescale sketch-rollup design).
+
+Everything is DETERMINISTIC and value-gatable:
+- the hash is the repo's shared 60-bit md5 prefix (operators/dedup.py
+  spark_h60 / duck_h60), computed bit-identically by Spark and DuckDB;
+- a register row is (reg = h & (M-1), rho = leading-zero-count of the
+  remaining 52 bits + 1), derived with bin()/length() string arithmetic
+  both engines evaluate exactly (no clz builtin needed);
+- the tier stores PLAIN ROWS (keys..., reg, rho<=53): merge = groupBy
+  max, at most M = 256 rows per key per bucket regardless of
+  cardinality;
+- the harmonic sum uses exact integer scaling: each register contributes
+  2^(53 - rho) (an exact int64), absent registers contribute 2^53, and
+  the total is <= M * 2^53 = 2^61 — no floating-point accumulation
+  order anywhere. The raw estimate alpha*M^2*2^53/S is then ONE double
+  expression tree shared with the oracle (bit-identical).
+
+The bias-corrected estimate (linear counting below 2.5*M) additionally
+uses ln(), which is NOT guaranteed correctly-rounded across engines — so
+`summary` exposes the exact pieces (s_scaled, zero register count, raw
+estimate) for the value gate, while `estimate` adds the corrected column
+for users, pinned by an accuracy pytest (relative error ~1.04/sqrt(M)
+~= 6.5% at M=256) instead of a hash.
+
+Scale notes (100 TB): hll_tier is one map-side-combinable groupBy — the
+shuffle carries at most M rows per (key, bucket), independent of the
+number of raw rows; downsampling a year of hourly sketches to daily is a
+groupBy-max over 256-row groups. No reference counterpart (ModelarDB has
+no distinct-count aggregate); this is the training-pipeline's "distinct
+users/sessions/tools per window" workhorse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from modelardb_dynamic_spark.operators.dedup import duck_h60, spark_h60
+
+P = 8
+M = 1 << P            # 256 registers
+WREM = 60 - P         # bits left after the register index
+RHO_CAP = WREM + 1    # rho when the remaining bits are all zero
+SCALE = 1 << (RHO_CAP)  # 2^53: term(rho) = 2^(53 - rho) is an exact int
+ALPHA = 0.7213 / (1.0 + 1.079 / M)
+
+
+def _rho_sql(rem: str) -> str:
+    """rho = #leading zeros of the WREM-bit value `rem`, + 1. bin() drops
+    leading zeros in BOTH engines, so rho = WREM - length(bin(rem)) + 1,
+    with the all-zero case pinned to RHO_CAP."""
+    return (
+        f"CASE WHEN ({rem}) = 0 THEN {RHO_CAP} "
+        f"ELSE {WREM} - length(bin({rem})) + 1 END"
+    )
+
+
+def hll_tier(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    bucket_expr: str,
+) -> DataFrame:
+    """Finest sketch tier: (keys..., bucket_ts, reg, rho). One map-side
+    combinable groupBy; <= M rows per (keys, bucket)."""
+    h = spark_h60(value_col).alias("h")
+    base = df.select(*keys, F.expr(bucket_expr).alias("bucket_ts"), h)
+    return (
+        base.select(
+            *keys,
+            "bucket_ts",
+            F.expr(f"h & {M - 1}").alias("reg"),
+            F.expr(_rho_sql(f"h >> {P}")).cast("int").alias("rho"),
+        )
+        .groupBy(*keys, "bucket_ts", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_downsample(tier: DataFrame, keys: list[str], bucket_ms: int) -> DataFrame:
+    """Sketch tier -> coarser sketch tier: registers merge by max. The
+    same shape downsample() uses for the sum/min/max tiers."""
+    return (
+        tier.groupBy(
+            *keys,
+            F.expr(f"(bucket_ts DIV {bucket_ms}) * {bucket_ms}").alias("bucket_ts"),
+            "reg",
+        )
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+# the raw-estimate expression tree, shared verbatim with the DuckDB oracle
+# (all inputs exact integers; one rounding per double op -> identical bits)
+# CAST the alpha literal: bare decimal literals parse as DECIMAL in both
+# engines (and DECIMAL * 256 * 2^53 overflows DuckDB's DECIMAL(18))
+_EST_RAW = (
+    f"(CAST({ALPHA!r} AS DOUBLE) * {M} * {M} * CAST({SCALE} AS DOUBLE)) "
+    "/ CAST(s_scaled AS DOUBLE)"
+)
+
+
+def hll_summary(tier: DataFrame, keys: list[str]) -> DataFrame:
+    """Per (keys..., bucket_ts): the exact integer sketch state and the
+    raw HLL estimate — every column value-gatable against DuckDB."""
+    return (
+        tier.groupBy(*keys, "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("m_present"),
+            F.sum(F.expr(f"CAST(POW(2, {RHO_CAP} - rho) AS BIGINT)")).alias("s_present"),
+        )
+        .selectExpr(
+            *keys,
+            "bucket_ts",
+            "m_present",
+            f"s_present + ({M} - m_present) * CAST({SCALE} AS BIGINT) AS s_scaled",
+            f"{M} - m_present AS zeros",
+        )
+        .selectExpr(
+            *keys, "bucket_ts", "m_present", "s_scaled", "zeros",
+            f"{_EST_RAW} AS est_raw",
+        )
+    )
+
+
+def hll_estimate(summary: DataFrame) -> DataFrame:
+    """User-facing estimate with the standard small-range correction:
+    linear counting when est_raw <= 2.5*M and empty registers remain.
+    ln() is engine-specific in the last bit, so this column is pinned by
+    an accuracy pytest, not the value gate."""
+    return summary.withColumn(
+        "distinct_est",
+        F.expr(
+            f"CASE WHEN est_raw <= 2.5 * {M} AND zeros > 0 "
+            f"THEN {M} * ln(CAST({M} AS DOUBLE) / zeros) ELSE est_raw END"
+        ),
+    )
+
+
+def duck_hll_summary_sql(
+    table: str, keys_sql: str, value_expr: str, bucket_sql: str
+) -> str:
+    """The identical sketch + summary as ONE DuckDB query (the oracle).
+    keys_sql like "sid", bucket_sql like "(ts_ms // 3600000) * 3600000"."""
+    return f"""
+        WITH h AS (
+            SELECT {keys_sql}, {bucket_sql} AS bucket_ts,
+                   {duck_h60(value_expr)} AS h
+            FROM {table}
+        ),
+        regs AS (
+            SELECT {keys_sql}, bucket_ts, h & {M - 1} AS reg,
+                   max(CASE WHEN (h >> {P}) = 0 THEN {RHO_CAP}
+                       ELSE {WREM} - length(bin(h >> {P})) + 1 END) AS rho
+            FROM h GROUP BY ALL
+        ),
+        s AS (
+            SELECT {keys_sql}, bucket_ts,
+                   count(*) AS m_present,
+                   sum(CAST(POW(2, {RHO_CAP} - rho) AS BIGINT)) AS s_present
+            FROM regs GROUP BY ALL
+        )
+        SELECT {keys_sql}, bucket_ts, m_present,
+               CAST(CAST(s_present AS HUGEINT) +
+                    CAST({M} - m_present AS HUGEINT) * {SCALE} AS BIGINT)
+                   AS s_scaled,
+               {M} - m_present AS zeros,
+               (CAST({ALPHA!r} AS DOUBLE) * {M} * {M} *
+                    CAST({SCALE} AS DOUBLE)) /
+                   CAST(CAST(s_present AS HUGEINT) +
+                        CAST({M} - m_present AS HUGEINT) * {SCALE} AS DOUBLE)
+                   AS est_raw
+        FROM s
+    """

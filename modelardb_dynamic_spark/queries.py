@@ -909,6 +909,31 @@ def q_dup_clusters(spark, sf_dir):
     return dedup.dup_clusters(docs, pairs)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Mergeable distinct-count sketch tier (operators/sketches.py):
+    HLL-256 over the shared 60-bit md5 hash, distinct event_id per
+    event_type per day, built as an hourly sketch tier then DOWNSAMPLED
+    to daily (register max-merge) — the summary columns are exact
+    integers plus one shared double expression, so the whole sketch is
+    value-gated against DuckDB replaying the identical register algebra
+    at day grain (merge-equivalence is pinned separately by
+    tests/test_sketches.py)."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        hll_downsample,
+        hll_summary,
+        hll_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("string").alias("eid"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    hourly = hll_tier(ev, ["event_type"], "eid", f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}")
+    daily = hll_downsample(hourly, ["event_type"], DAY_MS)
+    return hll_summary(daily, ["event_type"])
+
+
 def q_tiered_agg(spark, sf_dir):
     """Tier-selection planner (plans/planner.py) under the value gate:
     transcripts -> minute series -> compress (eb 0) -> 1m/1h/1d tiers,
@@ -998,6 +1023,7 @@ QUERIES = {
     "retention_tiers": q_retention_tiers,
     "tiered_agg": q_tiered_agg,
     "dup_clusters": q_dup_clusters,
+    "hll_distinct": q_hll_distinct,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -1940,6 +1966,16 @@ ORACLES["dup_clusters"] = f"""
     FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
     GROUP BY d.doc_id
 """
+
+
+from modelardb_dynamic_spark.operators.sketches import duck_hll_summary_sql
+
+ORACLES["hll_distinct"] = duck_hll_summary_sql(
+    "events",
+    "event_type",
+    "CAST(event_id AS VARCHAR)",
+    f"(epoch_ms(ts) // {DAY_MS}) * {DAY_MS}",
+)
 
 
 def _kmeans_oracle_sql() -> str:

@@ -1,0 +1,110 @@
+"""HLL sketch tier (operators/sketches.py): register-exactness vs a
+reference Python implementation, the merge property (downsampled sketches
+== directly-built coarse sketches), and estimate accuracy."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from modelardb_dynamic_spark.operators.sketches import (
+    M,
+    P,
+    RHO_CAP,
+    WREM,
+    hll_downsample,
+    hll_estimate,
+    hll_summary,
+    hll_tier,
+)
+
+HOUR = 3_600_000
+DAY = 86_400_000
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_registers(values):
+    regs = {}
+    for s in values:
+        h = _h60(s)
+        reg, rem = h & (M - 1), h >> P
+        rho = RHO_CAP if rem == 0 else WREM - (rem.bit_length() - 1)
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        ("a", (i % 37) * HOUR, f"v{i % 500}") for i in range(4000)
+    ] + [("b", (i % 11) * HOUR, f"w{i % 60}") for i in range(800)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["sid", "ts_ms", "val"])
+    ).cache()
+
+
+def test_registers_match_python_reference(spark, df):
+    tier = hll_tier(df, ["sid"], "val", f"(ts_ms DIV {DAY}) * {DAY}")
+    got = {
+        (r["sid"], r["bucket_ts"], r["reg"]): r["rho"] for r in tier.collect()
+    }
+    pdf = df.toPandas()
+    want = {}
+    for (sid, day), grp in pdf.groupby(
+        ["sid", pdf.ts_ms // DAY * DAY]
+    ):
+        for reg, rho in _py_registers(grp.val.tolist()).items():
+            want[(sid, int(day), reg)] = rho
+    assert got == want
+
+
+def test_downsample_merge_property(spark, df):
+    """max-merge of hourly registers == registers built at day grain."""
+    hourly = hll_tier(df, ["sid"], "val", f"(ts_ms DIV {HOUR}) * {HOUR}")
+    merged = hll_downsample(hourly, ["sid"], DAY)
+    direct = hll_tier(df, ["sid"], "val", f"(ts_ms DIV {DAY}) * {DAY}")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_estimate_accuracy(spark):
+    """Deterministic hash -> deterministic error; 50k distincts must land
+    well inside the 1.04/sqrt(256) ~= 6.5% standard error, and a small
+    set must be near-exact via linear counting."""
+    big = spark.range(50_000).select(
+        F.lit("s").alias("sid"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.concat(F.lit("x"), F.col("id")).alias("val"),
+    )
+    tier = hll_tier(big, ["sid"], "val", "ts_ms")
+    est = hll_estimate(hll_summary(tier, ["sid"])).collect()[0]
+    assert abs(est["distinct_est"] - 50_000) / 50_000 < 0.15
+
+    small = spark.range(40).select(
+        F.lit("s").alias("sid"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.concat(F.lit("y"), F.col("id")).alias("val"),
+    )
+    tier_s = hll_tier(small, ["sid"], "val", "ts_ms")
+    est_s = hll_estimate(hll_summary(tier_s, ["sid"])).collect()[0]
+    assert abs(est_s["distinct_est"] - 40) / 40 < 0.15
+
+
+def test_summary_is_duplicate_insensitive(spark, df):
+    """The whole point of the sketch: re-feeding the same values changes
+    nothing."""
+    doubled = df.unionByName(df)
+    a = hll_summary(
+        hll_tier(df, ["sid"], "val", f"(ts_ms DIV {DAY}) * {DAY}"), ["sid"]
+    )
+    b = hll_summary(
+        hll_tier(doubled, ["sid"], "val", f"(ts_ms DIV {DAY}) * {DAY}"),
+        ["sid"],
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

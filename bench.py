@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "tiered_agg",
     "dup_clusters",
     "hll_distinct",
+    "hist_quantile",
 ]
 
 

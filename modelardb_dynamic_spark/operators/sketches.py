@@ -179,3 +179,149 @@ def duck_hll_summary_sql(
                    AS est_raw
         FROM s
     """
+
+
+# -- HDR-style log2 histogram tier (quantiles) ---------------------------------
+#
+# The quantile companion to the HLL tier: per (keys, bucket) a histogram
+# over log2 octaves with 4 linear sub-buckets each (HdrHistogram's design;
+# relative bucket width <= 25%), on NON-NEGATIVE INTEGER values. Buckets
+# merge by SUM, so the tier downsamples exactly like cnt/vsum. Everything
+# is integer arithmetic both engines share bit-for-bit: the octave is
+# length(bin(v)) - 1 (no log()), the sub-bucket a shift+mask, and a
+# quantile answer is the first bucket whose cumulative count reaches
+# ceil(q * n) — returned WITH its [q_lo, q_hi] value bounds, which is the
+# honest contract (the true q-quantile provably lies inside; pinned by
+# pytest). Shuffle carries <= 4*64 + 1 bucket rows per key-bucket at any
+# cardinality.
+
+
+def _hist_idx_sql(v: str) -> str:
+    """Bucket index: -1 for v <= 0, else octave*4 + sub. Shared algebra
+    (bin/length/shift/mask) evaluated identically by Spark and DuckDB."""
+    e = f"(length(bin({v})) - 1)"
+    shift = f"CASE WHEN {e} < 2 THEN 0 ELSE {e} - 2 END"
+    return (
+        f"CASE WHEN ({v}) <= 0 THEN -1 "
+        f"ELSE {e} * 4 + ((({v}) >> {shift}) & 3) END"
+    )
+
+
+def _hist_bounds_sql(idx: str, div: str) -> tuple[str, str]:
+    """[lo, hi] integer value bounds of bucket `idx` (octave e = idx/4,
+    sub = idx%4): single-value buckets below octave 2, else
+    [(4+sub) << (e-2), +2^(e-2) - 1]."""
+    e = f"(({idx}) {div} 4)"
+    sub = f"(({idx}) % 4)"
+    w = f"CAST(POW(2, {e} - 2) AS BIGINT)"
+    lo = (
+        f"CASE WHEN ({idx}) < 0 THEN 0 WHEN {e} = 0 THEN 1 "
+        f"WHEN {e} = 1 THEN {sub} ELSE (4 + {sub}) * {w} END"
+    )
+    hi = (
+        f"CASE WHEN ({idx}) < 0 THEN 0 WHEN {e} < 2 THEN {lo} "
+        f"ELSE (4 + {sub}) * {w} + {w} - 1 END"
+    )
+    return lo, hi
+
+
+def hist_tier(
+    df: DataFrame, keys: list[str], value_expr: str, bucket_expr: str
+) -> DataFrame:
+    """Finest histogram tier: (keys..., bucket_ts, idx, cnt). value_expr
+    must be a non-negative BIGINT expression (scale doubles first, e.g.
+    CAST(floor(value * 100) AS BIGINT) — floor of one shared double
+    multiply is engine-stable, unlike round())."""
+    return (
+        df.select(
+            *keys,
+            F.expr(bucket_expr).alias("bucket_ts"),
+            F.expr(_hist_idx_sql(f"CAST({value_expr} AS BIGINT)"))
+            .cast("int")
+            .alias("idx"),
+        )
+        .groupBy(*keys, "bucket_ts", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_downsample(tier: DataFrame, keys: list[str], bucket_ms: int) -> DataFrame:
+    return (
+        tier.groupBy(
+            *keys,
+            F.expr(f"(bucket_ts DIV {bucket_ms}) * {bucket_ms}").alias("bucket_ts"),
+            "idx",
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    tier: DataFrame, keys: list[str], qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """(keys..., bucket_ts, q, idx, q_lo, q_hi): the bucket holding the
+    ceil(q*n)-th smallest value and its exact integer value bounds."""
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(*keys, "bucket_ts")
+    ranked = tier.withColumn(
+        "cum", F.sum("cnt").over(part.orderBy("idx"))
+    ).withColumn("n", F.sum("cnt").over(part))
+    qlit = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in qs)
+    lo, hi = _hist_bounds_sql("idx", "DIV")
+    return (
+        ranked.select(
+            *keys, "bucket_ts", "idx", "cnt", "cum", "n",
+            F.explode(F.expr(f"array({qlit})")).alias("q"),
+        )
+        .where("cum >= CAST(ceil(q * n) AS BIGINT) AND "
+               "cum - cnt < CAST(ceil(q * n) AS BIGINT)")
+        .selectExpr(
+            *keys, "bucket_ts", "q", "idx",
+            f"{lo} AS q_lo", f"{hi} AS q_hi",
+        )
+    )
+
+
+def duck_hist_quantiles_sql(
+    table: str,
+    keys_sql: str,
+    value_expr: str,
+    bucket_sql: str,
+    coarse_ms: int,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """The oracle: identical histogram + quantile algebra in DuckDB,
+    building at bucket_sql grain then merging to coarse_ms (mirrors
+    hist_tier -> hist_downsample -> hist_quantiles)."""
+    v = f"CAST({value_expr} AS BIGINT)"
+    qlit = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in qs)
+    lo, hi = _hist_bounds_sql("idx", "//")
+    return f"""
+        WITH fine AS (
+            SELECT {keys_sql}, {bucket_sql} AS bucket_ts,
+                   {_hist_idx_sql(v)} AS idx, count(*) AS cnt
+            FROM {table} GROUP BY ALL
+        ),
+        hist AS (
+            SELECT {keys_sql}, (bucket_ts // {coarse_ms}) * {coarse_ms}
+                       AS bucket_ts, idx, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM fine GROUP BY ALL
+        ),
+        ranked AS (
+            SELECT *, sum(cnt) OVER (PARTITION BY {keys_sql}, bucket_ts
+                                     ORDER BY idx) AS cum,
+                      sum(cnt) OVER (PARTITION BY {keys_sql}, bucket_ts)
+                          AS n
+            FROM hist
+        ),
+        x AS (
+            SELECT r.*, q FROM ranked r
+            CROSS JOIN (SELECT unnest([{qlit}]) AS q) qs
+        )
+        SELECT {keys_sql}, bucket_ts, q, CAST(idx AS INT) AS idx,
+               CAST({lo} AS BIGINT) AS q_lo, CAST({hi} AS BIGINT) AS q_hi
+        FROM x
+        WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+          AND cum - cnt < CAST(ceil(q * n) AS BIGINT)
+    """

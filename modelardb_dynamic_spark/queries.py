@@ -934,6 +934,32 @@ def q_hll_distinct(spark, sf_dir):
     return hll_summary(daily, ["event_type"])
 
 
+def q_hist_quantile(spark, sf_dir):
+    """Mergeable quantile tier (operators/sketches.py histogram family):
+    HDR-style log2x4 histogram of the events value (scaled to integer
+    cents via one shared floor(value*100) — engine-stable, unlike
+    round()), built hourly per event_type, DOWNSAMPLED to daily by bucket
+    sum, then p50/p90/p99 answered from the histogram with exact integer
+    value bounds. Every output column is integer or a shared double
+    literal, so the full sketch->merge->quantile path is value-gated."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        hist_downsample,
+        hist_quantiles,
+        hist_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    hourly = hist_tier(
+        ev, ["event_type"], "cents", f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}"
+    )
+    daily = hist_downsample(hourly, ["event_type"], DAY_MS)
+    return hist_quantiles(daily, ["event_type"])
+
+
 def q_tiered_agg(spark, sf_dir):
     """Tier-selection planner (plans/planner.py) under the value gate:
     transcripts -> minute series -> compress (eb 0) -> 1m/1h/1d tiers,
@@ -1024,6 +1050,7 @@ QUERIES = {
     "tiered_agg": q_tiered_agg,
     "dup_clusters": q_dup_clusters,
     "hll_distinct": q_hll_distinct,
+    "hist_quantile": q_hist_quantile,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -1975,6 +2002,17 @@ ORACLES["hll_distinct"] = duck_hll_summary_sql(
     "event_type",
     "CAST(event_id AS VARCHAR)",
     f"(epoch_ms(ts) // {DAY_MS}) * {DAY_MS}",
+)
+
+
+from modelardb_dynamic_spark.operators.sketches import duck_hist_quantiles_sql
+
+ORACLES["hist_quantile"] = duck_hist_quantiles_sql(
+    "events",
+    "event_type",
+    "floor(value * 100)",
+    f"(epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS}",
+    DAY_MS,
 )
 
 

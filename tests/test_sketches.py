@@ -108,3 +108,71 @@ def test_summary_is_duplicate_insensitive(spark, df):
         ["sid"],
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# log2 histogram tier / quantiles
+
+
+def _py_idx(v: int) -> int:
+    if v <= 0:
+        return -1
+    e = v.bit_length() - 1
+    return e * 4 + ((v >> max(e - 2, 0)) & 3)
+
+
+def test_hist_idx_matches_python(spark):
+    from modelardb_dynamic_spark.operators.sketches import hist_tier
+
+    vals = list(range(0, 70)) + [255, 256, 1023, 1 << 40, (1 << 41) - 1]
+    df = spark.createDataFrame(
+        pd.DataFrame({"sid": "s", "ts_ms": 0, "v": vals})
+    )
+    tier = hist_tier(df, ["sid"], "v", "ts_ms")
+    got = {r["idx"]: r["cnt"] for r in tier.collect()}
+    want = {}
+    for v in vals:
+        want[_py_idx(v)] = want.get(_py_idx(v), 0) + 1
+    assert got == want
+
+
+def test_hist_merge_property(spark, df):
+    from modelardb_dynamic_spark.operators.sketches import (
+        hist_downsample,
+        hist_tier,
+    )
+
+    vdf = df.withColumn("v", F.length("val").cast("long") * 7)
+    hourly = hist_tier(vdf, ["sid"], "v", f"(ts_ms DIV {HOUR}) * {HOUR}")
+    merged = hist_downsample(hourly, ["sid"], DAY)
+    direct = hist_tier(vdf, ["sid"], "v", f"(ts_ms DIV {DAY}) * {DAY}")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_hist_quantile_bounds_contain_true_quantile(spark):
+    import math
+
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.sketches import (
+        hist_quantiles,
+        hist_tier,
+    )
+
+    rng = np.random.default_rng(13)
+    vals = rng.lognormal(5.0, 1.5, 20_000).astype("int64") + 1
+    df = spark.createDataFrame(
+        pd.DataFrame({"sid": "s", "ts_ms": 0, "v": vals})
+    )
+    tier = hist_tier(df, ["sid"], "v", "ts_ms")
+    out = {
+        r["q"]: (r["q_lo"], r["q_hi"])
+        for r in hist_quantiles(tier, ["sid"]).collect()
+    }
+    sv = np.sort(vals)
+    for q in (0.5, 0.9, 0.99):
+        true_q = int(sv[math.ceil(q * len(sv)) - 1])
+        lo, hi = out[q]
+        assert lo <= true_q <= hi, (q, lo, true_q, hi)
+        assert (hi - lo) <= max(0.25 * lo, 1)  # <=25% relative bucket width

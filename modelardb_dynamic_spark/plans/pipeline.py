@@ -215,11 +215,73 @@ class TierPipeline:
                             only_buckets=only_buckets)
             prev = tier_name
 
-    def run(self, transcripts: DataFrame) -> None:
+    def build_sketch_tiers(
+        self,
+        fingerprint: str = "sketch-v1",
+        only_buckets: list[int] | None = None,
+    ) -> None:
+        """Mergeable sketch tiers beside the cnt/vsum/vmin/vmax tiers
+        (operators/sketches.py): per conversation,
+        - hist_1h / hist_1d — HDR log2x4 histogram of per-turn token
+          counts (p50/p90/p99 turn length per conv per hour/day straight
+          from the tier, hist_quantiles);
+        - hll_1d — HLL-256 distinct turn contents per conv per day
+          (repetition/degeneracy signal).
+        Built from the raw stage per bucket chunk like every other stage:
+        lineage manifests, resume, and incremental append() all apply."""
+        from modelardb_dynamic_spark.operators.sketches import (
+            hist_downsample,
+            hist_tier,
+            hll_tier,
+        )
+        from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+        def _turns(bucket_ids: list[int]) -> DataFrame:
+            raw = self._read_buckets("raw", bucket_ids)
+            return raw.select(
+                F.col("conv_id").alias("sid"),
+                to_ms("ts").alias("ts_ms"),
+                (1 + F.floor(F.length("text") / 4)).cast("long").alias("tokens"),
+                F.col("text"),
+            )
+
+        def build_hist_1h(bucket_ids: list[int]) -> DataFrame:
+            t = hist_tier(
+                _turns(bucket_ids), ["sid"], "tokens",
+                f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}",
+            )
+            return t.withColumn("sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets))
+
+        self._run_stage("hist_1h", fingerprint, build_hist_1h,
+                        ts_col="bucket_ts", only_buckets=only_buckets)
+
+        def build_hist_1d(bucket_ids: list[int]) -> DataFrame:
+            t = hist_downsample(
+                self._read_buckets("hist_1h", bucket_ids).drop("sbucket"),
+                ["sid"], DAY_MS,
+            )
+            return t.withColumn("sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets))
+
+        self._run_stage("hist_1d", fingerprint, build_hist_1d,
+                        ts_col="bucket_ts", only_buckets=only_buckets)
+
+        def build_hll_1d(bucket_ids: list[int]) -> DataFrame:
+            t = hll_tier(
+                _turns(bucket_ids), ["sid"], "text",
+                f"(ts_ms DIV {DAY_MS}) * {DAY_MS}",
+            )
+            return t.withColumn("sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets))
+
+        self._run_stage("hll_1d", fingerprint, build_hll_1d,
+                        ts_col="bucket_ts", only_buckets=only_buckets)
+
+    def run(self, transcripts: DataFrame, sketches: bool = False) -> None:
         self.ingest_raw(transcripts)
         self.build_series()
         self.build_segments()
         self.build_tiers()
+        if sketches:
+            self.build_sketch_tiers()
 
     # -- incremental maintenance ----------------------------------------------
 
@@ -281,6 +343,10 @@ class TierPipeline:
         self.build_series(fingerprint=f"series+{batch_id}", only_buckets=aff)
         self.build_segments(fingerprint=f"segments+{batch_id}", only_buckets=aff)
         self.build_tiers(fingerprint=f"tiers+{batch_id}", only_buckets=aff)
+        if os.path.exists(self.wh.path("hist_1h")):  # sketches enabled
+            self.build_sketch_tiers(
+                fingerprint=f"sketch+{batch_id}", only_buckets=aff
+            )
         return {"affected_buckets": aff, "n_buckets": nb}
 
     # -- retention -----------------------------------------------------------

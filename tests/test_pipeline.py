@@ -283,3 +283,41 @@ def test_append_incremental_equals_full_rebuild(spark, transcripts, tmp_path):
     assert _t.time() - t0 < 5.0  # manifest skips, no Spark jobs
     b2 = wh_i.read(spark, "raw").drop("sbucket")
     assert b2.count() == transcripts.count()
+
+
+def test_sketch_tiers_stage_and_append(spark, transcripts, tmp_path):
+    """Sketch tiers as pipeline stages: hist_1h/hist_1d/hll_1d built from
+    raw with lineage, equal to directly-computed sketches, and maintained
+    by the incremental append path."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        hist_downsample,
+        hist_tier,
+        hll_tier,
+    )
+    from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+    HOUR, DAY = 3_600_000, 86_400_000
+    batch_convs = ["conv00000005", "conv00000021"]
+    in_batch = F.col("conv_id").isin(batch_convs) & (
+        F.pmod(F.col("turn_idx"), F.lit(5)) == 2
+    )
+    wh = Warehouse(str(tmp_path / "sk"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4, salt_span_points=None)
+    p.run(transcripts.where(~in_batch), sketches=True)
+    p.append(transcripts.where(in_batch), batch_id="late")
+
+    turns = transcripts.select(
+        F.col("conv_id").alias("sid"),
+        to_ms("ts").alias("ts_ms"),
+        (1 + F.floor(F.length("text") / 4)).cast("long").alias("tokens"),
+        "text",
+    )
+    want_h1 = hist_tier(turns, ["sid"], "tokens", f"(ts_ms DIV {HOUR}) * {HOUR}")
+    want_d1 = hist_downsample(want_h1, ["sid"], DAY)
+    want_hll = hll_tier(turns, ["sid"], "text", f"(ts_ms DIV {DAY}) * {DAY}")
+    for table, want in [
+        ("hist_1h", want_h1), ("hist_1d", want_d1), ("hll_1d", want_hll)
+    ]:
+        got = wh.read(spark, table).drop("sbucket")
+        assert got.exceptAll(want).count() == 0, table
+        assert want.exceptAll(got).count() == 0, table

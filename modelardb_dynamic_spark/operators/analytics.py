@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from modelardb_dynamic_spark.operators.dedup import _materialize
+
 # CASE guard first: a constant series has zero variance -> r undefined.
 # The arithmetic below is the shared Spark/DuckDB expression tree; every
 # name is an exact int64, each CAST double is exact (inputs < 2^53), and
@@ -70,7 +72,7 @@ def correlated_pairs(
     pattern, operators/dedup.py _materialize).
     """
     if materialize:
-        points = points.localCheckpoint(eager=True)
+        points = _materialize(points)
     act = points.groupBy("sid").agg(F.sum("v").alias("act"))
     # deterministic top-N: activity desc, sid asc tiebreak
     top = (
@@ -113,9 +115,15 @@ def interpolate_grid(
     materialize (default on): `points` feeds both the span derivation and
     the observation branch of the union — localCheckpoint computes the
     upstream (typically a segment decode) once instead of twice.
+
+    Duplicate (sid, ts_ms) observations are collapsed to max(v) first —
+    a deterministic rule; without it the lead()-successor of a tied
+    timestamp (and hence the interpolation denominator) would depend on
+    sort-tie order. The engine's datapoint view is already unique.
     """
+    points = points.groupBy("sid", "ts_ms").agg(F.max("v").alias("v"))
     if materialize:
-        points = points.localCheckpoint(eager=True)
+        points = _materialize(points)
     spans = points.groupBy("sid").agg(
         F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
     )
@@ -140,12 +148,6 @@ def interpolate_grid(
         F.col("v"),
         F.lit(0).alias("g"),
     )
-    u = obs.unionByName(
-        grid.select(
-            "sid", "t", F.lit(None).cast("long").alias("v"),
-            F.lit(1).alias("g"),
-        )
-    )
     # ONE full-size sort. Each observation first learns its successor via
     # lead() over the (small) observation set alone; the union pass then
     # needs only FORWARD-carrying running lasts on the (t asc, g asc)
@@ -164,9 +166,14 @@ def interpolate_grid(
         "vn0", F.lead("v").over(ow)
     )
     u = obs2.unionByName(
-        u.where(F.col("g") == 1)
-        .withColumn("tn0", F.lit(None).cast("long"))
-        .withColumn("vn0", F.lit(None).cast("long"))
+        grid.select(
+            "sid",
+            "t",
+            F.lit(None).cast("long").alias("v"),
+            F.lit(1).alias("g"),
+            F.lit(None).cast("long").alias("tn0"),
+            F.lit(None).cast("long").alias("vn0"),
+        )
     )
     wp = (
         Window.partitionBy("sid")

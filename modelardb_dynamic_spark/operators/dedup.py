@@ -410,8 +410,9 @@ def connected_components(
     component diameter (a chain of length 10^6 converges in ~20 rounds,
     where naive min-label propagation needs 10^6). localCheckpoint per
     iteration truncates the lineage so the plan stays flat. The fixed
-    point is checked with an exact (count, unordered hash-sum) pair —
-    one cheap aggregate per iteration.
+    point is checked EXACTLY: same row count and an empty exceptAll vs
+    the previous (checkpointed) edge set — two cheap jobs per iteration
+    on the compact edge list, immune to hash-sum collisions.
     """
     e = (
         pairs.selectExpr(f"{a_col} AS u", f"{b_col} AS v")
@@ -419,15 +420,7 @@ def connected_components(
         .distinct()
     )
 
-    def _sig(df: DataFrame) -> tuple:
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal(38,0): an int64 hash-sum overflows under ANSI mode
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (r["n"], r["h"])
-
-    prev = None
+    prev_e, prev_n = None, -1
     for _ in range(max_iter):
         # large-star: every neighbor LARGER than u points to
         # min(N(u) + {u}) — breaks long chains in half each round
@@ -454,10 +447,14 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        sig = _sig(e)
-        if sig == prev:
+        n = e.count()
+        if (
+            prev_e is not None
+            and n == prev_n
+            and e.exceptAll(prev_e).isEmpty()
+        ):
             break
-        prev = sig
+        prev_e, prev_n = e, n
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
     # fixed point: e is a star forest (u -> component min); roots appear

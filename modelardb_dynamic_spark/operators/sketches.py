@@ -71,7 +71,12 @@ def hll_tier(
     """Finest sketch tier: (keys..., bucket_ts, reg, rho). One map-side
     combinable groupBy; <= M rows per (keys, bucket)."""
     h = spark_h60(value_col).alias("h")
-    base = df.select(*keys, F.expr(bucket_expr).alias("bucket_ts"), h)
+    # NULL values carry no distinct information and would poison the
+    # register math (m_present would count a NULL-register row the sum
+    # skips -> negative zeros/est); drop them, mirrored in the oracle
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *keys, F.expr(bucket_expr).alias("bucket_ts"), h
+    )
     return (
         base.select(
             *keys,
@@ -153,7 +158,7 @@ def duck_hll_summary_sql(
         WITH h AS (
             SELECT {keys_sql}, {bucket_sql} AS bucket_ts,
                    {duck_h60(value_expr)} AS h
-            FROM {table}
+            FROM {table} WHERE ({value_expr}) IS NOT NULL
         ),
         regs AS (
             SELECT {keys_sql}, bucket_ts, h & {M - 1} AS reg,
@@ -233,7 +238,10 @@ def hist_tier(
     CAST(floor(value * 100) AS BIGINT) — floor of one shared double
     multiply is engine-stable, unlike round())."""
     return (
-        df.select(
+        # NULL values: no bucket (and Spark/DuckDB disagree on NULL sort
+        # order in the quantile window) — drop, mirrored in the oracle
+        df.where(F.expr(f"({value_expr}) IS NOT NULL"))
+        .select(
             *keys,
             F.expr(bucket_expr).alias("bucket_ts"),
             F.expr(_hist_idx_sql(f"CAST({value_expr} AS BIGINT)"))
@@ -301,7 +309,7 @@ def duck_hist_quantiles_sql(
         WITH fine AS (
             SELECT {keys_sql}, {bucket_sql} AS bucket_ts,
                    {_hist_idx_sql(v)} AS idx, count(*) AS cnt
-            FROM {table} GROUP BY ALL
+            FROM {table} WHERE ({value_expr}) IS NOT NULL GROUP BY ALL
         ),
         hist AS (
             SELECT {keys_sql}, (bucket_ts // {coarse_ms}) * {coarse_ms}

@@ -306,6 +306,20 @@ class TierPipeline:
         """
         nb = self.wh.n_buckets
         cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        # a batch may itself carry several rows for one turn key (e.g. an
+        # availableNow stream collapsing original + correction into one
+        # micro-batch): keep exactly one, deterministically — latest ts
+        # wins, content hash breaks exact-ts ties
+        from pyspark.sql import Window as _W
+
+        dedup_w = _W.partitionBy("conv_id", "turn_idx").orderBy(
+            F.desc("ts"), F.desc(F.md5(F.concat_ws("\x1f", "role", "text", "tool")))
+        )
+        new_transcripts = (
+            new_transcripts.withColumn("_rn", F.row_number().over(dedup_w))
+            .where("_rn = 1")
+            .drop("_rn")
+        )
         aff = sorted(
             r["b"]
             for r in new_transcripts.select(

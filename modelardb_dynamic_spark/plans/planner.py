@@ -111,6 +111,17 @@ def tiered_agg(
     """
     hw = high_water or {}
     ordered = sorted(tiers, key=lambda t: -t[1])  # coarse -> fine
+    # the USED exclusion tests only the coarse bucket containing a fine
+    # bucket's START — sound iff the widths NEST (each coarser width a
+    # multiple of each finer), as 1m/1h/1d do; reject anything else
+    # rather than silently double-count (e.g. a 7h tier under a 1d tier)
+    widths = [w for _, w in ordered]
+    for coarse_w, fine_w in zip(widths, widths[1:]):
+        if coarse_w % fine_w != 0:
+            raise ValueError(
+                f"tier widths must nest: {coarse_w} is not a multiple "
+                f"of {fine_w}"
+            )
     rb = f"((bucket_ts) DIV {bucket_ms}) * {bucket_ms}"
     branches = []
     coarser: list[tuple[int, int | None]] = []

@@ -274,13 +274,23 @@ def test_append_incremental_equals_full_rebuild(spark, transcripts, tmp_path):
         assert a.exceptAll(b).count() == 0, table
         assert b.exceptAll(a).count() == 0, table
 
-    # idempotence: same batch again — all buckets committed, zero rework
-    import time as _t
+    # idempotence: same batch again — every manifest (incl. the affected
+    # buckets') is byte-identical afterwards, i.e. zero rework happened
+    def all_manifests():
+        out = {}
+        for t in ["raw", "series", "segments", "tier_1m", "tier_1h",
+                  "tier_1d"]:
+            for b in range(8):
+                path = os.path.join(
+                    wh_i.path(t), "_lineage", f"bucket={b}.json"
+                )
+                out[(t, b)] = json.load(open(path))
+        return out
 
-    t0 = _t.time()
+    snap = all_manifests()
     m2 = p_i.append(batch, batch_id="b1")
     assert m2["affected_buckets"] == m["affected_buckets"]
-    assert _t.time() - t0 < 5.0  # manifest skips, no Spark jobs
+    assert all_manifests() == snap
     b2 = wh_i.read(spark, "raw").drop("sbucket")
     assert b2.count() == transcripts.count()
 

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "dup_clusters",
     "hll_distinct",
     "hist_quantile",
+    "rolling_zscore",
+    "counter_rate",
 ]
 
 

@@ -192,3 +192,95 @@ def interpolate_grid(
         & F.col("tp").isNotNull()
         & (F.col("tn").isNotNull() | (F.col("t") == F.col("tp")))
     ).selectExpr("sid", "t AS ts_ms", f"{_LERP_EXPR} AS value")
+
+
+# z-score via exact integer window sums: mean = s/n, var = (n*ss - s^2)/n^2,
+# so z = (v*n - s) / sqrt(n*ss - s^2) — one shared double expression over
+# exact int64 inputs (both engines round the division and sqrt identically).
+# Zero variance (constant window) -> NULL z, never-anomalous.
+_Z_EXPR = (
+    "CASE WHEN n_w IS NULL OR n_w < {minp} OR n_w * ss_w - s_w * s_w <= 0 "
+    "THEN NULL "
+    "ELSE CAST(v * n_w - s_w AS DOUBLE) / "
+    "sqrt(CAST(n_w * ss_w - s_w * s_w AS DOUBLE)) END"
+)
+
+
+def rolling_zscore(
+    points: DataFrame,
+    window_buckets: int = 24,
+    min_periods: int = 12,
+    k: int = 3,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over a value series: each point is
+    scored against the TRAILING window_buckets points (itself excluded —
+    the standard leak-free baseline), flagged when |z| > k.
+
+    points: (sid string, ts_ms long, v long — exact integers). Returns
+    (sid, ts_ms, v, n_w, s_w, ss_w, z, is_anomaly). The window state is
+    three exact int64 sums, so the whole operator (including the flag —
+    (v*n - s)^2 > k^2 * (n*ss - s^2), pure integer comparison) replays
+    bit-identically in the DuckDB oracle.
+
+    Scale notes: one partitionBy(sid) window pass, bounded ROWS frame —
+    no joins, linear state, whole-stage codegen end to end.
+    """
+    w = (
+        Window.partitionBy("sid")
+        .orderBy("ts_ms")
+        .rowsBetween(-window_buckets, -1)
+    )
+    z = _Z_EXPR.format(minp=min_periods)
+    flag = (
+        f"CASE WHEN n_w IS NULL OR n_w < {min_periods} THEN FALSE "
+        f"WHEN n_w * ss_w - s_w * s_w <= 0 THEN FALSE "
+        f"ELSE (v * n_w - s_w) * (v * n_w - s_w) > "
+        f"{k * k} * (n_w * ss_w - s_w * s_w) END"
+    )
+    return (
+        points.withColumn("n_w", F.count("v").over(w))
+        .withColumn("s_w", F.sum("v").over(w))
+        .withColumn("ss_w", F.sum(F.col("v") * F.col("v")).over(w))
+        .selectExpr(
+            "sid", "ts_ms", "v", "n_w", "s_w", "ss_w",
+            f"{z} AS z", f"{flag} AS is_anomaly",
+        )
+    )
+
+
+def counter_rate(
+    points: DataFrame, range_ms: int
+) -> DataFrame:
+    """PromQL-style rate() over a monotone counter with resets: adjacent
+    increase = v - lag(v) when non-negative, else v (the counter
+    restarted from ~0 — credit the post-reset level, Prometheus's rule);
+    per range_ms-aligned bucket, sum of increases and the per-second rate.
+
+    points: (sid string, ts_ms long, v long). Returns (sid, bucket_ts,
+    increase long, rate double). Increases are exact integers; the rate
+    is one shared division. First point of a series has no predecessor
+    and contributes no increase (lag NULL).
+
+    Scale notes: one lag window + one groupBy — both keyed on sid, so
+    AQE coalesces them into a single exchange.
+    """
+    w = Window.partitionBy("sid").orderBy("ts_ms")
+    inc = (
+        "CASE WHEN v_prev IS NULL THEN NULL "
+        "WHEN v >= v_prev THEN v - v_prev ELSE v END"
+    )
+    return (
+        points.withColumn("v_prev", F.lag("v").over(w))
+        .selectExpr(
+            "sid",
+            f"((ts_ms) DIV {range_ms}) * {range_ms} AS bucket_ts",
+            f"{inc} AS inc",
+        )
+        .where("inc IS NOT NULL")
+        .groupBy("sid", "bucket_ts")
+        .agg(F.sum("inc").alias("increase"))
+        .selectExpr(
+            "sid", "bucket_ts", "increase",
+            f"CAST(increase AS DOUBLE) / {range_ms / 1000.0!r} AS rate",
+        )
+    )

@@ -960,6 +960,51 @@ def q_hist_quantile(spark, sf_dir):
     return hist_quantiles(daily, ["event_type"])
 
 
+def q_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection ON the compressed store (segments
+    -> datapoint view -> exact integer trailing-window sums -> shared z
+    expression; operators/analytics.py). The oracle replays the identical
+    window algebra over the raw minute buckets — including the integer
+    anomaly predicate, so even the boolean column is value-gated."""
+    from modelardb_dynamic_spark.operators.analytics import rolling_zscore
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return rolling_zscore(pts, window_buckets=24, min_periods=12, k=3)
+
+
+def q_counter_rate(spark, sf_dir):
+    """PromQL-style rate() with counter-reset handling
+    (operators/analytics.py counter_rate): a monotone-with-wraparound
+    counter is derived deterministically from the event stream (running
+    sum of per-minute counts mod 10000 — the wrap IS the reset), then
+    per-hour increase and per-second rate. Exact integers + one shared
+    division; the oracle replays counter construction and rate."""
+    from modelardb_dynamic_spark.operators.analytics import counter_rate
+
+    ev = _t(spark, sf_dir, "events")
+    m = (
+        ev.select(
+            F.col("user_id").cast("string").alias("sid"),
+            (F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / SI_MS)
+             * SI_MS).cast("long").alias("ts_ms"),
+        )
+        .groupBy("sid", "ts_ms")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    counter = m.select(
+        "sid",
+        "ts_ms",
+        F.expr(
+            "CAST(sum(c) OVER (PARTITION BY sid ORDER BY ts_ms) "
+            "% 10000 AS BIGINT)"
+        ).alias("v"),
+    )
+    return counter_rate(counter, range_ms=HOUR_MS)
+
+
 def q_tiered_agg(spark, sf_dir):
     """Tier-selection planner (plans/planner.py) under the value gate:
     transcripts -> minute series -> compress (eb 0) -> 1m/1h/1d tiers,
@@ -1051,6 +1096,8 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "hll_distinct": q_hll_distinct,
     "hist_quantile": q_hist_quantile,
+    "rolling_zscore": q_rolling_zscore,
+    "counter_rate": q_counter_rate,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -2014,6 +2061,53 @@ ORACLES["hist_quantile"] = duck_hist_quantiles_sql(
     f"(epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS}",
     DAY_MS,
 )
+
+
+from modelardb_dynamic_spark.operators.analytics import _Z_EXPR as _ZX
+
+ORACLES["rolling_zscore"] = f"""
+    WITH m AS ({_MINUTE_BUCKETS}),
+    w AS (
+        SELECT sid, m AS ts_ms, v,
+               count(v) OVER win AS n_w,
+               CAST(sum(v) OVER win AS BIGINT) AS s_w,
+               CAST(sum(v * v) OVER win AS BIGINT) AS ss_w
+        FROM m
+        WINDOW win AS (PARTITION BY sid ORDER BY m
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT sid, ts_ms, v, n_w, s_w, ss_w,
+           {_ZX.format(minp=12)} AS z,
+           CASE WHEN n_w IS NULL OR n_w < 12 THEN FALSE
+                WHEN n_w * ss_w - s_w * s_w <= 0 THEN FALSE
+                ELSE (v * n_w - s_w) * (v * n_w - s_w) >
+                     9 * (n_w * ss_w - s_w * s_w) END AS is_anomaly
+    FROM w
+"""
+
+ORACLES["counter_rate"] = f"""
+    WITH m AS ({_MINUTE_BUCKETS}),
+    c AS (
+        SELECT sid, m AS ts_ms,
+               CAST(sum(v) OVER (PARTITION BY sid ORDER BY m)
+                    % 10000 AS BIGINT) AS v
+        FROM m
+    ),
+    l AS (
+        SELECT sid, ts_ms, v,
+               lag(v) OVER (PARTITION BY sid ORDER BY ts_ms) AS v_prev
+        FROM c
+    ),
+    i AS (
+        SELECT sid, (ts_ms // {HOUR_MS}) * {HOUR_MS} AS bucket_ts,
+               CASE WHEN v_prev IS NULL THEN NULL
+                    WHEN v >= v_prev THEN v - v_prev ELSE v END AS inc
+        FROM l
+    )
+    SELECT sid, bucket_ts, CAST(sum(inc) AS BIGINT) AS increase,
+           CAST(sum(inc) AS DOUBLE) / 3600.0 AS rate
+    FROM i WHERE inc IS NOT NULL GROUP BY 1, 2
+"""
 
 
 def _kmeans_oracle_sql() -> str:

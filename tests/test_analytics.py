@@ -4,6 +4,7 @@ Pearson correlation and linear-interpolation resampling."""
 import math
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from modelardb_dynamic_spark.operators.analytics import (
@@ -109,3 +110,73 @@ def test_interpolate_grid_multi_sid_independent(spark):
     assert got[("a", 60_000)] == pytest.approx(60.0)
     assert got[("b", 60_000)] == 7.0
     assert math.isfinite(got[("a", 0)]) and got[("a", 0)] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score / counter rate
+
+
+def test_rolling_zscore_flags_injected_spike(spark):
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import rolling_zscore
+
+    rng = np.random.default_rng(21)
+    v = rng.integers(95, 106, 200).astype("int64")
+    v[150] = 500  # the spike
+    pdf = pd.DataFrame(
+        {"sid": "s", "ts_ms": np.arange(200, dtype="int64") * 60_000, "v": v}
+    )
+    out = rolling_zscore(spark.createDataFrame(pdf)).collect()
+    flagged = {r["ts_ms"] // 60_000 for r in out if r["is_anomaly"]}
+    assert 150 in flagged
+    assert len(flagged) <= 3  # noise stays under |z|=3 almost everywhere
+    # flag must agree with the z column wherever z is defined
+    for r in out:
+        if r["z"] is not None:
+            assert r["is_anomaly"] == (abs(r["z"]) > 3.0), r
+
+
+def test_rolling_zscore_matches_pandas(spark):
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import rolling_zscore
+
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame(
+        {
+            "sid": "s",
+            "ts_ms": np.arange(60, dtype="int64"),
+            "v": rng.integers(0, 50, 60).astype("int64"),
+        }
+    )
+    out = {r["ts_ms"]: r["z"] for r in rolling_zscore(
+        spark.createDataFrame(pdf), window_buckets=10, min_periods=5
+    ).collect()}
+    s = pdf.v
+    for i in range(60):
+        w = s.iloc[max(0, i - 10): i]
+        if len(w) < 5 or w.std(ddof=0) == 0:
+            assert out[i] is None
+        else:
+            want = (s.iloc[i] - w.mean()) / w.std(ddof=0)
+            assert abs(out[i] - want) < 1e-9
+
+
+def test_counter_rate_handles_resets(spark):
+    from modelardb_dynamic_spark.operators.analytics import counter_rate
+
+    rows = [
+        ("s", 0, 10), ("s", 60_000, 25), ("s", 120_000, 5),  # reset at 3rd
+        ("s", 180_000, 8), ("s", 3_600_000, 20), ("s", 3_660_000, 30),
+    ]
+    pdf = pd.DataFrame(rows, columns=["sid", "ts_ms", "v"])
+    out = {
+        r["bucket_ts"]: (r["increase"], r["rate"])
+        for r in counter_rate(
+            spark.createDataFrame(pdf), range_ms=3_600_000
+        ).collect()
+    }
+    # bucket 0: (25-10) + 5 (reset) + (8-5) = 23; bucket 1h: (20-8) + 10
+    assert out[0] == (23, 23 / 3600.0)
+    assert out[3_600_000] == (22, 22 / 3600.0)

@@ -414,7 +414,11 @@ def connected_components(
     the previous (checkpointed) edge set — two cheap jobs per iteration
     on the compact edge list, immune to hash-sum collisions.
     """
-    e = (
+    # materialize the initial edges: the first iteration references them
+    # ~4x (sym = e + swap, the min-join, the distinct), which would
+    # re-execute the upstream pair pipeline (e.g. the full simhash LSH)
+    # that many times
+    e = _materialize(
         pairs.selectExpr(f"{a_col} AS u", f"{b_col} AS v")
         .where("u IS NOT NULL AND v IS NOT NULL AND u != v")
         .distinct()

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "hist_quantile",
     "rolling_zscore",
     "counter_rate",
+    "tiered_hll_range",
 ]
 
 

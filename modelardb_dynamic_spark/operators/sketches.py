@@ -150,7 +150,8 @@ def hll_estimate(summary: DataFrame) -> DataFrame:
 
 
 def duck_hll_summary_sql(
-    table: str, keys_sql: str, value_expr: str, bucket_sql: str
+    table: str, keys_sql: str, value_expr: str, bucket_sql: str,
+    where: str = "TRUE",
 ) -> str:
     """The identical sketch + summary as ONE DuckDB query (the oracle).
     keys_sql like "sid", bucket_sql like "(ts_ms // 3600000) * 3600000"."""
@@ -158,7 +159,8 @@ def duck_hll_summary_sql(
         WITH h AS (
             SELECT {keys_sql}, {bucket_sql} AS bucket_ts,
                    {duck_h60(value_expr)} AS h
-            FROM {table} WHERE ({value_expr}) IS NOT NULL
+            FROM {table}
+            WHERE ({value_expr}) IS NOT NULL AND ({where})
         ),
         regs AS (
             SELECT {keys_sql}, bucket_ts, h & {M - 1} AS reg,
@@ -333,3 +335,103 @@ def duck_hist_quantiles_sql(
         WHERE cum >= CAST(ceil(q * n) AS BIGINT)
           AND cum - cnt < CAST(ceil(q * n) AS BIGINT)
     """
+
+
+# -- range-routed sketch queries (planner composition) -------------------------
+#
+# The tier-selection cover (plans/planner.py) applies to SKETCH tiers the
+# same way it applies to cnt/vsum tiers: answer a distinct-count or
+# quantile question over an arbitrary [lo, hi) from the coarsest sketch
+# tiers, with raw rows sketched on the fly only at the range edges and
+# past each tier's high-water mark. HLL registers are max-idempotent, so
+# the cover guarantees completeness (no value missed) and overlap would
+# be harmless; histograms are sum-merged, so they rely on the cover's
+# exactly-once property — the same proof as tiered_agg.
+
+
+def _route_tiers(tiers, lo_ms, hi_ms, bucket_ms, high_water):
+    from modelardb_dynamic_spark.plans.planner import _inside_sql, _used_sql
+
+    hw = high_water or {}
+    ordered = sorted(tiers, key=lambda t: -t[1])
+    widths = [w for _, w in ordered]
+    for cw, fw in zip(widths, widths[1:]):
+        if cw % fw != 0:
+            raise ValueError(f"tier widths must nest: {cw} % {fw} != 0")
+    rb = f"((bucket_ts) DIV {bucket_ms}) * {bucket_ms}"
+    branches, coarser = [], []
+    for tier, w in ordered:
+        pred = _used_sql("bucket_ts", w, coarser, lo_ms, hi_ms, bucket_ms, hw.get(w))
+        branches.append((tier.where(
+            f"bucket_ts >= {lo_ms} AND bucket_ts < {hi_ms}"
+        ).where(pred), rb))
+        coarser.append((w, hw.get(w)))
+    raw_pred = " AND ".join(
+        [f"ts_ms >= {lo_ms} AND ts_ms < {hi_ms}"]
+        + [
+            f"NOT {_inside_sql(f'((ts_ms) DIV {cw}) * {cw}', cw, lo_ms, hi_ms, bucket_ms, chw)}"
+            for cw, chw in coarser
+        ]
+    )
+    return branches, raw_pred
+
+
+def tiered_hll_summary(
+    raw: DataFrame,
+    keys: list[str],
+    value_col: str,
+    tiers: list[tuple[DataFrame, int]],
+    lo_ms: int,
+    hi_ms: int,
+    bucket_ms: int,
+    high_water: dict[int, int] | None = None,
+) -> DataFrame:
+    """Distinct-count over [lo, hi) per bucket_ms bucket, routed through
+    the coarsest sketch-tier cover; raw: (keys..., ts_ms, value_col)."""
+    branches, raw_pred = _route_tiers(tiers, lo_ms, hi_ms, bucket_ms, high_water)
+    parts = [
+        t.selectExpr(*keys, f"{rb} AS bucket_ts", "reg", "rho")
+        for t, rb in branches
+    ]
+    parts.append(
+        hll_tier(
+            raw.where(raw_pred), keys, value_col,
+            f"((ts_ms) DIV {bucket_ms}) * {bucket_ms}",
+        )
+    )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = u.groupBy(*keys, "bucket_ts", "reg").agg(F.max("rho").alias("rho"))
+    return hll_summary(merged, keys)
+
+
+def tiered_hist_quantiles(
+    raw: DataFrame,
+    keys: list[str],
+    value_expr: str,
+    tiers: list[tuple[DataFrame, int]],
+    lo_ms: int,
+    hi_ms: int,
+    bucket_ms: int,
+    high_water: dict[int, int] | None = None,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantiles over [lo, hi) per bucket_ms bucket from the coarsest
+    histogram-tier cover; raw: (keys..., ts_ms, <value_expr>)."""
+    branches, raw_pred = _route_tiers(tiers, lo_ms, hi_ms, bucket_ms, high_water)
+    parts = [
+        t.selectExpr(*keys, f"{rb} AS bucket_ts", "idx", "cnt")
+        for t, rb in branches
+    ]
+    parts.append(
+        hist_tier(
+            raw.where(raw_pred), keys, value_expr,
+            f"((ts_ms) DIV {bucket_ms}) * {bucket_ms}",
+        )
+    )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = u.groupBy(*keys, "bucket_ts", "idx").agg(F.sum("cnt").alias("cnt"))
+    return hist_quantiles(merged, keys, qs)

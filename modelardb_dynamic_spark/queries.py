@@ -1005,6 +1005,40 @@ def q_counter_rate(spark, sf_dir):
     return counter_rate(counter, range_ms=HOUR_MS)
 
 
+def q_tiered_hll_range(spark, sf_dir):
+    """Range-routed distinct count: the tier-selection cover applied to
+    SKETCH tiers (operators/sketches.py tiered_hll_summary) — hourly +
+    daily HLL tiers answer the interior, raw events are sketched on the
+    fly at the unaligned edges and past the (artificially capped)
+    high-water mark. The oracle computes the summary directly from the
+    raw rows in range — cover-independence is the exactness contract,
+    exactly as for tiered_agg."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        hll_downsample,
+        hll_tier,
+        tiered_hll_summary,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("string").alias("eid"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    hourly = hll_tier(
+        ev, ["event_type"], "eid", f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}"
+    )
+    daily = hll_downsample(hourly, ["event_type"], DAY_MS)
+    lo = RANGE_LO + 95 * SI_MS
+    hi = RANGE_HI - 95 * SI_MS
+    cut = RANGE_HI - DAY_MS
+    return tiered_hll_summary(
+        ev, ["event_type"], "eid",
+        [(hourly, HOUR_MS), (daily, DAY_MS)],
+        lo, hi, 2 * DAY_MS,
+        high_water={HOUR_MS: cut, DAY_MS: cut},
+    )
+
+
 def q_tiered_agg(spark, sf_dir):
     """Tier-selection planner (plans/planner.py) under the value gate:
     transcripts -> minute series -> compress (eb 0) -> 1m/1h/1d tiers,
@@ -1098,6 +1132,7 @@ QUERIES = {
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
+    "tiered_hll_range": q_tiered_hll_range,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -2108,6 +2143,18 @@ ORACLES["counter_rate"] = f"""
            CAST(sum(inc) AS DOUBLE) / 3600.0 AS rate
     FROM i WHERE inc IS NOT NULL GROUP BY 1, 2
 """
+
+
+ORACLES["tiered_hll_range"] = duck_hll_summary_sql(
+    "events",
+    "event_type",
+    "CAST(event_id AS VARCHAR)",
+    f"(epoch_ms(ts) // {2 * DAY_MS}) * {2 * DAY_MS}",
+    where=(
+        f"epoch_ms(ts) >= {RANGE_LO + 95 * SI_MS} "
+        f"AND epoch_ms(ts) < {RANGE_HI - 95 * SI_MS}"
+    ),
+)
 
 
 def _kmeans_oracle_sql() -> str:

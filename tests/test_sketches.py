@@ -176,3 +176,63 @@ def test_hist_quantile_bounds_contain_true_quantile(spark):
         lo, hi = out[q]
         assert lo <= true_q <= hi, (q, lo, true_q, hi)
         assert (hi - lo) <= max(0.25 * lo, 1)  # <=25% relative bucket width
+
+
+# ---------------------------------------------------------------------------
+# range-routed sketch queries (planner cover over sketch tiers)
+
+
+def test_tiered_hll_equals_direct(spark, df):
+    from modelardb_dynamic_spark.operators.sketches import (
+        hll_downsample,
+        hll_summary,
+        hll_tier,
+        tiered_hll_summary,
+    )
+
+    hourly = hll_tier(df, ["sid"], "val", f"(ts_ms DIV {HOUR}) * {HOUR}")
+    daily = hll_downsample(hourly, ["sid"], DAY)
+    lo, hi, w = 90_000, 36 * HOUR + 30_000, 12 * HOUR
+    cut = 20 * HOUR
+    got = tiered_hll_summary(
+        df.withColumnRenamed("val", "v"), ["sid"], "v",
+        [(hourly, HOUR), (daily, DAY)], lo, hi, w,
+        high_water={HOUR: cut, DAY: cut},
+    )
+    want = hll_summary(
+        hll_tier(
+            df.where(f"ts_ms >= {lo} AND ts_ms < {hi}"), ["sid"], "val",
+            f"(ts_ms DIV {w}) * {w}",
+        ),
+        ["sid"],
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_tiered_hist_equals_direct(spark, df):
+    from modelardb_dynamic_spark.operators.sketches import (
+        hist_downsample,
+        hist_quantiles,
+        hist_tier,
+        tiered_hist_quantiles,
+    )
+
+    vdf = df.withColumn("v", F.length("val").cast("long") * 3)
+    hourly = hist_tier(vdf, ["sid"], "v", f"(ts_ms DIV {HOUR}) * {HOUR}")
+    daily = hist_downsample(hourly, ["sid"], DAY)
+    lo, hi, w = 90_000, 36 * HOUR + 30_000, 12 * HOUR
+    cut = 20 * HOUR
+    got = tiered_hist_quantiles(
+        vdf, ["sid"], "v", [(hourly, HOUR), (daily, DAY)], lo, hi, w,
+        high_water={HOUR: cut, DAY: cut},
+    )
+    want = hist_quantiles(
+        hist_tier(
+            vdf.where(f"ts_ms >= {lo} AND ts_ms < {hi}"), ["sid"], "v",
+            f"(ts_ms DIV {w}) * {w}",
+        ),
+        ["sid"],
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

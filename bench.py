@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "rolling_zscore",
     "counter_rate",
     "tiered_hll_range",
+    "ewma_backtest",
 ]
 
 

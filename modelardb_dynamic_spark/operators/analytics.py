@@ -284,3 +284,51 @@ def counter_rate(
             f"CAST(increase AS DOUBLE) / {range_ms / 1000.0!r} AS rate",
         )
     )
+
+
+def ewma_levels(
+    points: DataFrame, bucket_ms: int, alpha: float = 0.3
+) -> DataFrame:
+    """Per-bucket exponentially-weighted level + one-step forecast
+    backtest: within each (sid, bucket) the values fold IN TIMESTAMP
+    ORDER through s <- alpha*v + (1-alpha)*s (seeded by the bucket's
+    first value); the previous bucket's level is the next bucket's
+    forecast, scored as absolute error against the bucket mean.
+
+    points: (sid string, ts_ms long, v long). Returns (sid, bucket_ts,
+    n, level, forecast, abs_err). Determinism: the fold is a fixed
+    sequence of IEEE double ops over a sort_array-ordered list (ties
+    impossible — the engine grid is unique per sid), so DuckDB's
+    list_reduce replays it bit-identically (the rolling-fingerprint
+    oracle precedent); mean and abs_err are single shared expressions.
+
+    Scale notes: one groupBy collecting each bucket's values (bounded by
+    points-per-bucket, e.g. <=1440 for a day bucket on the minute grid)
+    + one lag window over bucket rows. The fold itself is JVM-side
+    higher-order SQL, no Python.
+    """
+    a = repr(float(alpha))
+    one_m = repr(1.0 - float(alpha))
+    g = points.groupBy(
+        "sid", F.expr(f"((ts_ms) DIV {bucket_ms}) * {bucket_ms}").alias("bucket_ts")
+    ).agg(
+        F.expr("sort_array(collect_list(struct(ts_ms, v)))").alias("pts"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+    )
+    lvl = (
+        f"aggregate(slice(pts, 2, size(pts) - 1), "
+        f"CAST(pts[0].v AS DOUBLE), "
+        f"(acc, x) -> CAST({a} AS DOUBLE) * CAST(x.v AS DOUBLE) + "
+        f"CAST({one_m} AS DOUBLE) * acc)"
+    )
+    w = Window.partitionBy("sid").orderBy("bucket_ts")
+    return (
+        g.selectExpr("sid", "bucket_ts", "n", "s", f"{lvl} AS level")
+        .withColumn("forecast", F.lag("level").over(w))
+        .selectExpr(
+            "sid", "bucket_ts", "n", "level", "forecast",
+            "CASE WHEN forecast IS NULL THEN NULL "
+            "ELSE abs(CAST(s AS DOUBLE) / n - forecast) END AS abs_err",
+        )
+    )

@@ -1039,6 +1039,21 @@ def q_tiered_hll_range(spark, sf_dir):
     )
 
 
+def q_ewma_backtest(spark, sf_dir):
+    """Per-hour EWMA level + one-step forecast backtest ON the compressed
+    store (operators/analytics.py ewma_levels): the in-bucket fold is a
+    fixed IEEE double sequence over timestamp-ordered values, which
+    DuckDB's list_reduce replays bit-identically (the repo's fold-oracle
+    precedent), so level/forecast/abs_err are all hash-gated."""
+    from modelardb_dynamic_spark.operators.analytics import ewma_levels
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return ewma_levels(pts, bucket_ms=HOUR_MS, alpha=0.3)
+
+
 def q_tiered_agg(spark, sf_dir):
     """Tier-selection planner (plans/planner.py) under the value gate:
     transcripts -> minute series -> compress (eb 0) -> 1m/1h/1d tiers,
@@ -1133,6 +1148,7 @@ QUERIES = {
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
     "tiered_hll_range": q_tiered_hll_range,
+    "ewma_backtest": q_ewma_backtest,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -2155,6 +2171,35 @@ ORACLES["tiered_hll_range"] = duck_hll_summary_sql(
         f"AND epoch_ms(ts) < {RANGE_HI - 95 * SI_MS}"
     ),
 )
+
+
+ORACLES["ewma_backtest"] = f"""
+    WITH m AS ({_MINUTE_BUCKETS}),
+    g AS (
+        SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS bucket_ts,
+               list(CAST(v AS DOUBLE) ORDER BY m) AS vs,
+               count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+        FROM m GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT sid, bucket_ts, n, s,
+               list_reduce(vs, (acc, x) ->
+                   CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)
+                   AS level
+        FROM g
+    ),
+    w AS (
+        SELECT sid, bucket_ts, n, level,
+               lag(level) OVER (PARTITION BY sid ORDER BY bucket_ts)
+                   AS forecast,
+               s
+        FROM l
+    )
+    SELECT sid, bucket_ts, n, level, forecast,
+           CASE WHEN forecast IS NULL THEN NULL
+                ELSE abs(CAST(s AS DOUBLE) / n - forecast) END AS abs_err
+    FROM w
+"""
 
 
 def _kmeans_oracle_sql() -> str:

@@ -180,3 +180,40 @@ def test_counter_rate_handles_resets(spark):
     # bucket 0: (25-10) + 5 (reset) + (8-5) = 23; bucket 1h: (20-8) + 10
     assert out[0] == (23, 23 / 3600.0)
     assert out[3_600_000] == (22, 22 / 3600.0)
+
+
+def test_ewma_levels_matches_python(spark):
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import ewma_levels
+
+    rng = np.random.default_rng(9)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "sid": "s",
+            "ts_ms": np.arange(n, dtype="int64") * 60_000,
+            "v": rng.integers(0, 100, n).astype("int64"),
+        }
+    )
+    out = {
+        r["bucket_ts"]: (r["level"], r["forecast"], r["abs_err"])
+        for r in ewma_levels(
+            spark.createDataFrame(pdf), bucket_ms=3_600_000, alpha=0.3
+        ).collect()
+    }
+    # python reference: same fold per hour bucket
+    prev_level = None
+    for b, grp in pdf.groupby(pdf.ts_ms // 3_600_000 * 3_600_000):
+        vs = grp.sort_values("ts_ms").v.tolist()
+        s = float(vs[0])
+        for x in vs[1:]:
+            s = 0.3 * float(x) + 0.7 * s
+        level, forecast, abs_err = out[b]
+        assert level == s  # bit-exact fold
+        if prev_level is None:
+            assert forecast is None and abs_err is None
+        else:
+            assert forecast == prev_level
+            assert abs(abs_err - abs(sum(vs) / len(vs) - prev_level)) < 1e-12
+        prev_level = s

@@ -222,6 +222,14 @@ def rolling_zscore(
     (v*n - s)^2 > k^2 * (n*ss - s^2), pure integer comparison) replays
     bit-identically in the DuckDB oracle.
 
+    VALUE-MAGNITUDE BOUND (the price of int64-exact algebra): the flag
+    products need k^2 * n^2 * max(v)^2 < 2^63, i.e. |v| <= ~3e7 at the
+    defaults (k=3, window 24) — beyond that Spark's ANSI mode aborts
+    with ARITHMETIC_OVERFLOW rather than corrupt. The z-score is
+    scale-invariant, so large-magnitude series (ns latencies, byte
+    counts) should be integer-pre-scaled (v DIV 1000) — same flags,
+    same z up to the quantization.
+
     Scale notes: one partitionBy(sid) window pass, bounded ROWS frame —
     no joins, linear state, whole-stage codegen end to end.
     """

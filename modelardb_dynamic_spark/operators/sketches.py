@@ -349,31 +349,30 @@ def duck_hist_quantiles_sql(
 # exactly-once property — the same proof as tiered_agg.
 
 
-def _route_tiers(tiers, lo_ms, hi_ms, bucket_ms, high_water):
-    from modelardb_dynamic_spark.plans.planner import _inside_sql, _used_sql
+def _routed_sketch(
+    raw, keys, tiers, lo_ms, hi_ms, bucket_ms, high_water,
+    sketch_cols, raw_tier_fn, merge_aggs,
+):
+    """Shared route -> union -> merge shape for both sketch families;
+    the cover itself is plans/planner.py route_tiers (ONE implementation
+    of the exactly-once algebra, shared with tiered_agg)."""
+    from modelardb_dynamic_spark.plans.planner import route_tiers
 
-    hw = high_water or {}
-    ordered = sorted(tiers, key=lambda t: -t[1])
-    widths = [w for _, w in ordered]
-    for cw, fw in zip(widths, widths[1:]):
-        if cw % fw != 0:
-            raise ValueError(f"tier widths must nest: {cw} % {fw} != 0")
-    rb = f"((bucket_ts) DIV {bucket_ms}) * {bucket_ms}"
-    branches, coarser = [], []
-    for tier, w in ordered:
-        pred = _used_sql("bucket_ts", w, coarser, lo_ms, hi_ms, bucket_ms, hw.get(w))
-        branches.append((tier.where(
-            f"bucket_ts >= {lo_ms} AND bucket_ts < {hi_ms}"
-        ).where(pred), rb))
-        coarser.append((w, hw.get(w)))
-    raw_pred = " AND ".join(
-        [f"ts_ms >= {lo_ms} AND ts_ms < {hi_ms}"]
-        + [
-            f"NOT {_inside_sql(f'((ts_ms) DIV {cw}) * {cw}', cw, lo_ms, hi_ms, bucket_ms, chw)}"
-            for cw, chw in coarser
-        ]
+    routed, raw_pred = route_tiers(tiers, lo_ms, hi_ms, bucket_ms, high_water)
+    parts = [
+        t.selectExpr(*keys, f"{rb} AS bucket_ts", *sketch_cols)
+        for t, rb in routed
+    ]
+    parts.append(
+        raw_tier_fn(
+            raw.where(raw_pred), f"((ts_ms) DIV {bucket_ms}) * {bucket_ms}"
+        )
     )
-    return branches, raw_pred
+    u = parts[0]
+    for p_ in parts[1:]:
+        u = u.unionByName(p_)
+    group_cols = [*keys, "bucket_ts", sketch_cols[0]]
+    return u.groupBy(*group_cols).agg(*merge_aggs)
 
 
 def tiered_hll_summary(
@@ -388,21 +387,12 @@ def tiered_hll_summary(
 ) -> DataFrame:
     """Distinct-count over [lo, hi) per bucket_ms bucket, routed through
     the coarsest sketch-tier cover; raw: (keys..., ts_ms, value_col)."""
-    branches, raw_pred = _route_tiers(tiers, lo_ms, hi_ms, bucket_ms, high_water)
-    parts = [
-        t.selectExpr(*keys, f"{rb} AS bucket_ts", "reg", "rho")
-        for t, rb in branches
-    ]
-    parts.append(
-        hll_tier(
-            raw.where(raw_pred), keys, value_col,
-            f"((ts_ms) DIV {bucket_ms}) * {bucket_ms}",
-        )
+    merged = _routed_sketch(
+        raw, keys, tiers, lo_ms, hi_ms, bucket_ms, high_water,
+        sketch_cols=("reg", "rho"),
+        raw_tier_fn=lambda df, b: hll_tier(df, keys, value_col, b),
+        merge_aggs=[F.max("rho").alias("rho")],
     )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    merged = u.groupBy(*keys, "bucket_ts", "reg").agg(F.max("rho").alias("rho"))
     return hll_summary(merged, keys)
 
 
@@ -419,19 +409,10 @@ def tiered_hist_quantiles(
 ) -> DataFrame:
     """Quantiles over [lo, hi) per bucket_ms bucket from the coarsest
     histogram-tier cover; raw: (keys..., ts_ms, <value_expr>)."""
-    branches, raw_pred = _route_tiers(tiers, lo_ms, hi_ms, bucket_ms, high_water)
-    parts = [
-        t.selectExpr(*keys, f"{rb} AS bucket_ts", "idx", "cnt")
-        for t, rb in branches
-    ]
-    parts.append(
-        hist_tier(
-            raw.where(raw_pred), keys, value_expr,
-            f"((ts_ms) DIV {bucket_ms}) * {bucket_ms}",
-        )
+    merged = _routed_sketch(
+        raw, keys, tiers, lo_ms, hi_ms, bucket_ms, high_water,
+        sketch_cols=("idx", "cnt"),
+        raw_tier_fn=lambda df, b: hist_tier(df, keys, value_expr, b),
+        merge_aggs=[F.sum("cnt").alias("cnt")],
     )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    merged = u.groupBy(*keys, "bucket_ts", "idx").agg(F.sum("cnt").alias("cnt"))
     return hist_quantiles(merged, keys, qs)

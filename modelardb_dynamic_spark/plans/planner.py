@@ -89,6 +89,59 @@ def _used_sql(
     return " AND ".join(parts)
 
 
+def route_tiers(
+    tiers: list[tuple[DataFrame, int]],
+    lo_ms: int,
+    hi_ms: int,
+    bucket_ms: int,
+    high_water: dict[int, int] | None,
+) -> tuple[list[tuple[DataFrame, str]], str]:
+    """THE cover routing, shared by every tiered reader (tiered_agg here,
+    the sketch routers in operators/sketches.py): validates that tier
+    widths nest, filters each tier to its USED rows (range conjunct first
+    so it pushes to the scan), and returns [(filtered_tier, result-bucket
+    SQL expr)] coarse->fine plus the raw-row predicate for the residue.
+    One implementation so a fix to the cover algebra propagates to every
+    consumer (it is the exactly-once core the fuzz suite pins)."""
+    hw = high_water or {}
+    ordered = sorted(tiers, key=lambda t: -t[1])  # coarse -> fine
+    # the USED exclusion tests only the coarse bucket containing a fine
+    # bucket's START — sound iff the widths NEST (each coarser width a
+    # multiple of each finer), as 1m/1h/1d do; reject anything else
+    # rather than silently double-count (e.g. a 7h tier under a 1d tier)
+    widths = [w for _, w in ordered]
+    for coarse_w, fine_w in zip(widths, widths[1:]):
+        if coarse_w % fine_w != 0:
+            raise ValueError(
+                f"tier widths must nest: {coarse_w} is not a multiple "
+                f"of {fine_w}"
+            )
+    rb = f"((bucket_ts) DIV {bucket_ms}) * {bucket_ms}"
+    branches, coarser = [], []
+    for tier, w in ordered:
+        pred = _used_sql(
+            "bucket_ts", w, coarser, lo_ms, hi_ms, bucket_ms, hw.get(w)
+        )
+        branches.append(
+            (
+                tier
+                # explicit range conjunct first: this is the pushable part
+                .where(f"bucket_ts >= {lo_ms} AND bucket_ts < {hi_ms}")
+                .where(pred),
+                rb,
+            )
+        )
+        coarser.append((w, hw.get(w)))
+    raw_pred = " AND ".join(
+        [f"ts_ms >= {lo_ms} AND ts_ms < {hi_ms}"]
+        + [
+            f"NOT {_inside_sql(f'((ts_ms) DIV {cw}) * {cw}', cw, lo_ms, hi_ms, bucket_ms, chw)}"
+            for cw, chw in coarser
+        ]
+    )
+    return branches, raw_pred
+
+
 def tiered_agg(
     series: DataFrame,
     tiers: list[tuple[DataFrame, int]],
@@ -109,39 +162,11 @@ def tiered_agg(
             a tier's mark are treated as not-yet-materialized and the
             cover falls through to finer tiers / raw (late-arriving tail).
     """
-    hw = high_water or {}
-    ordered = sorted(tiers, key=lambda t: -t[1])  # coarse -> fine
-    # the USED exclusion tests only the coarse bucket containing a fine
-    # bucket's START — sound iff the widths NEST (each coarser width a
-    # multiple of each finer), as 1m/1h/1d do; reject anything else
-    # rather than silently double-count (e.g. a 7h tier under a 1d tier)
-    widths = [w for _, w in ordered]
-    for coarse_w, fine_w in zip(widths, widths[1:]):
-        if coarse_w % fine_w != 0:
-            raise ValueError(
-                f"tier widths must nest: {coarse_w} is not a multiple "
-                f"of {fine_w}"
-            )
-    rb = f"((bucket_ts) DIV {bucket_ms}) * {bucket_ms}"
-    branches = []
-    coarser: list[tuple[int, int | None]] = []
-    for tier, w in ordered:
-        pred = _used_sql("bucket_ts", w, coarser, lo_ms, hi_ms, bucket_ms, hw.get(w))
-        branches.append(
-            tier
-            # explicit range conjunct first: this is the pushable part
-            .where(f"bucket_ts >= {lo_ms} AND bucket_ts < {hi_ms}")
-            .where(pred)
-            .selectExpr("sid", "metric", f"{rb} AS bucket_ts", *TIER_COLS)
-        )
-        coarser.append((w, hw.get(w)))
-    raw_pred = " AND ".join(
-        [f"ts_ms >= {lo_ms} AND ts_ms < {hi_ms}"]
-        + [
-            f"NOT {_inside_sql(f'((ts_ms) DIV {cw}) * {cw}', cw, lo_ms, hi_ms, bucket_ms, chw)}"
-            for cw, chw in coarser
-        ]
-    )
+    routed, raw_pred = route_tiers(tiers, lo_ms, hi_ms, bucket_ms, high_water)
+    branches = [
+        t.selectExpr("sid", "metric", f"{rb} AS bucket_ts", *TIER_COLS)
+        for t, rb in routed
+    ]
     branches.append(
         series.where(raw_pred).selectExpr(
             "sid",

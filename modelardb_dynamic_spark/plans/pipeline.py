@@ -365,18 +365,49 @@ class TierPipeline:
 
     # -- retention -----------------------------------------------------------
 
-    def retain_raw(self, horizon_ms: int, fingerprint_suffix: str = "") -> None:
-        """Drop raw turns older than horizon (coarser tiers retain the
-        aggregates). Filter-rewrite per bucket, lineage re-committed."""
-        fingerprint = f"raw-retained-{horizon_ms}{fingerprint_suffix}"
+    _TS_COLS = {"raw": "ts", "series": "ts_ms"}  # tiers use bucket_ts
+
+    def retain(
+        self, table: str, horizon_ms: int, fingerprint_suffix: str = ""
+    ) -> None:
+        """Drop a stage table's rows older than horizon (coarser tiers
+        retain the aggregates). Filter-rewrite per bucket, lineage
+        re-committed, and the horizon RECORDED in <table>/_retention.json
+        so range_agg routes around the dropped region (low-water) and
+        validate_cover can refuse queries nobody can answer anymore."""
+        import json
+
+        ts_col = self._TS_COLS.get(table, "bucket_ts")
+        fingerprint = f"{table}-retained-{horizon_ms}{fingerprint_suffix}"
 
         def build(bucket_ids: list[int]) -> DataFrame:
             from modelardb_dynamic_spark.sources.timeseries import to_ms
 
-            raw = self._read_buckets("raw", bucket_ids)
-            return raw.where(to_ms("ts") >= horizon_ms)
+            df = self._read_buckets(table, bucket_ids)
+            cond = (
+                to_ms("ts") >= horizon_ms
+                if ts_col == "ts"
+                else F.col(ts_col) >= horizon_ms
+            )
+            return df.where(cond)
 
-        self._run_stage("raw", fingerprint, build, ts_col="ts")
+        self._run_stage(table, fingerprint, build, ts_col=ts_col)
+        marker = os.path.join(self.wh.path(table), "_retention.json")
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"horizon_ms": horizon_ms}, f)
+        os.replace(marker + ".tmp", marker)
+
+    def retention_horizon(self, table: str) -> int | None:
+        import json
+
+        marker = os.path.join(self.wh.path(table), "_retention.json")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            return int(json.load(f)["horizon_ms"])
+
+    def retain_raw(self, horizon_ms: int, fingerprint_suffix: str = "") -> None:
+        self.retain("raw", horizon_ms, fingerprint_suffix)
 
     # -- views ---------------------------------------------------------------
 
@@ -393,16 +424,31 @@ class TierPipeline:
         rebuild (new fingerprint), not the planner. Result == aggregating
         the series table directly, pinned by tests/test_pipeline.py and
         the `tiered_agg` oracle row."""
-        from modelardb_dynamic_spark.plans.planner import tiered_agg
+        from modelardb_dynamic_spark.plans.planner import (
+            tiered_agg,
+            validate_cover,
+        )
 
         series = self.wh.read(self.spark, "series")
-        tiers, hw = [], {}
+        tiers, hw, lw = [], {}, {}
         for tier_name, w in TIERS:
             tiers.append((self.wh.read(self.spark, tier_name), w))
             m = Lineage(self.wh.path(tier_name)).metrics()
             if m.get("high_water_ts") is not None:
                 hw[w] = int(m["high_water_ts"])
-        return tiered_agg(series, tiers, lo_ms, hi_ms, bucket_ms, high_water=hw)
+            rh = self.retention_horizon(tier_name)
+            if rh is not None:
+                lw[w] = rh
+        raw_low = self.retention_horizon("series")
+        validate_cover(
+            [w for _, w in TIERS], lo_ms, hi_ms, bucket_ms,
+            high_water=hw, low_water=lw, raw_low_ms=raw_low,
+            grid_ms=self.cfg.sampling_interval_ms,
+        )
+        return tiered_agg(
+            series, tiers, lo_ms, hi_ms, bucket_ms,
+            high_water=hw, low_water=lw,
+        )
 
     def tier(self, name: str, gap_filled: bool = False) -> DataFrame:
         df = self.wh.read(self.spark, name)

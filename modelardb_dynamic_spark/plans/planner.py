@@ -50,7 +50,7 @@ TIER_COLS = ("cnt", "vsum", "vmin", "vmax")
 
 def _inside_sql(
     b: str, w: int, lo: int, hi: int, bucket_ms: int, hw: int | None,
-    div: str = "DIV",
+    div: str = "DIV", lw: int | None = None,
 ) -> str:
     """SQL predicate: the width-w bucket starting at expression `b` is an
     exact sub-interval of one result bucket within [lo, hi) and complete
@@ -65,26 +65,29 @@ def _inside_sql(
     ]
     if hw is not None:
         conds.append(f"({b}) + {w} <= {hw}")
+    if lw is not None:  # retention low-water: older buckets were dropped
+        conds.append(f"({b}) >= {lw}")
     return "(" + " AND ".join(conds) + ")"
 
 
 def _used_sql(
     col: str,
     w: int,
-    coarser: list[tuple[int, int | None]],
+    coarser: list[tuple[int, int | None, int | None]],
     lo: int,
     hi: int,
     bucket_ms: int,
     hw: int | None,
     div: str = "DIV",
+    lw: int | None = None,
 ) -> str:
     """USED predicate for a tier of width w given the coarser
-    (width, high_water) levels."""
-    parts = [_inside_sql(col, w, lo, hi, bucket_ms, hw, div)]
-    for cw, chw in coarser:
+    (width, high_water, low_water) levels."""
+    parts = [_inside_sql(col, w, lo, hi, bucket_ms, hw, div, lw)]
+    for cw, chw, clw in coarser:
         parent = f"(({col}) {div} {cw}) * {cw}"
         parts.append(
-            f"NOT {_inside_sql(parent, cw, lo, hi, bucket_ms, chw, div)}"
+            f"NOT {_inside_sql(parent, cw, lo, hi, bucket_ms, chw, div, clw)}"
         )
     return " AND ".join(parts)
 
@@ -95,6 +98,7 @@ def route_tiers(
     hi_ms: int,
     bucket_ms: int,
     high_water: dict[int, int] | None,
+    low_water: dict[int, int] | None = None,
 ) -> tuple[list[tuple[DataFrame, str]], str]:
     """THE cover routing, shared by every tiered reader (tiered_agg here,
     the sketch routers in operators/sketches.py): validates that tier
@@ -102,8 +106,16 @@ def route_tiers(
     so it pushes to the scan), and returns [(filtered_tier, result-bucket
     SQL expr)] coarse->fine plus the raw-row predicate for the residue.
     One implementation so a fix to the cover algebra propagates to every
-    consumer (it is the exactly-once core the fuzz suite pins)."""
+    consumer (it is the exactly-once core the fuzz suite pins).
+
+    low_water: {width: inclusive_ms} — buckets BEFORE a tier's mark were
+    dropped by retention (TierPipeline.retain); the cover treats them as
+    not-materialized and falls through to COARSER data... which the
+    exclusion logic never does — coarser levels are consulted first, so
+    retention of a FINE tier simply stops it from serving old edges. Use
+    validate_cover to fail loudly when a query needs data nobody has."""
     hw = high_water or {}
+    lw = low_water or {}
     ordered = sorted(tiers, key=lambda t: -t[1])  # coarse -> fine
     # the USED exclusion tests only the coarse bucket containing a fine
     # bucket's START — sound iff the widths NEST (each coarser width a
@@ -120,7 +132,8 @@ def route_tiers(
     branches, coarser = [], []
     for tier, w in ordered:
         pred = _used_sql(
-            "bucket_ts", w, coarser, lo_ms, hi_ms, bucket_ms, hw.get(w)
+            "bucket_ts", w, coarser, lo_ms, hi_ms, bucket_ms, hw.get(w),
+            lw=lw.get(w),
         )
         branches.append(
             (
@@ -131,12 +144,12 @@ def route_tiers(
                 rb,
             )
         )
-        coarser.append((w, hw.get(w)))
+        coarser.append((w, hw.get(w), lw.get(w)))
     raw_pred = " AND ".join(
         [f"ts_ms >= {lo_ms} AND ts_ms < {hi_ms}"]
         + [
-            f"NOT {_inside_sql(f'((ts_ms) DIV {cw}) * {cw}', cw, lo_ms, hi_ms, bucket_ms, chw)}"
-            for cw, chw in coarser
+            f"NOT {_inside_sql(f'((ts_ms) DIV {cw}) * {cw}', cw, lo_ms, hi_ms, bucket_ms, chw, lw=clw)}"
+            for cw, chw, clw in coarser
         ]
     )
     return branches, raw_pred
@@ -150,6 +163,7 @@ def tiered_agg(
     bucket_ms: int,
     high_water: dict[int, int] | None = None,
     value_col: str = "value",
+    low_water: dict[int, int] | None = None,
 ) -> DataFrame:
     """count/sum/min/max per (sid, metric) per bucket_ms-aligned bucket
     over [lo_ms, hi_ms), routed through the coarsest exact tier cover.
@@ -162,7 +176,9 @@ def tiered_agg(
             a tier's mark are treated as not-yet-materialized and the
             cover falls through to finer tiers / raw (late-arriving tail).
     """
-    routed, raw_pred = route_tiers(tiers, lo_ms, hi_ms, bucket_ms, high_water)
+    routed, raw_pred = route_tiers(
+        tiers, lo_ms, hi_ms, bucket_ms, high_water, low_water
+    )
     branches = [
         t.selectExpr("sid", "metric", f"{rb} AS bucket_ts", *TIER_COLS)
         for t, rb in routed
@@ -196,25 +212,31 @@ def cover_report(
     bucket_ms: int,
     high_water: dict[int, int] | None = None,
     grid_ms: int = 60_000,
+    low_water: dict[int, int] | None = None,
+    raw_low_ms: int | None = None,
 ) -> dict[int, int]:
     """Driver-side (data-free) audit of the cover: for each level width
-    (0 = raw grid), how many grid points of [lo_ms, hi_ms) it supplies.
-    Used by tests to pin that the interior routes to the coarsest tier.
+    (0 = raw grid, -1 = UNCOVERABLE after retention), how many grid
+    points of [lo_ms, hi_ms) it supplies. Used by tests to pin that the
+    interior routes to the coarsest tier, and by validate_cover.
     O((hi-lo)/grid_ms) ints — an audit tool, not a query path."""
     hw = high_water or {}
+    lw = low_water or {}
     ws = sorted(widths, reverse=True)
 
     def inside(b: int, w: int) -> bool:
-        h = hw.get(w)
+        h, l_ = hw.get(w), lw.get(w)
         return (
             b >= lo_ms
             and b + w <= hi_ms
             and b // bucket_ms == (b + w - 1) // bucket_ms
             and (h is None or b + w <= h)
+            and (l_ is None or b >= l_)
         )
 
     out = {w: 0 for w in ws}
     out[0] = 0
+    out[-1] = 0
     t = ((lo_ms + grid_ms - 1) // grid_ms) * grid_ms
     while t < hi_ms:
         for w in ws:
@@ -222,6 +244,39 @@ def cover_report(
                 out[w] += 1
                 break
         else:
-            out[0] += 1
+            if raw_low_ms is None or t >= raw_low_ms:
+                out[0] += 1
+            else:
+                out[-1] += 1
         t += grid_ms
     return out
+
+
+def validate_cover(
+    widths: list[int],
+    lo_ms: int,
+    hi_ms: int,
+    bucket_ms: int,
+    high_water: dict[int, int] | None = None,
+    low_water: dict[int, int] | None = None,
+    raw_low_ms: int | None = None,
+    grid_ms: int = 60_000,
+) -> None:
+    """Raise when a [lo, hi) x bucket_ms query would need data that
+    RETENTION already dropped everywhere (no tier's surviving buckets
+    nor the raw table can supply some grid point) — a silent undercount
+    otherwise. Retention destroys information by design; the contract is
+    that queries over retained history must align to buckets the
+    surviving coarse tiers can serve, and this check enforces it."""
+    rep = cover_report(
+        widths, lo_ms, hi_ms, bucket_ms, high_water, grid_ms,
+        low_water, raw_low_ms,
+    )
+    if rep.get(-1, 0):
+        raise ValueError(
+            f"query [{lo_ms}, {hi_ms}) @ {bucket_ms} needs {rep[-1]} grid "
+            f"points below every surviving tier's retention horizon "
+            f"(low_water={low_water}, raw_low={raw_low_ms}) — widen the "
+            f"bucket, shift lo onto a surviving coarse-tier boundary, or "
+            f"query a coarser tier directly"
+        )

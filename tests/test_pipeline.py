@@ -331,3 +331,51 @@ def test_sketch_tiers_stage_and_append(spark, transcripts, tmp_path):
         got = wh.read(spark, table).drop("sbucket")
         assert got.exceptAll(want).count() == 0, table
         assert want.exceptAll(got).count() == 0, table
+
+
+def test_retention_aware_range_agg(spark, transcripts, tmp_path):
+    """retain('tier_1m', L) + range_agg: queries whose edges align to the
+    surviving 1h tier stay EXACT below the horizon (the cover routes
+    around the dropped 1m rows); a query needing sub-hour detail below
+    the horizon raises instead of silently undercounting."""
+    from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+    wh = Warehouse(str(tmp_path / "ret"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG0, chunk_buckets=4, salt_span_points=None)
+    p.run(transcripts)
+    series = wh.read(spark, "series")
+    s_lo, s_hi = series.agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
+    # hour-aligned horizon in the middle; drop 1m (and series) below it
+    L = ((s_lo + (s_hi - s_lo) // 2) // HOUR_MS) * HOUR_MS
+    p.retain("tier_1m", L)
+    p.retain("series", L)
+    assert p.retention_horizon("tier_1m") == L
+
+    # hour-aligned query spanning the horizon: 1h/1d serve the old side
+    lo = (s_lo // HOUR_MS) * HOUR_MS
+    hi = ((s_hi // HOUR_MS) + 1) * HOUR_MS
+    got = p.range_agg(lo, hi, HOUR_MS)
+    # ground truth: the retained series lost pre-horizon history, so
+    # recompute it from the original transcripts
+    full_series = transcript_series(transcripts, 60_000)
+    want = (
+        full_series.where(f"ts_ms >= {lo} AND ts_ms < {hi}")
+        .groupBy(
+            "sid", "metric",
+            F.expr(f"((ts_ms) DIV {HOUR_MS}) * {HOUR_MS}").alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("double")).alias("vsum"),
+            F.min(F.col("value").cast("float")).alias("vmin"),
+            F.max(F.col("value").cast("float")).alias("vmax"),
+        )
+    )
+    cols = ["sid", "metric", "bucket_ts", "cnt", "vsum", "vmin", "vmax"]
+    g = sorted(tuple(r) for r in got.select(cols).collect())
+    w = sorted(tuple(r) for r in want.select(cols).collect())
+    assert g == w and len(g) > 0
+
+    # sub-hour edges below the horizon: nobody can answer -> loud failure
+    with pytest.raises(ValueError, match="retention horizon"):
+        p.range_agg(lo + 60_000, hi, HOUR_MS)

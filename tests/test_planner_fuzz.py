@@ -57,10 +57,10 @@ def _routed_sql(lo, hi, W, hw):
             f"SELECT sid, (bucket_ts // {W}) * {W} AS b, cnt, vsum, vmin, "
             f"vmax FROM {name} WHERE {pred}"
         )
-        coarser.append((w, hw.get(w)))
+        coarser.append((w, hw.get(w), None))
     raw_not = " AND ".join(
         f"NOT {_inside_sql(f'((ts_ms) // {cw}) * {cw}', cw, lo, hi, W, chw, div='//')}"
-        for cw, chw in coarser
+        for cw, chw, _clw in coarser
     )
     branches.append(
         f"SELECT sid, (ts_ms // {W}) * {W} AS b, 1 AS cnt, v AS vsum, "

@@ -32,6 +32,24 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--sampling-interval-ms", type=int, default=60_000)
     ap.add_argument("--salt-span-points", type=int, default=1 << 20)
     ap.add_argument("--retain-raw-after-ms", type=int, default=None)
+    ap.add_argument("--sketches", action="store_true",
+                    help="also build the hist_1h/hist_1d/hll_1d sketch tiers")
+    ap.add_argument("--retain", action="append", default=[],
+                    metavar="TABLE:HORIZON_MS",
+                    help="drop TABLE rows older than HORIZON_MS after the "
+                         "build (repeatable); horizon recorded for "
+                         "retention-aware range_agg routing")
+    ap.add_argument("--append-input", default=None,
+                    help="incremental maintenance instead of a full run: "
+                         "upsert this transcript batch (parquet path or "
+                         "-synth:N) into an EXISTING warehouse, recompute "
+                         "only touched buckets")
+    ap.add_argument("--batch-id", default=None,
+                    help="idempotency key for --append-input (required "
+                         "with it; reruns with the same id are no-ops)")
+    ap.add_argument("--range-agg", default=None, metavar="LO:HI:BUCKET_MS",
+                    help="after the build, answer a range aggregate via "
+                         "the tier-selection planner and print the rows")
     args = ap.parse_args(argv)
 
     from modelardb_dynamic_spark.config import EngineConfig
@@ -67,14 +85,42 @@ def main(argv: list[str] | None = None) -> None:
         salt_span_points=args.salt_span_points,
     )
     t0 = time.time()
-    pipe.run(transcripts)
+    out: dict = {}
+    if args.append_input is not None:
+        if not args.batch_id:
+            ap.error("--append-input requires --batch-id")
+        if args.append_input.startswith("-synth:"):
+            from modelardb_dynamic_spark.sources.transcripts import (
+                generate_transcripts as _gen,
+            )
+
+            batch = _gen(
+                spark, n_convs=int(args.append_input.split(":", 1)[1]),
+                turns_base=96,
+            )
+        else:
+            batch = spark.read.parquet(args.append_input)
+        out["append"] = pipe.append(batch, batch_id=args.batch_id)
+    else:
+        pipe.run(transcripts, sketches=args.sketches)
     if args.retain_raw_after_ms is not None:
         pipe.retain_raw(args.retain_raw_after_ms)
+    for spec in args.retain:
+        table, horizon = spec.rsplit(":", 1)
+        pipe.retain(table, int(horizon))
     metrics = {
         stage: Lineage(wh.path(stage)).metrics()
         for stage in ["raw", "series", "segments", "tier_1m", "tier_1h", "tier_1d"]
     }
-    print(json.dumps({"wall_s": round(time.time() - t0, 3), "stages": metrics}))
+    out.update({"wall_s": round(time.time() - t0, 3), "stages": metrics})
+    if args.range_agg:
+        lo, hi, w = (int(x) for x in args.range_agg.split(":"))
+        rows = pipe.range_agg(lo, hi, w).collect()
+        out["range_agg"] = {
+            "n_rows": len(rows),
+            "sample": [r.asDict() for r in rows[:5]],
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -46,21 +46,25 @@ _mk_tables(CON)
 LEVELS = (("t1m", SI), ("t1h", HOUR), ("t1d", DAY))
 
 
-def _routed_sql(lo, hi, W, hw):
+def _routed_sql(lo, hi, W, hw, lw=None):
     """Assemble the identical branch predicates tiered_agg builds and close
     them with the same groupBy — in SQL, over the DuckDB tier tables."""
+    lw = lw or {}
     branches = []
     coarser = []
     for name, w in sorted(LEVELS, key=lambda x: -x[1]):
-        pred = _used_sql("bucket_ts", w, coarser, lo, hi, W, hw.get(w), div="//")
+        pred = _used_sql(
+            "bucket_ts", w, coarser, lo, hi, W, hw.get(w), div="//",
+            lw=lw.get(w),
+        )
         branches.append(
             f"SELECT sid, (bucket_ts // {W}) * {W} AS b, cnt, vsum, vmin, "
             f"vmax FROM {name} WHERE {pred}"
         )
-        coarser.append((w, hw.get(w), None))
+        coarser.append((w, hw.get(w), lw.get(w)))
     raw_not = " AND ".join(
-        f"NOT {_inside_sql(f'((ts_ms) // {cw}) * {cw}', cw, lo, hi, W, chw, div='//')}"
-        for cw, chw, _clw in coarser
+        f"NOT {_inside_sql(f'((ts_ms) // {cw}) * {cw}', cw, lo, hi, W, chw, div='//', lw=clw)}"
+        for cw, chw, clw in coarser
     )
     branches.append(
         f"SELECT sid, (ts_ms // {W}) * {W} AS b, 1 AS cnt, v AS vsum, "
@@ -94,8 +98,12 @@ def _direct_sql(lo, hi, W):
     ),
     hw_kind=st.sampled_from(["none", "cut", "per_level"]),
     hw_off=st.integers(0, SPAN),
+    lw_kind=st.sampled_from(["none", "fine_retained"]),
+    lw_off=st.integers(0, SPAN // 2),
 )
-def test_routed_equals_direct_fuzz(lo_off, span, w_choice, hw_kind, hw_off):
+def test_routed_equals_direct_fuzz(
+    lo_off, span, w_choice, hw_kind, hw_off, lw_kind, lw_off
+):
     lo = T0 + lo_off
     hi = min(T0 + lo_off + span, T0 + SPAN)
     if hw_kind == "none":
@@ -108,6 +116,15 @@ def test_routed_equals_direct_fuzz(lo_off, span, w_choice, hw_kind, hw_off):
             w: T0 + max(0, hw_off - i * DAY // 2)
             for i, (_, w) in enumerate(sorted(LEVELS, key=lambda x: x[1]))
         }
-    got = CON.execute(_routed_sql(lo, hi, w_choice, hw)).fetchall()
+    # retention low-water on the FINE tiers only (the realistic shape:
+    # 1m/1h retained, 1d keeps history); the fuzz tables keep all rows,
+    # so the routed result must STILL equal direct — the cover simply
+    # routes around the 'dropped' region via coarser tiers and raw rows
+    lw = (
+        {SI: T0 + lw_off, HOUR: T0 + (lw_off // DAY) * DAY}
+        if lw_kind == "fine_retained"
+        else {}
+    )
+    got = CON.execute(_routed_sql(lo, hi, w_choice, hw, lw)).fetchall()
     want = CON.execute(_direct_sql(lo, hi, w_choice)).fetchall()
     assert got == want

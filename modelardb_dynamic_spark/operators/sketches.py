@@ -351,14 +351,16 @@ def duck_hist_quantiles_sql(
 
 def _routed_sketch(
     raw, keys, tiers, lo_ms, hi_ms, bucket_ms, high_water,
-    sketch_cols, raw_tier_fn, merge_aggs,
+    sketch_cols, raw_tier_fn, merge_aggs, low_water=None,
 ):
     """Shared route -> union -> merge shape for both sketch families;
     the cover itself is plans/planner.py route_tiers (ONE implementation
     of the exactly-once algebra, shared with tiered_agg)."""
     from modelardb_dynamic_spark.plans.planner import route_tiers
 
-    routed, raw_pred = route_tiers(tiers, lo_ms, hi_ms, bucket_ms, high_water)
+    routed, raw_pred = route_tiers(
+        tiers, lo_ms, hi_ms, bucket_ms, high_water, low_water
+    )
     parts = [
         t.selectExpr(*keys, f"{rb} AS bucket_ts", *sketch_cols)
         for t, rb in routed
@@ -384,6 +386,7 @@ def tiered_hll_summary(
     hi_ms: int,
     bucket_ms: int,
     high_water: dict[int, int] | None = None,
+    low_water: dict[int, int] | None = None,
 ) -> DataFrame:
     """Distinct-count over [lo, hi) per bucket_ms bucket, routed through
     the coarsest sketch-tier cover; raw: (keys..., ts_ms, value_col)."""
@@ -392,6 +395,7 @@ def tiered_hll_summary(
         sketch_cols=("reg", "rho"),
         raw_tier_fn=lambda df, b: hll_tier(df, keys, value_col, b),
         merge_aggs=[F.max("rho").alias("rho")],
+        low_water=low_water,
     )
     return hll_summary(merged, keys)
 
@@ -406,6 +410,7 @@ def tiered_hist_quantiles(
     bucket_ms: int,
     high_water: dict[int, int] | None = None,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    low_water: dict[int, int] | None = None,
 ) -> DataFrame:
     """Quantiles over [lo, hi) per bucket_ms bucket from the coarsest
     histogram-tier cover; raw: (keys..., ts_ms, <value_expr>)."""
@@ -414,5 +419,6 @@ def tiered_hist_quantiles(
         sketch_cols=("idx", "cnt"),
         raw_tier_fn=lambda df, b: hist_tier(df, keys, value_expr, b),
         merge_aggs=[F.sum("cnt").alias("cnt")],
+        low_water=low_water,
     )
     return hist_quantiles(merged, keys, qs)

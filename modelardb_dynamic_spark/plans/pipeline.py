@@ -450,6 +450,84 @@ class TierPipeline:
             high_water=hw, low_water=lw,
         )
 
+    def _sketch_route_bounds(self, names_widths):
+        hw, lw = {}, {}
+        for name, w in names_widths:
+            m = Lineage(self.wh.path(name)).metrics()
+            if m.get("high_water_ts") is not None:
+                hw[w] = int(m["high_water_ts"])
+            rh = self.retention_horizon(name)
+            if rh is not None:
+                lw[w] = rh
+        return hw, lw
+
+    def _raw_turns(self) -> DataFrame:
+        from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+        raw = self.wh.read(self.spark, "raw")
+        return raw.select(
+            F.col("conv_id").alias("sid"),
+            to_ms("ts").alias("ts_ms"),
+            (1 + F.floor(F.length("text") / 4)).cast("long").alias("tokens"),
+            F.col("text"),
+        )
+
+    def range_quantiles(
+        self, lo_ms: int, hi_ms: int, bucket_ms: int,
+        qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    ) -> DataFrame:
+        """Per-conversation turn-length quantiles over [lo, hi) per bucket,
+        routed through the hist_1h/hist_1d sketch tiers (build them with
+        build_sketch_tiers) with lineage high-water + retention low-water,
+        raw turns histogrammed on the fly at the edges — range_agg's twin
+        for the quantile question."""
+        from modelardb_dynamic_spark.operators.sketches import (
+            tiered_hist_quantiles,
+        )
+        from modelardb_dynamic_spark.plans.planner import validate_cover
+
+        names = [("hist_1h", HOUR_MS), ("hist_1d", DAY_MS)]
+        hw, lw = self._sketch_route_bounds(names)
+        raw_low = self.retention_horizon("raw")
+        validate_cover(
+            [w for _, w in names], lo_ms, hi_ms, bucket_ms,
+            high_water=hw, low_water=lw, raw_low_ms=raw_low,
+            grid_ms=self.cfg.sampling_interval_ms,
+        )
+        tiers = [
+            (self.wh.read(self.spark, n).drop("sbucket"), w) for n, w in names
+        ]
+        return tiered_hist_quantiles(
+            self._raw_turns(), ["sid"], "tokens", tiers,
+            lo_ms, hi_ms, bucket_ms, high_water=hw, qs=qs, low_water=lw,
+        )
+
+    def range_distinct(
+        self, lo_ms: int, hi_ms: int, bucket_ms: int
+    ) -> DataFrame:
+        """Distinct turn contents per conversation over [lo, hi) per
+        bucket via the hll_1d sketch tier + raw-edge sketching."""
+        from modelardb_dynamic_spark.operators.sketches import (
+            tiered_hll_summary,
+        )
+        from modelardb_dynamic_spark.plans.planner import validate_cover
+
+        names = [("hll_1d", DAY_MS)]
+        hw, lw = self._sketch_route_bounds(names)
+        raw_low = self.retention_horizon("raw")
+        validate_cover(
+            [w for _, w in names], lo_ms, hi_ms, bucket_ms,
+            high_water=hw, low_water=lw, raw_low_ms=raw_low,
+            grid_ms=self.cfg.sampling_interval_ms,
+        )
+        tiers = [
+            (self.wh.read(self.spark, n).drop("sbucket"), w) for n, w in names
+        ]
+        return tiered_hll_summary(
+            self._raw_turns(), ["sid"], "text", tiers,
+            lo_ms, hi_ms, bucket_ms, high_water=hw, low_water=lw,
+        )
+
     def tier(self, name: str, gap_filled: bool = False) -> DataFrame:
         df = self.wh.read(self.spark, name)
         if gap_filled:

@@ -272,6 +272,26 @@ def validate_cover(
         widths, lo_ms, hi_ms, bucket_ms, high_water, grid_ms,
         low_water, raw_low_ms,
     )
+    # the grid walk can step over a sub-grid sliver at lo or at a
+    # non-aligned retention/high-water boundary (raw rows need not be
+    # grid-aligned): probe the boundary points themselves too
+    probes = [lo_ms] + [
+        v
+        for v in [raw_low_ms, *(low_water or {}).values(),
+                  *(high_water or {}).values()]
+        if v is not None and lo_ms <= v < hi_ms
+    ]
+    hwd, lwd = high_water or {}, low_water or {}
+    for t in probes:
+        covered = any(
+            (lambda b, w: b >= lo_ms and b + w <= hi_ms
+             and b // bucket_ms == (b + w - 1) // bucket_ms
+             and (hwd.get(w) is None or b + w <= hwd[w])
+             and (lwd.get(w) is None or b >= lwd[w]))((t // w) * w, w)
+            for w in widths
+        ) or (raw_low_ms is None or t >= raw_low_ms)
+        if not covered:
+            rep[-1] = rep.get(-1, 0) + 1
     if rep.get(-1, 0):
         raise ValueError(
             f"query [{lo_ms}, {hi_ms}) @ {bucket_ms} needs {rep[-1]} grid "

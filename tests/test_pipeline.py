@@ -379,3 +379,54 @@ def test_retention_aware_range_agg(spark, transcripts, tmp_path):
     # sub-hour edges below the horizon: nobody can answer -> loud failure
     with pytest.raises(ValueError, match="retention horizon"):
         p.range_agg(lo + 60_000, hi, HOUR_MS)
+
+
+def test_range_quantiles_and_distinct(spark, transcripts, tmp_path):
+    """range_quantiles / range_distinct: the sketch twins of range_agg —
+    warehouse sketch tiers + raw-edge sketching must equal the direct
+    sketch over the raw turns in range."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        hist_quantiles,
+        hist_tier,
+        hll_summary,
+        hll_tier,
+    )
+    from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+    DAY = 86_400_000
+    wh = Warehouse(str(tmp_path / "rq"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4, salt_span_points=None)
+    p.run(transcripts, sketches=True)
+
+    turns = transcripts.select(
+        F.col("conv_id").alias("sid"),
+        to_ms("ts").alias("ts_ms"),
+        (1 + F.floor(F.length("text") / 4)).cast("long").alias("tokens"),
+        "text",
+    )
+    t_lo, t_hi = turns.agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
+    lo = t_lo + 90 * 60_000
+    hi = t_hi - 30 * 60_000
+    w = 6 * HOUR_MS
+
+    got_q = p.range_quantiles(lo, hi, w)
+    want_q = hist_quantiles(
+        hist_tier(
+            turns.where(f"ts_ms >= {lo} AND ts_ms < {hi}"),
+            ["sid"], "tokens", f"(ts_ms DIV {w}) * {w}",
+        ),
+        ["sid"],
+    )
+    assert got_q.exceptAll(want_q).count() == 0
+    assert want_q.exceptAll(got_q).count() == 0
+
+    got_d = p.range_distinct(lo, hi, w)
+    want_d = hll_summary(
+        hll_tier(
+            turns.where(f"ts_ms >= {lo} AND ts_ms < {hi}"),
+            ["sid"], "text", f"(ts_ms DIV {w}) * {w}",
+        ),
+        ["sid"],
+    )
+    assert got_d.exceptAll(want_d).count() == 0
+    assert want_d.exceptAll(got_d).count() == 0

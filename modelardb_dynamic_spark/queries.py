@@ -1054,6 +1054,67 @@ def q_ewma_backtest(spark, sf_dir):
     return ewma_levels(pts, bucket_ms=HOUR_MS, alpha=0.3)
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Streaming sessionization under the value gate: the transcript table
+    replayed as an arriving file stream through session_window
+    (streaming/rollup.py session_aggregate, 30-minute gap), run to
+    completion with availableNow; sentinels push the watermark past every
+    real session. Append-mode output must equal the batch gaps-and-islands
+    sessionization the DuckDB oracle computes from the raw rows."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    gap_ms = 30 * SI_MS
+    tr = _events_as_transcripts(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hi = tr.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    d = tempfile.mkdtemp(prefix="mdbs_stream_sess_")
+    try:
+        tr.write.mode("overwrite").parquet(os.path.join(d, "chunk=0"))
+        for j, extra_ms in enumerate((100 * SI_MS, 200 * SI_MS)):
+            (
+                spark.createDataFrame(
+                    [("__sentinel__", 0, "user", "x", "none")],
+                    "conv_id string, turn_idx int, role string, "
+                    "text string, tool string",
+                )
+                .withColumn("ts", F.timestamp_millis(F.lit(hi + gap_ms + extra_ms)))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(d, f"chunk={j + 1}"))
+            )
+        from modelardb_dynamic_spark.streaming.rollup import session_aggregate
+
+        schema = spark.read.parquet(os.path.join(d, "chunk=0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "chunk=*"))
+        )
+        sess = session_aggregate(stream, gap_ms, watermark_delay="2 minutes")
+        name = "stream_sess_" + uuid.uuid4().hex[:8]
+        sq = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.table(name)
+        .where("conv_id != '__sentinel__'")
+        .select("conv_id", "session_start", "session_end", "n_turns", "tokens")
+        .localCheckpoint()
+    )
+
+
 def q_tiered_agg(spark, sf_dir):
     """Tier-selection planner (plans/planner.py) under the value gate:
     transcripts -> minute series -> compress (eb 0) -> 1m/1h/1d tiers,
@@ -1149,6 +1210,7 @@ QUERIES = {
     "counter_rate": q_counter_rate,
     "tiered_hll_range": q_tiered_hll_range,
     "ewma_backtest": q_ewma_backtest,
+    "stream_sessions": q_stream_sessions,
 }
 
 _MINUTE_BUCKETS = f"""
@@ -2199,6 +2261,38 @@ ORACLES["ewma_backtest"] = f"""
            CASE WHEN forecast IS NULL THEN NULL
                 ELSE abs(CAST(s AS DOUBLE) / n - forecast) END AS abs_err
     FROM w
+"""
+
+
+# streaming session_window semantics: turns merge iff delta < gap (both
+# windows overlap); session_end = last turn + gap. The oracle is the
+# classic gaps-and-islands over the same raw rows.
+ORACLES["stream_sessions"] = f"""
+    WITH tr AS (
+        SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+               epoch_ms(ts) AS t,
+               len(event_type || ' ' ||
+                   repeat(event_type || ' ', CAST(event_id % 5 AS INT) + 1) ||
+                   event_type) // 4 AS toks
+        FROM events
+    ),
+    o AS (
+        SELECT conv_id, t, toks,
+               lag(t) OVER (PARTITION BY conv_id ORDER BY t) AS pt
+        FROM tr
+    ),
+    g AS (
+        SELECT conv_id, t, toks,
+               sum(CASE WHEN pt IS NULL OR t - pt >= {30 * SI_MS}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY conv_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS sess
+        FROM o
+    )
+    SELECT conv_id, min(t) AS session_start,
+           max(t) + {30 * SI_MS} AS session_end,
+           count(*) AS n_turns, CAST(sum(toks) AS BIGINT) AS tokens
+    FROM g GROUP BY conv_id, sess
 """
 
 

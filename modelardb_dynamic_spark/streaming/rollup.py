@@ -120,3 +120,39 @@ def continuous_aggregate(
         raise ValueError(f"bucket_ms {bucket_ms} not a multiple of si {si_ms}")
     wm = turns.withWatermark("ts", watermark_delay)
     return continuous_tier(continuous_series(wm, si_ms), bucket_ms)
+
+
+def session_aggregate(
+    turns: DataFrame, gap_ms: int, watermark_delay: str = "2 minutes"
+) -> DataFrame:
+    """Streaming SESSIONIZATION: Spark's native session_window merges a
+    conversation's turns whose gap-extended windows overlap (two turns
+    share a session iff their timestamps differ by LESS than gap_ms); a
+    session closes — and is emitted exactly once in append mode — when
+    the event-time watermark passes last_turn + gap. The online twin of
+    textstats.sessionize's gaps-and-islands form, with identical
+    semantics (a delta of exactly gap_ms starts a new session in both).
+
+    Output: (conv_id, session_start ms, session_end ms = last + gap,
+    n_turns, tokens) — all exact integers.
+
+    Scale shape: one built-in stateful aggregation keyed on (conv_id,
+    merging session window); state is per OPEN session only (closed
+    sessions leave the store), map-side partial merge, one shuffle."""
+    w = turns.withWatermark("ts", watermark_delay)
+    return (
+        w.groupBy(
+            F.session_window("ts", _secs(gap_ms)), F.col("conv_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.floor(F.length("text") / 4)).cast("long").alias("tokens"),
+        )
+        .select(
+            "conv_id",
+            F.unix_millis("session_window.start").alias("session_start"),
+            F.unix_millis("session_window.end").alias("session_end"),
+            "n_turns",
+            "tokens",
+        )
+    )

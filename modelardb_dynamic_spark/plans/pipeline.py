@@ -164,10 +164,30 @@ class TierPipeline:
         self,
         fingerprint: str = "series-v1",
         only_buckets: list[int] | None = None,
+        preserve_below: int | None = None,
     ) -> None:
+        """preserve_below (append-after-raw-retention path): raw no longer
+        holds history below the retention horizon, but the EXISTING series
+        stage does — keep its rows with ts_ms < preserve_below (a grid
+        boundary >= the horizon, so the straddling grid bucket's old row —
+        built when history was complete — survives) and recompute only
+        from raw turns at/after it. Exact as long as no new turn lands
+        below preserve_below, which append() rejects."""
+
         def build(bucket_ids: list[int]) -> DataFrame:
+            from modelardb_dynamic_spark.sources.timeseries import to_ms
+
             raw = self._read_buckets("raw", bucket_ids)
+            if preserve_below is not None:
+                raw = raw.where(to_ms("ts") >= preserve_below)
             s = transcript_series(raw, self.cfg.sampling_interval_ms)
+            if preserve_below is not None:
+                old = (
+                    self._read_buckets("series", bucket_ids)
+                    .drop("sbucket")
+                    .where(f"ts_ms < {preserve_below}")
+                )
+                s = s.unionByName(old)
             return s.withColumn("sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets))
 
         self._run_stage("series", fingerprint, build, ts_col="ts_ms",
@@ -219,6 +239,8 @@ class TierPipeline:
         self,
         fingerprint: str = "sketch-v1",
         only_buckets: list[int] | None = None,
+        preserve_below_hour: int | None = None,
+        preserve_below_day: int | None = None,
     ) -> None:
         """Mergeable sketch tiers beside the cnt/vsum/vmin/vmax tiers
         (operators/sketches.py): per conversation,
@@ -234,22 +256,24 @@ class TierPipeline:
             hist_tier,
             hll_tier,
         )
-        from modelardb_dynamic_spark.sources.timeseries import to_ms
 
-        def _turns(bucket_ids: list[int]) -> DataFrame:
-            raw = self._read_buckets("raw", bucket_ids)
-            return raw.select(
-                F.col("conv_id").alias("sid"),
-                to_ms("ts").alias("ts_ms"),
-                (1 + F.floor(F.length("text") / 4)).cast("long").alias("tokens"),
-                F.col("text"),
-            )
+        _turns = self._raw_turns
 
         def build_hist_1h(bucket_ids: list[int]) -> DataFrame:
+            src = _turns(bucket_ids)
+            if preserve_below_hour is not None:
+                src = src.where(f"ts_ms >= {preserve_below_hour}")
             t = hist_tier(
-                _turns(bucket_ids), ["sid"], "tokens",
+                src, ["sid"], "tokens",
                 f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}",
             )
+            if preserve_below_hour is not None:
+                old = (
+                    self._read_buckets("hist_1h", bucket_ids)
+                    .drop("sbucket")
+                    .where(f"bucket_ts < {preserve_below_hour}")
+                )
+                t = t.unionByName(old)
             return t.withColumn("sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets))
 
         self._run_stage("hist_1h", fingerprint, build_hist_1h,
@@ -266,10 +290,20 @@ class TierPipeline:
                         ts_col="bucket_ts", only_buckets=only_buckets)
 
         def build_hll_1d(bucket_ids: list[int]) -> DataFrame:
+            src = _turns(bucket_ids)
+            if preserve_below_day is not None:
+                src = src.where(f"ts_ms >= {preserve_below_day}")
             t = hll_tier(
-                _turns(bucket_ids), ["sid"], "text",
+                src, ["sid"], "text",
                 f"(ts_ms DIV {DAY_MS}) * {DAY_MS}",
             )
+            if preserve_below_day is not None:
+                old = (
+                    self._read_buckets("hll_1d", bucket_ids)
+                    .drop("sbucket")
+                    .where(f"bucket_ts < {preserve_below_day}")
+                )
+                t = t.unionByName(old)
             return t.withColumn("sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets))
 
         self._run_stage("hll_1d", fingerprint, build_hll_1d,
@@ -306,6 +340,32 @@ class TierPipeline:
         """
         nb = self.wh.n_buckets
         cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        # retention interaction: raw below the horizon is GONE, so stages
+        # rebuilt from raw must preserve their old pre-horizon rows and
+        # new turns may not land below the retention floor (a retained
+        # TSDB rejects below-horizon inserts). The floor is the horizon
+        # rounded UP to the coarsest maintained bucket (day when sketch
+        # tiers exist, else the engine grid) so no straddling bucket ever
+        # needs data that only existed pre-retention.
+        if self.retention_horizon("series") is not None:
+            raise ValueError(
+                "append() cannot incrementally maintain a warehouse whose "
+                "SERIES stage is retained: the segment cascade needs each "
+                "conversation's full series history. Retain raw only (the "
+                "coarser stages keep history), or rebuild."
+            )
+        raw_h = self.retention_horizon("raw")
+        rejected = 0
+        si = self.cfg.sampling_interval_ms
+        sketches = os.path.exists(self.wh.path("hist_1h"))
+        if raw_h is not None:
+            from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+            unit = DAY_MS if sketches else si
+            floor_ms = ((raw_h + unit - 1) // unit) * unit
+            n0 = new_transcripts.count()
+            new_transcripts = new_transcripts.where(to_ms("ts") >= floor_ms)
+            rejected = n0 - new_transcripts.count()
         # a batch may itself carry several rows for one turn key (e.g. an
         # availableNow stream collapsing original + correction into one
         # micro-batch): keep exactly one, deterministically — latest ts
@@ -329,7 +389,10 @@ class TierPipeline:
             .collect()
         )
         if not aff:
-            return {"affected_buckets": [], "n_buckets": nb}
+            return {
+                "affected_buckets": [], "n_buckets": nb,
+                "rejected_below_retention": rejected,
+            }
 
         def build(bucket_ids: list[int]) -> DataFrame:
             root = self.wh.path("raw")
@@ -354,14 +417,31 @@ class TierPipeline:
         self._run_stage(
             "raw", f"raw+{batch_id}", build, ts_col="ts", only_buckets=aff
         )
-        self.build_series(fingerprint=f"series+{batch_id}", only_buckets=aff)
+        pb_si = (
+            ((raw_h + si - 1) // si) * si if raw_h is not None else None
+        )
+        self.build_series(
+            fingerprint=f"series+{batch_id}", only_buckets=aff,
+            preserve_below=pb_si,
+        )
         self.build_segments(fingerprint=f"segments+{batch_id}", only_buckets=aff)
         self.build_tiers(fingerprint=f"tiers+{batch_id}", only_buckets=aff)
-        if os.path.exists(self.wh.path("hist_1h")):  # sketches enabled
+        if sketches:
             self.build_sketch_tiers(
-                fingerprint=f"sketch+{batch_id}", only_buckets=aff
+                fingerprint=f"sketch+{batch_id}", only_buckets=aff,
+                preserve_below_hour=(
+                    ((raw_h + HOUR_MS - 1) // HOUR_MS) * HOUR_MS
+                    if raw_h is not None else None
+                ),
+                preserve_below_day=(
+                    ((raw_h + DAY_MS - 1) // DAY_MS) * DAY_MS
+                    if raw_h is not None else None
+                ),
             )
-        return {"affected_buckets": aff, "n_buckets": nb}
+        return {
+            "affected_buckets": aff, "n_buckets": nb,
+            "rejected_below_retention": rejected,
+        }
 
     # -- retention -----------------------------------------------------------
 
@@ -374,8 +454,25 @@ class TierPipeline:
         retain the aggregates). Filter-rewrite per bucket, lineage
         re-committed, and the horizon RECORDED in <table>/_retention.json
         so range_agg routes around the dropped region (low-water) and
-        validate_cover can refuse queries nobody can answer anymore."""
+        validate_cover can refuse queries nobody can answer anymore.
+
+        Crash-safety + monotonicity: the marker is written BEFORE the
+        destructive rewrite (routing around still-present data is exact;
+        the reverse — dropped data with no marker — silently undercounts)
+        and horizons only ever grow (a second retain with a smaller
+        horizon cannot resurrect rows). A full rebuild under a new
+        fingerprint DOES resurrect history; the stale marker then makes
+        range_agg conservatively refuse sub-horizon queries — delete the
+        marker to re-enable them."""
         import json
+
+        existing = self.retention_horizon(table)
+        horizon_ms = max(horizon_ms, existing or horizon_ms)
+        marker = os.path.join(self.wh.path(table), "_retention.json")
+        os.makedirs(self.wh.path(table), exist_ok=True)
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"horizon_ms": horizon_ms}, f)
+        os.replace(marker + ".tmp", marker)
 
         ts_col = self._TS_COLS.get(table, "bucket_ts")
         fingerprint = f"{table}-retained-{horizon_ms}{fingerprint_suffix}"
@@ -392,10 +489,6 @@ class TierPipeline:
             return df.where(cond)
 
         self._run_stage(table, fingerprint, build, ts_col=ts_col)
-        marker = os.path.join(self.wh.path(table), "_retention.json")
-        with open(marker + ".tmp", "w") as f:
-            json.dump({"horizon_ms": horizon_ms}, f)
-        os.replace(marker + ".tmp", marker)
 
     def retention_horizon(self, table: str) -> int | None:
         import json
@@ -461,10 +554,17 @@ class TierPipeline:
                 lw[w] = rh
         return hw, lw
 
-    def _raw_turns(self) -> DataFrame:
+    def _raw_turns(self, bucket_ids: list[int] | None = None) -> DataFrame:
+        """The ONE (sid, ts_ms, tokens, text) projection both the sketch
+        tier builds and the range sketch queries use — the routed==direct
+        equality depends on these staying byte-identical."""
         from modelardb_dynamic_spark.sources.timeseries import to_ms
 
-        raw = self.wh.read(self.spark, "raw")
+        raw = (
+            self.wh.read(self.spark, "raw")
+            if bucket_ids is None
+            else self._read_buckets("raw", bucket_ids)
+        )
         return raw.select(
             F.col("conv_id").alias("sid"),
             to_ms("ts").alias("ts_ms"),

@@ -225,14 +225,7 @@ def cover_report(
     ws = sorted(widths, reverse=True)
 
     def inside(b: int, w: int) -> bool:
-        h, l_ = hw.get(w), lw.get(w)
-        return (
-            b >= lo_ms
-            and b + w <= hi_ms
-            and b // bucket_ms == (b + w - 1) // bucket_ms
-            and (h is None or b + w <= h)
-            and (l_ is None or b >= l_)
-        )
+        return _inside_py(b, w, lo_ms, hi_ms, bucket_ms, hw.get(w), lw.get(w))
 
     out = {w: 0 for w in ws}
     out[0] = 0
@@ -252,6 +245,21 @@ def cover_report(
     return out
 
 
+def _inside_py(
+    b: int, w: int, lo: int, hi: int, bucket_ms: int,
+    hw: int | None, lw: int | None,
+) -> bool:
+    """Python twin of _inside_sql — the ONE coverage predicate shared by
+    cover_report's grid walk and validate_cover's boundary probes."""
+    return (
+        b >= lo
+        and b + w <= hi
+        and b // bucket_ms == (b + w - 1) // bucket_ms
+        and (hw is None or b + w <= hw)
+        and (lw is None or b >= lw)
+    )
+
+
 def validate_cover(
     widths: list[int],
     lo_ms: int,
@@ -268,6 +276,8 @@ def validate_cover(
     otherwise. Retention destroys information by design; the contract is
     that queries over retained history must align to buckets the
     surviving coarse tiers can serve, and this check enforces it."""
+    if not low_water and raw_low_ms is None:
+        return  # no retention anywhere: every grid point falls to raw
     rep = cover_report(
         widths, lo_ms, hi_ms, bucket_ms, high_water, grid_ms,
         low_water, raw_low_ms,
@@ -284,10 +294,10 @@ def validate_cover(
     hwd, lwd = high_water or {}, low_water or {}
     for t in probes:
         covered = any(
-            (lambda b, w: b >= lo_ms and b + w <= hi_ms
-             and b // bucket_ms == (b + w - 1) // bucket_ms
-             and (hwd.get(w) is None or b + w <= hwd[w])
-             and (lwd.get(w) is None or b >= lwd[w]))((t // w) * w, w)
+            _inside_py(
+                (t // w) * w, w, lo_ms, hi_ms, bucket_ms,
+                hwd.get(w), lwd.get(w),
+            )
             for w in widths
         ) or (raw_low_ms is None or t >= raw_low_ms)
         if not covered:

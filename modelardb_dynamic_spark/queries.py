@@ -549,6 +549,40 @@ def q_transcript_tiers(spark, sf_dir):
     )
 
 
+def _replay_stream(spark, tr, sentinel_ts_list, prefix):
+    """Shared streaming-replay scaffold: stage the transcript table as
+    chunk=0 (ONE part file — with maxFilesPerTrigger=1 a multi-file chunk
+    would let the first file's watermark drop the others' rows as late)
+    plus one single-row far-future sentinel chunk per sentinel timestamp
+    (advancing the watermark past every real window), and return
+    (streaming DataFrame, tmpdir). Caller runs availableNow and removes
+    the tmpdir."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    tr.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "chunk=0"))
+    for j, ts_ms in enumerate(sentinel_ts_list):
+        (
+            spark.createDataFrame(
+                [("__sentinel__", 0, "user", "x", "none")],
+                "conv_id string, turn_idx int, role string, "
+                "text string, tool string",
+            )
+            .withColumn("ts", F.timestamp_millis(F.lit(ts_ms)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, f"chunk={j + 1}"))
+        )
+    schema = spark.read.parquet(os.path.join(d, "chunk=0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "chunk=*"))
+    )
+    return stream, d
+
+
 def q_stream_tier_5m(spark, sf_dir):
     """Streaming continuous aggregate under the value-level oracle gate:
     the transcript table replayed as an ARRIVING file stream through the
@@ -559,9 +593,7 @@ def q_stream_tier_5m(spark, sf_dir):
     past every real bucket, so the append-mode output must equal the
     batch aggregation over the full table — which is exactly what the
     DuckDB oracle computes from the raw rows."""
-    import os
     import shutil
-    import tempfile
     import uuid
 
     bucket_ms = 5 * SI_MS
@@ -571,29 +603,12 @@ def q_stream_tier_5m(spark, sf_dir):
         "ts", F.col("ts").cast("timestamp")
     )
     hi = tr.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
-    d = tempfile.mkdtemp(prefix="mdbs_stream_tier_")
+    stream, d = _replay_stream(
+        spark, tr, [hi + 100 * SI_MS, hi + 200 * SI_MS], "mdbs_stream_tier_"
+    )
     try:
-        tr.write.mode("overwrite").parquet(os.path.join(d, "chunk=0"))
-        for j, extra_ms in enumerate((100 * SI_MS, 200 * SI_MS)):
-            (
-                spark.createDataFrame(
-                    [("__sentinel__", 0, "user", "x", "none")],
-                    "conv_id string, turn_idx int, role string, "
-                    "text string, tool string",
-                )
-                .withColumn("ts", F.timestamp_millis(F.lit(hi + extra_ms)))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(d, f"chunk={j + 1}"))
-            )
         from modelardb_dynamic_spark.streaming.rollup import continuous_aggregate
 
-        schema = spark.read.parquet(os.path.join(d, "chunk=0")).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(d, "chunk=*"))
-        )
         tier = continuous_aggregate(
             stream, SI_MS, bucket_ms, watermark_delay="2 minutes"
         )
@@ -1061,9 +1076,7 @@ def q_stream_sessions(spark, sf_dir):
     completion with availableNow; sentinels push the watermark past every
     real session. Append-mode output must equal the batch gaps-and-islands
     sessionization the DuckDB oracle computes from the raw rows."""
-    import os
     import shutil
-    import tempfile
     import uuid
 
     gap_ms = 30 * SI_MS
@@ -1071,29 +1084,14 @@ def q_stream_sessions(spark, sf_dir):
         "ts", F.col("ts").cast("timestamp")
     )
     hi = tr.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
-    d = tempfile.mkdtemp(prefix="mdbs_stream_sess_")
+    stream, d = _replay_stream(
+        spark, tr,
+        [hi + gap_ms + 100 * SI_MS, hi + gap_ms + 200 * SI_MS],
+        "mdbs_stream_sess_",
+    )
     try:
-        tr.write.mode("overwrite").parquet(os.path.join(d, "chunk=0"))
-        for j, extra_ms in enumerate((100 * SI_MS, 200 * SI_MS)):
-            (
-                spark.createDataFrame(
-                    [("__sentinel__", 0, "user", "x", "none")],
-                    "conv_id string, turn_idx int, role string, "
-                    "text string, tool string",
-                )
-                .withColumn("ts", F.timestamp_millis(F.lit(hi + gap_ms + extra_ms)))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(d, f"chunk={j + 1}"))
-            )
         from modelardb_dynamic_spark.streaming.rollup import session_aggregate
 
-        schema = spark.read.parquet(os.path.join(d, "chunk=0")).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(d, "chunk=*"))
-        )
         sess = session_aggregate(stream, gap_ms, watermark_delay="2 minutes")
         name = "stream_sess_" + uuid.uuid4().hex[:8]
         sq = (

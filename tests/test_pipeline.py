@@ -430,3 +430,54 @@ def test_range_quantiles_and_distinct(spark, transcripts, tmp_path):
     )
     assert got_d.exceptAll(want_d).count() == 0
     assert want_d.exceptAll(got_d).count() == 0
+
+
+def test_append_after_raw_retention_preserves_tier_history(
+    spark, transcripts, tmp_path
+):
+    """append() on a warehouse whose RAW tier was retained: pre-horizon
+    tier aggregates must survive the touched buckets' rebuild (the
+    preserved-series path), below-floor batch rows are rejected and
+    counted, and the result equals a never-retained warehouse built from
+    initial+accepted rows."""
+    from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+    lo_ts, hi_ts = transcripts.agg(
+        F.min(to_ms("ts")), F.max(to_ms("ts"))
+    ).collect()[0]
+    # hold back a batch: late turns across the timeline for two convs
+    batch_convs = ["conv00000007", "conv00000019"]
+    in_batch = F.col("conv_id").isin(batch_convs) & (
+        F.pmod(F.col("turn_idx"), F.lit(6)) == 1
+    )
+    initial = transcripts.where(~in_batch)
+    batch = transcripts.where(in_batch)
+
+    wh = Warehouse(str(tmp_path / "ar"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4, salt_span_points=None)
+    p.run(initial)
+    H = lo_ts + (hi_ts - lo_ts) // 2  # retention horizon, mid-timeline
+    p.retain_raw(H)
+
+    m = p.append(batch, batch_id="late")
+    si = 60_000
+    floor_ms = ((H + si - 1) // si) * si
+    n_below = batch.where(to_ms("ts") < floor_ms).count()
+    assert m["rejected_below_retention"] == n_below
+    assert n_below > 0  # the scenario exercises rejection
+
+    # reference: never-retained warehouse on initial + ACCEPTED rows
+    accepted = batch.where(to_ms("ts") >= floor_ms)
+    wh_f = Warehouse(str(tmp_path / "arf"), n_buckets=4)
+    p_f = TierPipeline(spark, wh_f, CFG10, chunk_buckets=4, salt_span_points=None)
+    p_f.run(initial.unionByName(accepted))
+    for table in ["series", "segments", "tier_1m", "tier_1h", "tier_1d"]:
+        a = wh_f.read(spark, table).drop("sbucket")
+        b = wh.read(spark, table).drop("sbucket")
+        assert a.exceptAll(b).count() == 0, table
+        assert b.exceptAll(a).count() == 0, table
+
+    # series retention blocks incremental maintenance loudly
+    p.retain("series", H)
+    with pytest.raises(ValueError, match="SERIES stage is retained"):
+        p.append(accepted, batch_id="late2")

@@ -481,3 +481,30 @@ def test_append_after_raw_retention_preserves_tier_history(
     p.retain("series", H)
     with pytest.raises(ValueError, match="SERIES stage is retained"):
         p.append(accepted, batch_id="late2")
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_append_random_split_fuzz(spark, transcripts, tmp_path, seed):
+    """Property: ANY partition of the input into an initial set plus two
+    sequential batches (seeded random turn-level split — arbitrary
+    interleaving in time and across conversations) appended through the
+    incremental path equals the from-scratch build."""
+    part = F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(seed)), F.lit(5))
+    initial = transcripts.where(part <= 2)
+    b1 = transcripts.where(part == 3)
+    b2 = transcripts.where(part == 4)
+
+    wh = Warehouse(str(tmp_path / f"fz{seed}"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4, salt_span_points=None)
+    p.run(initial)
+    p.append(b1, batch_id="b1")
+    p.append(b2, batch_id="b2")
+
+    wh_f = Warehouse(str(tmp_path / f"fzf{seed}"), n_buckets=4)
+    p_f = TierPipeline(spark, wh_f, CFG10, chunk_buckets=4, salt_span_points=None)
+    p_f.run(transcripts)
+    for table in ["raw", "series", "segments", "tier_1m", "tier_1h", "tier_1d"]:
+        a = wh_f.read(spark, table).drop("sbucket")
+        b = wh.read(spark, table).drop("sbucket")
+        assert a.exceptAll(b).count() == 0, table
+        assert b.exceptAll(a).count() == 0, table

@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "rolling_zscore",
     "counter_rate",
     "tiered_hll_range",
+    "cms_heavy",
+    "tiered_cms_range",
     "ewma_backtest",
 ]
 

@@ -422,3 +422,203 @@ def tiered_hist_quantiles(
         low_water=low_water,
     )
     return hist_quantiles(merged, keys, qs)
+
+
+# -- Count-Min sketch tier (heavy-key frequency estimates) ---------------------
+#
+# The frequency companion to the HLL (distinct) and histogram (quantile)
+# tiers: per (keys, bucket) a Count-Min sketch of a HIGH-CARDINALITY key
+# column (conv_id, user_id) so "how often did key k appear in [lo, hi)"
+# is answerable from tiers without per-key rows. Counters merge by SUM —
+# vector addition is commutative/associative — so the tier downsamples
+# exactly like cnt/vsum and is order-independent (value-gatable; unlike
+# Misra-Gries/SpaceSaving whose merge is tree-shape-dependent).
+#
+# Determinism contract (same idiom as the HLL tier):
+# - the D=4 row indexes are DISJOINT 9-bit slices of the one shared
+#   60-bit md5 hash (spark_h60 / duck_h60) — one hash per key, no
+#   per-row family needed, bit-identical in Spark and DuckDB;
+# - a counter row is (cell = r*W + idx, cnt), cnt an exact BIGINT sum;
+# - estimate(k) = min over the D cells of k, with an ABSENT cell = 0
+#   (rows_hit < D collapses the min to 0);
+# - standard CMS guarantee: est >= true, and est - true <= 2N/W per row
+#   with prob >= 1/2 per row independently -> err <= 2N/W whp at the
+#   min over D=4 rows (accuracy pinned by pytest on a seeded corpus).
+#
+# Scale notes (100 TB): cms_tier is one map-side-combinable groupBy;
+# shuffle carries <= D*W = 2048 counter rows per (keys, bucket)
+# regardless of key cardinality, and a range query over a year of daily
+# sketches moves ~750k rows per key-group total. No reference
+# counterpart; this is the training-pipeline's "per-source contribution
+# over a window" / hot-conversation audit primitive.
+
+CMS_D = 4              # hash rows
+CMS_W_BITS = 9
+CMS_W = 1 << CMS_W_BITS   # 512 counters per row; D*W_BITS=36 <= 60 hash bits
+
+
+def _py_h60(s: str) -> int:
+    """Driver-side twin of spark_h60/duck_h60 (probe cells are literals)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def cms_cells_py(key: str) -> list[int]:
+    """The D packed cells of `key` (driver-side, for probes/oracles)."""
+    h = _py_h60(key)
+    return [
+        r * CMS_W + ((h >> (CMS_W_BITS * r)) & (CMS_W - 1))
+        for r in range(CMS_D)
+    ]
+
+
+def cms_tier(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    bucket_expr: str,
+    weight_expr: str = "1",
+) -> DataFrame:
+    """Finest CMS tier: (keys..., bucket_ts, cell, cnt). One map-side
+    combinable groupBy; <= CMS_D*CMS_W rows per (keys, bucket)."""
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.expr(bucket_expr).alias("bucket_ts"),
+        spark_h60(value_col).alias("h"),
+        F.expr(f"CAST({weight_expr} AS BIGINT)").alias("w"),
+    )
+    cells = base.select(
+        *keys,
+        "bucket_ts",
+        "w",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"{r} * {CMS_W} + "
+                        f"((h >> {CMS_W_BITS * r}) & {CMS_W - 1})"
+                    ).cast("int")
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return (
+        cells.groupBy(*keys, "bucket_ts", "cell")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_downsample(tier: DataFrame, keys: list[str], bucket_ms: int) -> DataFrame:
+    """CMS tier -> coarser tier: counters merge by sum."""
+    return (
+        tier.groupBy(
+            *keys,
+            F.expr(f"(bucket_ts DIV {bucket_ms}) * {bucket_ms}").alias("bucket_ts"),
+            "cell",
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    tier: DataFrame, keys: list[str], probes: list[str]
+) -> DataFrame:
+    """Per (keys..., bucket_ts, probe): the CMS frequency estimate, via a
+    broadcast join of the probes' D cells (literals, computed driver-side
+    with the shared hash). An absent counter row means that cell is 0,
+    so rows_hit < D collapses the estimate to 0."""
+    spark = tier.sparkSession
+    rows = [
+        (p, c) for p in probes for c in cms_cells_py(p)
+    ]
+    probe_df = spark.createDataFrame(rows, "probe string, cell int")
+    return (
+        tier.join(F.broadcast(probe_df), "cell")
+        .groupBy(*keys, "bucket_ts", "probe")
+        .agg(
+            F.min("cnt").alias("est_min"),
+            F.count(F.lit(1)).alias("rows_hit"),
+        )
+        .selectExpr(
+            *keys,
+            "bucket_ts",
+            "probe",
+            f"CASE WHEN rows_hit < {CMS_D} THEN CAST(0 AS BIGINT) "
+            "ELSE est_min END AS est",
+        )
+    )
+
+
+def duck_cms_estimates_sql(
+    table: str,
+    keys_sql: str,
+    value_expr: str,
+    bucket_sql: str,
+    probes: list[str],
+    weight_sql: str = "1",
+    where: str = "TRUE",
+) -> str:
+    """The identical sketch-build + probe-estimate as ONE DuckDB query
+    (the oracle): same hash, same packed cells, same min-with-absent=0."""
+    probe_lits = ", ".join("'" + p.replace("'", "''") + "'" for p in probes)
+    return f"""
+        WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        h AS (
+            SELECT {keys_sql}, {bucket_sql} AS bucket_ts,
+                   {duck_h60(value_expr)} AS h,
+                   CAST({weight_sql} AS BIGINT) AS w
+            FROM {table}
+            WHERE ({value_expr}) IS NOT NULL AND ({where})
+        ),
+        cms AS (
+            SELECT {keys_sql}, bucket_ts,
+                   r * {CMS_W} + ((h >> ({CMS_W_BITS} * r)) & {CMS_W - 1})
+                       AS cell,
+                   CAST(SUM(w) AS BIGINT) AS cnt
+            FROM h CROSS JOIN rs GROUP BY ALL
+        ),
+        probes AS (SELECT unnest([{probe_lits}]) AS probe),
+        pc AS (
+            SELECT probe,
+                   r * {CMS_W} +
+                   (({duck_h60('probe')} >> ({CMS_W_BITS} * r))
+                        & {CMS_W - 1}) AS cell
+            FROM probes CROSS JOIN rs
+        ),
+        j AS (
+            SELECT {keys_sql}, bucket_ts, probe,
+                   min(cnt) AS est_min, count(*) AS rows_hit
+            FROM pc JOIN cms USING (cell) GROUP BY ALL
+        )
+        SELECT {keys_sql}, bucket_ts, probe,
+               CASE WHEN rows_hit < {CMS_D} THEN CAST(0 AS BIGINT)
+                    ELSE est_min END AS est
+        FROM j
+    """
+
+
+def tiered_cms_estimates(
+    raw: DataFrame,
+    keys: list[str],
+    value_col: str,
+    probes: list[str],
+    tiers: list[tuple[DataFrame, int]],
+    lo_ms: int,
+    hi_ms: int,
+    bucket_ms: int,
+    high_water: dict[int, int] | None = None,
+    weight_expr: str = "1",
+    low_water: dict[int, int] | None = None,
+) -> DataFrame:
+    """Frequency estimates over [lo, hi) per bucket_ms bucket, routed
+    through the coarsest CMS-tier cover; raw: (keys..., ts_ms, value)."""
+    merged = _routed_sketch(
+        raw, keys, tiers, lo_ms, hi_ms, bucket_ms, high_water,
+        sketch_cols=("cell", "cnt"),
+        raw_tier_fn=lambda df, b: cms_tier(df, keys, value_col, b, weight_expr),
+        merge_aggs=[F.sum("cnt").alias("cnt")],
+        low_water=low_water,
+    )
+    return cms_estimates(merged, keys, probes)

@@ -1054,6 +1054,75 @@ def q_tiered_hll_range(spark, sf_dir):
     )
 
 
+# deterministic probe keys for the CMS frequency queries: user ids that
+# exist at every sf (user_id is a small-int surrogate in events); embedded
+# as literals in BOTH the Spark probe table and the DuckDB oracle
+CMS_PROBES = [str(i) for i in range(1, 9)]
+
+
+def q_cms_heavy(spark, sf_dir):
+    """Mergeable Count-Min frequency tier (operators/sketches.py CMS
+    family): per event_type per DAY, the estimated event count of 8 probe
+    user_ids — built as an hourly 4x512 counter tier over disjoint 9-bit
+    slices of the shared 60-bit md5 hash, DOWNSAMPLED to daily (counter
+    sum-merge), then probed via a broadcast join of the probes' packed
+    cells. Everything is exact integer algebra both engines share, so
+    build -> merge -> estimate is value-gated end-to-end (merge
+    equivalence and the overestimate guarantee are pinned separately in
+    tests/test_sketches.py)."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        cms_downsample,
+        cms_estimates,
+        cms_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").cast("string").alias("uid"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    hourly = cms_tier(
+        ev, ["event_type"], "uid", f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}"
+    )
+    daily = cms_downsample(hourly, ["event_type"], DAY_MS)
+    return cms_estimates(daily, ["event_type"], CMS_PROBES)
+
+
+def q_tiered_cms_range(spark, sf_dir):
+    """Range-routed frequency estimates: the tier-selection cover applied
+    to CMS tiers (operators/sketches.py tiered_cms_estimates) — hourly +
+    daily counter tiers answer the interior, raw events are sketched on
+    the fly at the unaligned edges and past the (artificially capped)
+    high-water mark; counters merge by sum across the cover. The oracle
+    builds the sketch directly from the raw rows in range —
+    cover-independence is the exactness contract, exactly as for
+    tiered_agg / tiered_hll_range."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        cms_downsample,
+        cms_tier,
+        tiered_cms_estimates,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").cast("string").alias("uid"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    hourly = cms_tier(
+        ev, ["event_type"], "uid", f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}"
+    )
+    daily = cms_downsample(hourly, ["event_type"], DAY_MS)
+    lo = RANGE_LO + 95 * SI_MS
+    hi = RANGE_HI - 95 * SI_MS
+    cut = RANGE_HI - DAY_MS
+    return tiered_cms_estimates(
+        ev, ["event_type"], "uid", CMS_PROBES,
+        [(hourly, HOUR_MS), (daily, DAY_MS)],
+        lo, hi, 2 * DAY_MS,
+        high_water={HOUR_MS: cut, DAY_MS: cut},
+    )
+
+
 def q_ewma_backtest(spark, sf_dir):
     """Per-hour EWMA level + one-step forecast backtest ON the compressed
     store (operators/analytics.py ewma_levels): the in-bucket fold is a
@@ -1207,6 +1276,8 @@ QUERIES = {
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
     "tiered_hll_range": q_tiered_hll_range,
+    "cms_heavy": q_cms_heavy,
+    "tiered_cms_range": q_tiered_cms_range,
     "ewma_backtest": q_ewma_backtest,
     "stream_sessions": q_stream_sessions,
 }
@@ -2226,6 +2297,29 @@ ORACLES["tiered_hll_range"] = duck_hll_summary_sql(
     "event_type",
     "CAST(event_id AS VARCHAR)",
     f"(epoch_ms(ts) // {2 * DAY_MS}) * {2 * DAY_MS}",
+    where=(
+        f"epoch_ms(ts) >= {RANGE_LO + 95 * SI_MS} "
+        f"AND epoch_ms(ts) < {RANGE_HI - 95 * SI_MS}"
+    ),
+)
+
+
+from modelardb_dynamic_spark.operators.sketches import duck_cms_estimates_sql
+
+ORACLES["cms_heavy"] = duck_cms_estimates_sql(
+    "events",
+    "event_type",
+    "CAST(user_id AS VARCHAR)",
+    f"(epoch_ms(ts) // {DAY_MS}) * {DAY_MS}",
+    CMS_PROBES,
+)
+
+ORACLES["tiered_cms_range"] = duck_cms_estimates_sql(
+    "events",
+    "event_type",
+    "CAST(user_id AS VARCHAR)",
+    f"(epoch_ms(ts) // {2 * DAY_MS}) * {2 * DAY_MS}",
+    CMS_PROBES,
     where=(
         f"epoch_ms(ts) >= {RANGE_LO + 95 * SI_MS} "
         f"AND epoch_ms(ts) < {RANGE_HI - 95 * SI_MS}"

@@ -236,3 +236,103 @@ def test_tiered_hist_equals_direct(spark, df):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch tier / frequency estimates
+
+
+def test_cms_cells_match_python(spark):
+    """The Spark cell derivation (4 disjoint 9-bit slices of the shared
+    60-bit md5 hash, packed as r*W + idx) equals the driver-side twin
+    cms_cells_py — the function the probe table and oracles rely on."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        cms_cells_py,
+        cms_tier,
+    )
+
+    keys = [f"k{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"sid": "s", "ts_ms": 0, "val": keys})
+    )
+    tier = cms_tier(df, ["sid"], "val", "ts_ms")
+    got = {r["cell"] for r in tier.collect()}
+    want = {c for k in keys for c in cms_cells_py(k)}
+    assert got == want
+
+
+def test_cms_merge_property(spark, df):
+    """sum-merge of hourly counters == counters built at day grain."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        cms_downsample,
+        cms_tier,
+    )
+
+    hourly = cms_tier(df, ["sid"], "val", f"(ts_ms DIV {HOUR}) * {HOUR}")
+    merged = cms_downsample(hourly, ["sid"], DAY)
+    direct = cms_tier(df, ["sid"], "val", f"(ts_ms DIV {DAY}) * {DAY}")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_cms_overestimate_and_accuracy(spark):
+    """The CMS contract on a seeded skewed corpus: est >= true count for
+    every probe, and the min over D=4 rows stays within the standard
+    2N/W-per-row bound (deterministic hash -> deterministic error)."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        cms_estimates,
+        cms_tier,
+    )
+
+    # Zipf-ish: key j appears ~3000/j times; 20k rows over ~600 distincts
+    rows = []
+    for j in range(1, 600):
+        rows.extend([f"z{j}"] * (3000 // j if j <= 30 else 2))
+    n = len(rows)
+    df = spark.createDataFrame(
+        pd.DataFrame({"sid": "s", "ts_ms": 0, "val": rows})
+    )
+    tier = cms_tier(df, ["sid"], "val", "ts_ms")
+    probes = [f"z{j}" for j in (1, 2, 3, 10, 100, 599)] + ["absent"]
+    est = {
+        r["probe"]: r["est"]
+        for r in cms_estimates(tier, ["sid"], probes).collect()
+    }
+    true = {p: rows.count(p) for p in probes}
+    for p in probes:
+        assert est[p] >= true[p], (p, est[p], true[p])
+        assert est[p] - true[p] <= 2 * CMS_D * n // CMS_W, (
+            p, est[p], true[p], n,
+        )
+
+
+def test_tiered_cms_equals_direct(spark, df):
+    from modelardb_dynamic_spark.operators.sketches import (
+        cms_downsample,
+        cms_estimates,
+        cms_tier,
+        tiered_cms_estimates,
+    )
+
+    probes = ["v1", "v17", "w3", "nope"]
+    hourly = cms_tier(df, ["sid"], "val", f"(ts_ms DIV {HOUR}) * {HOUR}")
+    daily = cms_downsample(hourly, ["sid"], DAY)
+    lo, hi, w = 90_000, 36 * HOUR + 30_000, 12 * HOUR
+    cut = 20 * HOUR
+    got = tiered_cms_estimates(
+        df.withColumnRenamed("val", "v"), ["sid"], "v", probes,
+        [(hourly, HOUR), (daily, DAY)], lo, hi, w,
+        high_water={HOUR: cut, DAY: cut},
+    )
+    want = cms_estimates(
+        cms_tier(
+            df.where(f"ts_ms >= {lo} AND ts_ms < {hi}"), ["sid"], "val",
+            f"(ts_ms DIV {w}) * {w}",
+        ),
+        ["sid"],
+        probes,
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

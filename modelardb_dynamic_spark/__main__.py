@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--range-agg", default=None, metavar="LO:HI:BUCKET_MS",
                     help="after the build, answer a range aggregate via "
                          "the tier-selection planner and print the rows")
+    ap.add_argument("--range-heavy", default=None,
+                    metavar="LO:HI:BUCKET_MS:CONV[,CONV...]",
+                    help="after a --sketches build, estimate the probe "
+                         "conversations' turn counts per bucket from the "
+                         "cms_1d counter tier (hot-conversation audit)")
     args = ap.parse_args(argv)
 
     from modelardb_dynamic_spark.config import EngineConfig
@@ -117,6 +122,15 @@ def main(argv: list[str] | None = None) -> None:
         lo, hi, w = (int(x) for x in args.range_agg.split(":"))
         rows = pipe.range_agg(lo, hi, w).collect()
         out["range_agg"] = {
+            "n_rows": len(rows),
+            "sample": [r.asDict() for r in rows[:5]],
+        }
+    if args.range_heavy:
+        lo, hi, w, probes_csv = args.range_heavy.split(":", 3)
+        rows = pipe.range_heavy(
+            int(lo), int(hi), int(w), probes_csv.split(",")
+        ).collect()
+        out["range_heavy"] = {
             "n_rows": len(rows),
             "sample": [r.asDict() for r in rows[:5]],
         }

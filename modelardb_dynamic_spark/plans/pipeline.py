@@ -252,6 +252,7 @@ class TierPipeline:
         Built from the raw stage per bucket chunk like every other stage:
         lineage manifests, resume, and incremental append() all apply."""
         from modelardb_dynamic_spark.operators.sketches import (
+            cms_tier,
             hist_downsample,
             hist_tier,
             hll_tier,
@@ -307,6 +308,32 @@ class TierPipeline:
             return t.withColumn("sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets))
 
         self._run_stage("hll_1d", fingerprint, build_hll_1d,
+                        ts_col="bucket_ts", only_buckets=only_buckets)
+
+        def build_cms_1d(bucket_ids: list[int]) -> DataFrame:
+            # Count-Min counters of conv_id activity per day (hot-
+            # conversation audit). Keyed by sbucket so each warehouse
+            # bucket holds a valid partial sketch of ITS conversations —
+            # counters merge by sum, so range queries just sum across
+            # sbuckets, and append() recomputes only touched buckets.
+            src = _turns(bucket_ids)
+            if preserve_below_day is not None:
+                src = src.where(f"ts_ms >= {preserve_below_day}")
+            t = cms_tier(
+                src.withColumn(
+                    "sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets)
+                ),
+                ["sbucket"], "sid",
+                f"(ts_ms DIV {DAY_MS}) * {DAY_MS}",
+            )
+            if preserve_below_day is not None:
+                old = self._read_buckets("cms_1d", bucket_ids).where(
+                    f"bucket_ts < {preserve_below_day}"
+                )
+                t = t.unionByName(old)
+            return t
+
+        self._run_stage("cms_1d", fingerprint, build_cms_1d,
                         ts_col="bucket_ts", only_buckets=only_buckets)
 
     def run(self, transcripts: DataFrame, sketches: bool = False) -> None:
@@ -625,6 +652,36 @@ class TierPipeline:
         ]
         return tiered_hll_summary(
             self._raw_turns(), ["sid"], "text", tiers,
+            lo_ms, hi_ms, bucket_ms, high_water=hw, low_water=lw,
+        )
+
+    def range_heavy(
+        self, lo_ms: int, hi_ms: int, bucket_ms: int, probes: list[str]
+    ) -> DataFrame:
+        """Estimated turn counts of specific conversations over [lo, hi)
+        per bucket via the cms_1d counter tier + raw-edge sketching —
+        range_distinct's twin for the frequency question (hot-conversation
+        audit without touching per-conv rows). CMS counters merge by sum,
+        so the per-sbucket partial sketches and the routed cover compose
+        in the same groupBy."""
+        from modelardb_dynamic_spark.operators.sketches import (
+            tiered_cms_estimates,
+        )
+        from modelardb_dynamic_spark.plans.planner import validate_cover
+
+        names = [("cms_1d", DAY_MS)]
+        hw, lw = self._sketch_route_bounds(names)
+        raw_low = self.retention_horizon("raw")
+        validate_cover(
+            [w for _, w in names], lo_ms, hi_ms, bucket_ms,
+            high_water=hw, low_water=lw, raw_low_ms=raw_low,
+            grid_ms=self.cfg.sampling_interval_ms,
+        )
+        tiers = [
+            (self.wh.read(self.spark, n).drop("sbucket"), w) for n, w in names
+        ]
+        return tiered_cms_estimates(
+            self._raw_turns(), [], "sid", probes, tiers,
             lo_ms, hi_ms, bucket_ms, high_water=hw, low_water=lw,
         )
 

@@ -332,6 +332,20 @@ def test_sketch_tiers_stage_and_append(spark, transcripts, tmp_path):
         assert got.exceptAll(want).count() == 0, table
         assert want.exceptAll(got).count() == 0, table
 
+    # cms_1d keys its counters by sbucket (partial sketch per warehouse
+    # bucket); compare including the key
+    from modelardb_dynamic_spark.operators.sketches import cms_tier
+    from modelardb_dynamic_spark.sources.catalog import sid_bucket
+
+    cms_cols = ["sbucket", "bucket_ts", "cell", "cnt"]
+    want_cms = cms_tier(
+        turns.withColumn("sbucket", sid_bucket(F.col("sid"), 4)),
+        ["sbucket"], "sid", f"(ts_ms DIV {DAY}) * {DAY}",
+    ).select(cms_cols)
+    got_cms = wh.read(spark, "cms_1d").select(cms_cols)
+    assert got_cms.exceptAll(want_cms).count() == 0
+    assert want_cms.exceptAll(got_cms).count() == 0
+
 
 def test_retention_aware_range_agg(spark, transcripts, tmp_path):
     """retain('tier_1m', L) + range_agg: queries whose edges align to the
@@ -430,6 +444,25 @@ def test_range_quantiles_and_distinct(spark, transcripts, tmp_path):
     )
     assert got_d.exceptAll(want_d).count() == 0
     assert want_d.exceptAll(got_d).count() == 0
+
+    # range_heavy: the CMS twin — per-sbucket partial counters + raw
+    # edges must equal the direct global sketch over the rows in range
+    from modelardb_dynamic_spark.operators.sketches import (
+        cms_estimates,
+        cms_tier,
+    )
+
+    probes = ["conv00000005", "conv00000021", "conv-absent"]
+    got_h = p.range_heavy(lo, hi, w, probes)
+    want_h = cms_estimates(
+        cms_tier(
+            turns.where(f"ts_ms >= {lo} AND ts_ms < {hi}"),
+            [], "sid", f"(ts_ms DIV {w}) * {w}",
+        ),
+        [], probes,
+    )
+    assert got_h.exceptAll(want_h).count() == 0
+    assert want_h.exceptAll(got_h).count() == 0
 
 
 def test_append_after_raw_retention_preserves_tier_history(

@@ -133,16 +133,20 @@ def duck_h60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def py_h60(s: str) -> int:
+    """The same 60-bit hash driver-side (probe literals, permutation
+    constants) — the third twin beside spark_h60/duck_h60; keep all
+    three in this file so a hash change has ONE home."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def minhash_params(num_perm: int) -> tuple[list[int], list[int]]:
     """Deterministic (a, b) permutation parameters derived from md5 so the
     oracle can embed the identical constants as SQL literals."""
-    import hashlib
-
-    def h60(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
-    a = [h60(f"minhash-a-{j}") % (P31 - 1) + 1 for j in range(num_perm)]
-    b = [h60(f"minhash-b-{j}") % P31 for j in range(num_perm)]
+    a = [py_h60(f"minhash-a-{j}") % (P31 - 1) + 1 for j in range(num_perm)]
+    b = [py_h60(f"minhash-b-{j}") % P31 for j in range(num_perm)]
     return a, b
 
 

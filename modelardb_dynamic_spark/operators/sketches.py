@@ -457,16 +457,11 @@ CMS_W_BITS = 9
 CMS_W = 1 << CMS_W_BITS   # 512 counters per row; D*W_BITS=36 <= 60 hash bits
 
 
-def _py_h60(s: str) -> int:
-    """Driver-side twin of spark_h60/duck_h60 (probe cells are literals)."""
-    import hashlib
-
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
-
 def cms_cells_py(key: str) -> list[int]:
     """The D packed cells of `key` (driver-side, for probes/oracles)."""
-    h = _py_h60(key)
+    from modelardb_dynamic_spark.operators.dedup import py_h60
+
+    h = py_h60(key)
     return [
         r * CMS_W + ((h >> (CMS_W_BITS * r)) & (CMS_W - 1))
         for r in range(CMS_D)
@@ -528,8 +523,11 @@ def cms_estimates(
     """Per (keys..., bucket_ts, probe): the CMS frequency estimate, via a
     broadcast join of the probes' D cells (literals, computed driver-side
     with the shared hash). An absent counter row means that cell is 0,
-    so rows_hit < D collapses the estimate to 0."""
+    so rows_hit < D collapses the estimate to 0. Probes are deduplicated:
+    a repeated probe would double-count its matched cells into rows_hit
+    and defeat the absent-cell collapse."""
     spark = tier.sparkSession
+    probes = list(dict.fromkeys(probes))
     rows = [
         (p, c) for p in probes for c in cms_cells_py(p)
     ]
@@ -561,7 +559,9 @@ def duck_cms_estimates_sql(
     where: str = "TRUE",
 ) -> str:
     """The identical sketch-build + probe-estimate as ONE DuckDB query
-    (the oracle): same hash, same packed cells, same min-with-absent=0."""
+    (the oracle): same hash, same packed cells, same min-with-absent=0,
+    same probe dedup."""
+    probes = list(dict.fromkeys(probes))
     probe_lits = ", ".join("'" + p.replace("'", "''") + "'" for p in probes)
     return f"""
         WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),

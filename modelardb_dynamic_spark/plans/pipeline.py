@@ -75,6 +75,14 @@ class TierPipeline:
         root = self.wh.path(stage)
         os.makedirs(root, exist_ok=True)
         lineage = Lineage(root)
+        if only_buckets is not None and not lineage.metrics().get("buckets"):
+            # a stage that has never been built has nothing to restrict to:
+            # an incremental append on a warehouse predating this stage
+            # (e.g. cms_1d added after hist/hll) must BACKFILL all buckets,
+            # or untouched-bucket queries would silently answer from
+            # missing counters while lineage high-water (a max over
+            # existing manifests) still validated the cover
+            only_buckets = None
         buckets = (
             sorted(only_buckets)
             if only_buckets is not None

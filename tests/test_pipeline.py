@@ -541,3 +541,48 @@ def test_append_random_split_fuzz(spark, transcripts, tmp_path, seed):
         b = wh.read(spark, table).drop("sbucket")
         assert a.exceptAll(b).count() == 0, table
         assert b.exceptAll(a).count() == 0, table
+
+
+def test_append_backfills_stage_added_after_build(spark, transcripts, tmp_path):
+    """Upgrade path: append() on a warehouse built before a sketch stage
+    existed (cms_1d here) must BACKFILL the new stage across ALL buckets,
+    not just the touched ones — otherwise range_heavy would silently
+    undercount conversations hashing to untouched buckets while the
+    lineage high-water still validated the cover."""
+    import shutil
+
+    from modelardb_dynamic_spark.operators.sketches import (
+        cms_estimates,
+        cms_tier,
+    )
+    from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+    batch_convs = ["conv00000005"]
+    in_batch = F.col("conv_id").isin(batch_convs) & (
+        F.pmod(F.col("turn_idx"), F.lit(5)) == 2
+    )
+    wh = Warehouse(str(tmp_path / "bf"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=2, salt_span_points=None)
+    p.run(transcripts.where(~in_batch), sketches=True)
+    # simulate a warehouse from before the cms_1d stage existed
+    shutil.rmtree(wh.path("cms_1d"))
+    p.append(transcripts.where(in_batch), batch_id="upg")
+
+    turns = transcripts.select(
+        F.col("conv_id").alias("sid"),
+        to_ms("ts").alias("ts_ms"),
+    )
+    t_lo, t_hi = turns.agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
+    DAY = 86_400_000
+    lo, hi = (t_lo // DAY) * DAY, ((t_hi // DAY) + 1) * DAY
+    probes = [r["sid"] for r in turns.select("sid").distinct().limit(3).collect()]
+    got = p.range_heavy(lo, hi, DAY, probes)
+    want = cms_estimates(
+        cms_tier(
+            turns.where(f"ts_ms >= {lo} AND ts_ms < {hi}"),
+            [], "sid", f"(ts_ms DIV {DAY}) * {DAY}",
+        ),
+        [], probes,
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

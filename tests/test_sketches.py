@@ -336,3 +336,30 @@ def test_tiered_cms_equals_direct(spark, df):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_cms_duplicate_probes_do_not_inflate(spark):
+    """A repeated probe must not double-count its matched cells into
+    rows_hit (which would defeat the absent-cell=0 collapse): estimates
+    with duplicated probes equal estimates with the deduped list."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        cms_estimates,
+        cms_tier,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"sid": "s", "ts_ms": 0, "val": [f"k{i}" for i in range(7)]})
+    )
+    tier = cms_tier(df, ["sid"], "val", "ts_ms")
+    once = sorted(
+        map(tuple, cms_estimates(tier, ["sid"], ["k1", "nope"]).collect())
+    )
+    twice = sorted(
+        map(
+            tuple,
+            cms_estimates(
+                tier, ["sid"], ["k1", "k1", "nope", "nope"]
+            ).collect(),
+        )
+    )
+    assert once == twice

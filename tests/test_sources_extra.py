@@ -319,3 +319,45 @@ def test_http_interface_embedded_engine(spark, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_query_file_batch_interface(spark, tmp_path):
+    """Interface.scala's fourth surface (query-file batch, :169-185):
+    one query per line, `--` comments skipped, one JSON line per query —
+    driven through the embedded engine subprocess (same _execute as
+    http/socket/repl)."""
+    from modelardb_dynamic_spark.operators.compress import compress
+    from modelardb_dynamic_spark.sources.readers import series_from_parquet
+
+    pdf = _series_pdf(200)
+    src = str(tmp_path / "qf_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    series = series_from_parquet(spark, src, sid="s1")
+    seg_path = str(tmp_path / "qf_segments")
+    compress(series, CFG).write.mode("overwrite").parquet(seg_path)
+
+    qfile = tmp_path / "queries.sql"
+    qfile.write_text(
+        "-- comment lines are skipped\n"
+        "\n"
+        "SELECT COUNT_S(#) AS pts FROM Segment\n"
+        "SELECT sid, MIN_S(#) AS mn, MAX_S(#) AS mx FROM Segment GROUP BY sid\n"
+        "SELECT broken FROM nowhere\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "serve.py"),
+            "--segments", seg_path,
+            "--engine", "embedded",
+            "--interface", "file",
+            "--query-file", str(qfile),
+            "--sampling-interval-ms", "100",
+        ],
+        cwd=REPO, capture_output=True, text=True, check=True, timeout=120,
+    )
+    lines = [json.loads(x) for x in out.stdout.strip().splitlines()]
+    assert len(lines) == 3
+    assert lines[0]["rows"] == [{"pts": 200}]
+    assert lines[1]["rows"] == [{"sid": "s1", "mn": 5.0, "mx": 9.0}]
+    assert "error" in lines[2]

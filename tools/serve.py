@@ -101,6 +101,21 @@ def _serve_socket(engine, host: str, port: int) -> None:
     Server((host, port), Handler).serve_forever()
 
 
+def _run_query_file(engine, path: str) -> None:
+    """The reference's query-file batch mode (Interface.scala:169-185):
+    one query per line, `--` comment lines and blanks skipped, one JSON
+    line per query to stdout (wall-time included, same `_execute` as the
+    other three surfaces; errors surface as {"error": ...} rows rather
+    than aborting the batch)."""
+    with open(path) as f:
+        for line in f:
+            q = line.strip()
+            if not q or q.startswith("--"):
+                continue
+            body, _ = _execute(engine, q)
+            print(json.dumps(body, default=str), flush=True)
+
+
 def _serve_repl(engine, table: str) -> None:
     prompt = f"{table}> "
     while True:
@@ -126,9 +141,15 @@ def main() -> None:
     )
     ap.add_argument(
         "--interface",
-        choices=("http", "socket", "repl"),
+        choices=("http", "socket", "repl", "file"),
         default="http",
-        help="Interface.scala's three query surfaces",
+        help="Interface.scala's four query surfaces",
+    )
+    ap.add_argument(
+        "--query-file",
+        default=None,
+        help="with --interface file: path of newline-delimited queries "
+        "(`--` comments skipped), one JSON result line per query",
     )
     ap.add_argument("--error-bound", type=float, default=10.0)
     ap.add_argument("--sampling-interval-ms", type=int, default=60_000)
@@ -166,6 +187,10 @@ def main() -> None:
         _serve_http(engine, args.host, args.port)
     elif args.interface == "socket":
         _serve_socket(engine, args.host, args.port)
+    elif args.interface == "file":
+        if not args.query_file:
+            ap.error("--interface file requires --query-file")
+        _run_query_file(engine, args.query_file)
     else:
         _serve_repl(engine, os.path.basename(args.segments.rstrip("/")))
 

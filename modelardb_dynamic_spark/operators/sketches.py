@@ -523,7 +523,11 @@ def cms_estimates(
     """Per (keys..., bucket_ts, probe): the CMS frequency estimate, via a
     broadcast join of the probes' D cells (literals, computed driver-side
     with the shared hash). An absent counter row means that cell is 0,
-    so rows_hit < D collapses the estimate to 0. Probes are deduplicated:
+    so rows_hit < D collapses the estimate to 0. Output contract: a
+    (group, probe) row is emitted only when AT LEAST ONE of the probe's
+    cells has a counter (inner join); a probe whose cells all miss has
+    estimate 0 by omission — consumers treat a missing row as 0, and the
+    DuckDB oracle mirrors the same join shape. Probes are deduplicated:
     a repeated probe would double-count its matched cells into rows_hit
     and defeat the absent-cell collapse."""
     spark = tier.sparkSession

@@ -225,3 +225,28 @@ def test_tiered_agg_pushes_range_to_every_tier_scan(spark, tmp_path_factory):
     raw_pushed = [p for p in pushed if "ts_ms" in p]
     assert raw_pushed and "GreaterThanOrEqual(ts_ms" in raw_pushed[0]
     assert plan.count("Exchange (") == 1, plan[:3000]
+
+
+def test_cms_probe_join_broadcasts(spark):
+    """cms_estimates' probe join must be a BROADCAST join: the probe side
+    is D rows per probe (tiny by construction), while the tier side at
+    10^12 turns is a year of counters — a sort-merge join there would
+    shuffle the whole tier on `cell`."""
+    import pandas as pd
+
+    from modelardb_dynamic_spark.operators.sketches import (
+        cms_estimates,
+        cms_tier,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"sid": "s", "ts_ms": 0, "val": [f"k{i}" for i in range(30)]}
+        )
+    )
+    tier = cms_tier(df, ["sid"], "val", "ts_ms")
+    est = cms_estimates(tier, ["sid"], ["k1", "k2", "nope"])
+    plan = _formatted_plan(est)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

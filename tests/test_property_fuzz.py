@@ -164,3 +164,67 @@ def test_gorilla_roundtrip_bit_exact_fuzz(vals):
         assert np.array_equal(
             out.view(np.uint32), v.view(np.uint32)
         ), decoder.__name__
+
+
+# -- Count-Min sketch algebra (operators/sketches.py cms_*) ---------------------
+# The oracle gate pins Spark == DuckDB on the fixed bench corpus; this fuzz
+# closes the triangle by pinning the DuckDB oracle SQL against an
+# independent pure-Python model of the CMS semantics on adversarial inputs
+# (weird keys incl. quotes — exercising the probe-literal escaping — empty
+# buckets, duplicate probes, probes absent from the data).
+
+_cms_key = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\x00", max_codepoint=0x2FF
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(_cms_key, st.integers(min_value=0, max_value=3)),
+        min_size=0,
+        max_size=60,
+    ),
+    probes=st.lists(_cms_key, min_size=1, max_size=6),
+)
+def test_duck_cms_oracle_matches_python_model(rows, probes):
+    import duckdb
+
+    from modelardb_dynamic_spark.operators.sketches import (
+        CMS_D,
+        cms_cells_py,
+        duck_cms_estimates_sql,
+    )
+
+    # pure-Python CMS: cell counters per bucket, then min over probe cells
+    # (absent cell = 0) — the exact semantics the SQL claims to implement
+    cnt: dict = {}
+    for k, b in rows:
+        for c in cms_cells_py(k):
+            cnt[(b, c)] = cnt.get((b, c), 0) + 1
+    # output contract: a (bucket, probe) row exists only when >=1 of the
+    # probe's cells has a counter; all-cells-miss means estimate-0 BY
+    # OMISSION (same inner-join shape in Spark and the oracle)
+    buckets = {b for _, b in rows}
+    want = {}
+    for b in buckets:
+        for p in dict.fromkeys(probes):
+            cells = cms_cells_py(p)
+            if not any((b, c) in cnt for c in cells):
+                continue
+            want[(b, p)] = min(cnt.get((b, c), 0) for c in cells)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, b BIGINT)")
+    if rows:
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = duck_cms_estimates_sql("t", "''", "k", "b", list(probes))
+    got = {
+        (r[1], r[2]): r[3]
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want, (sorted(got.items())[:5], sorted(want.items())[:5])

@@ -228,3 +228,130 @@ def test_duck_cms_oracle_matches_python_model(rows, probes):
         for r in con.execute(sql).fetchall()
     }
     assert got == want, (sorted(got.items())[:5], sorted(want.items())[:5])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(_cms_key, st.integers(min_value=0, max_value=3)),
+        min_size=0,
+        max_size=80,
+    ),
+)
+def test_duck_hll_oracle_matches_python_model(rows):
+    """Pin duck_hll_summary_sql against an independent pure-Python model
+    of the register algebra (incl. the HUGEINT-cast scaled sum and the
+    shared double expression tree for est_raw)."""
+    import duckdb
+
+    from modelardb_dynamic_spark.operators.dedup import py_h60
+    from modelardb_dynamic_spark.operators.sketches import (
+        ALPHA,
+        M,
+        P,
+        RHO_CAP,
+        SCALE,
+        WREM,
+        duck_hll_summary_sql,
+    )
+
+    regs: dict = {}
+    for k, b in rows:
+        h = py_h60(k)
+        reg, rem = h & (M - 1), h >> P
+        rho = RHO_CAP if rem == 0 else WREM - (rem.bit_length() - 1)
+        regs[(b, reg)] = max(regs.get((b, reg), 0), rho)
+    want = {}
+    for b in {b for _, b in rows}:
+        bregs = [rho for (bb, _), rho in regs.items() if bb == b]
+        m_present = len(bregs)
+        s_present = sum(1 << (RHO_CAP - rho) for rho in bregs)
+        s_scaled = s_present + (M - m_present) * SCALE
+        est_raw = (ALPHA * M * M * float(SCALE)) / float(s_scaled)
+        want[b] = (m_present, s_scaled, M - m_present, est_raw)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, b BIGINT)")
+    if rows:
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = duck_hll_summary_sql("t", "''", "k", "b")
+    got = {
+        r[1]: (r[2], r[3], r[4], r[5]) for r in con.execute(sql).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=1_000_000_000),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=0,
+        max_size=80,
+    ),
+)
+def test_duck_hist_oracle_matches_python_model(rows):
+    """Pin duck_hist_quantiles_sql against a pure-Python model of the
+    log2x4 histogram (octave/sub-bucket index, pairwise coarse merge,
+    ceil(q*n) rank selection, exact integer value bounds)."""
+    import math
+
+    import duckdb
+
+    def idx_of(v: int) -> int:
+        if v <= 0:
+            return -1
+        e = v.bit_length() - 1
+        shift = 0 if e < 2 else e - 2
+        return e * 4 + ((v >> shift) & 3)
+
+    def bounds(idx: int) -> tuple[int, int]:
+        if idx < 0:
+            return 0, 0
+        e, sub = idx // 4, idx % 4
+        if e == 0:
+            return 1, 1
+        if e == 1:
+            return sub, sub
+        w = 1 << (e - 2)
+        lo = (4 + sub) * w
+        return lo, lo + w - 1
+
+    COARSE = 2
+    cnt: dict = {}
+    for v, b in rows:
+        key = ((b // COARSE) * COARSE, idx_of(v))
+        cnt[key] = cnt.get(key, 0) + 1
+    want = set()
+    qs = (0.5, 0.9, 0.99)
+    for cb in {k[0] for k in cnt}:
+        hist = sorted(
+            (i, c) for (bb, i), c in cnt.items() if bb == cb
+        )
+        n = sum(c for _, c in hist)
+        for q in qs:
+            target = math.ceil(q * n)
+            cum = 0
+            for i, c in hist:
+                cum += c
+                if cum >= target and cum - c < target:
+                    lo, hi = bounds(i)
+                    want.add((cb, q, i, lo, hi))
+                    break
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v BIGINT, b BIGINT)")
+    if rows:
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    from modelardb_dynamic_spark.operators.sketches import (
+        duck_hist_quantiles_sql,
+    )
+
+    sql = duck_hist_quantiles_sql("t", "''", "v", "b", COARSE)
+    got = {
+        (r[1], r[2], r[3], r[4], r[5])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want

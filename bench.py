@@ -86,7 +86,11 @@ def _force(df) -> int:
 
 
 def bench_pipeline(
-    spark, n_convs: int, turns_base: int = 5000, input_dir: str | None = None
+    spark,
+    n_convs: int,
+    turns_base: int = 5000,
+    input_dir: str | None = None,
+    bucketed: bool | None = None,
 ) -> tuple[float, int]:
     """North-star path: transcripts (parquet) -> series -> segments ->
     1m -> 1h -> 1d (all forced). Input synthesis happens once, to a
@@ -94,18 +98,56 @@ def bench_pipeline(
     deterministic, so every run and parallelism level reads identical
     bytes); the timed pipeline starts at the storage read, like a real
     job. turns_base=5000 with the generator's Zipf skew yields roughly
-    50 * n_convs turns with a 15k-turn hot head conversation."""
+    50 * n_convs turns with a 15k-turn hot head conversation.
+
+    bucketed (default on; MDBS_PIPELINE_BUCKETED=0 for the legacy
+    shuffled path): stage the input as a bucket(128, conv_id) table —
+    the north rule's Iceberg input layout, reproduced on plain parquet
+    (sources/bucketed.py) — and compress with pre_partitioned=True, so
+    the whole compress stage runs shuffle-FREE (scan -> in-task sort ->
+    Arrow kernel). The writer pays the clustering once at ingest; every
+    downstream run skips the full-data exchange. Output is bit-identical
+    to the shuffled path (tests/test_pipeline.py)."""
     import tempfile
 
     from modelardb_dynamic_spark.operators.compress import compress_transcripts
     from modelardb_dynamic_spark.operators.rollup import downsample, gap_fill, rollup
     from modelardb_dynamic_spark.sources.transcripts import generate_transcripts
 
+    if bucketed is None:
+        bucketed = os.environ.get("MDBS_PIPELINE_BUCKETED", "1") == "1"
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    suffix = "_b128" if bucketed else ""
     path = input_dir or os.path.join(
-        base, f"mdbs_bench_input_{n_convs}_{turns_base}"
+        base, f"mdbs_bench_input_{n_convs}_{turns_base}{suffix}"
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    n_buckets = 128
+    if bucketed:
+        from modelardb_dynamic_spark.sources.bucketed import (
+            read_bucketed,
+            register_bucketed,
+            write_bucketed,
+        )
+
+        table = f"mdbs_bench_in_{n_convs}_{turns_base}_b{n_buckets}"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            if spark.catalog.tableExists(table):
+                spark.sql(f"DROP TABLE `{table}`")
+            write_bucketed(
+                generate_transcripts(
+                    spark, n_convs=n_convs, turns_base=turns_base
+                ),
+                path,
+                table,
+                bucket_col="conv_id",
+                n_buckets=n_buckets,
+                sort_cols=("conv_id", "ts"),
+            )
+        else:
+            register_bucketed(
+                spark, path, table, "conv_id", n_buckets, ("conv_id", "ts")
+            )
+    elif not os.path.exists(os.path.join(path, "_SUCCESS")):
         # fixed 64-file layout regardless of the generating session's core
         # count: scan parallelism must not be capped by whoever staged the
         # input (8 files would cap the read stage at 8 tasks)
@@ -115,9 +157,9 @@ def bench_pipeline(
     n_turns = spark.read.parquet(path).count()
 
     t0 = time.time()
-    tr = spark.read.parquet(path)
-    # fused derive+compress: one narrow exchange (bit-identical to the
-    # staged series path, asserted in tests)
+    tr = read_bucketed(spark, table, n_buckets) if bucketed else spark.read.parquet(path)
+    # fused derive+compress: one narrow exchange, or ZERO on the bucketed
+    # path (bit-identical to the staged series path, asserted in tests)
     # length_bound 256 (reference default 50 is an in-memory JVM buffer
     # constraint; the vectorized kernel has none): +37% ratio on the noisy
     # token_rate series at identical error bound, same reconstruction
@@ -127,6 +169,7 @@ def bench_pipeline(
             error_bound=10.0, length_bound=256, sampling_interval_ms=60_000
         ),
         salt_span_points=1 << 16,
+        pre_partitioned=bucketed,
     ).persist()
     # segs is persisted above: the rollup branches re-read the cache
     m1 = rollup(segs, 60_000, materialize=False)

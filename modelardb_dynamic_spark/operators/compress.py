@@ -208,6 +208,7 @@ def compress(
     salt_span_points: int | None = None,
     num_partitions: int | None = None,
     enforce_grid: bool = False,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """series (sid, metric, ts_ms, value) -> segment DataFrame.
 
@@ -222,6 +223,11 @@ def compress(
 
     salt_span_points: split each series into ranges of that many sampling
     intervals so hot series parallelize (flush-at-boundary semantics above).
+
+    pre_partitioned=True: the caller guarantees each sid's rows already
+    share an input partition (bucketed/Iceberg-bucket scan via
+    sources.bucketed.read_bucketed) — the exchange is skipped and the
+    stage is shuffle-free; see compress_transcripts for the contract.
     """
     df = series
     if enforce_grid:
@@ -244,17 +250,20 @@ def compress(
     span_ms = (
         salt_span_points * cfg.sampling_interval_ms if salt_span_points else None
     )
-    if span_ms:
-        # partition on the salt EXPRESSION; the column itself never ships
-        hash_exprs = [F.col("sid"), (F.col("ts_ms") / span_ms).cast("long")]
+    if pre_partitioned:
+        df = df.sortWithinPartitions("sid", "metric", "ts_ms")
     else:
-        hash_exprs = [F.col("sid")]
-    # 2x cores: two waves of map tasks so a straggler partition (skewed
-    # series mix) doesn't idle the rest of the cluster
-    n_part = num_partitions or 2 * series.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(n_part, *hash_exprs).sortWithinPartitions(
-        "sid", "metric", "ts_ms"
-    )
+        if span_ms:
+            # partition on the salt EXPRESSION; the column itself never ships
+            hash_exprs = [F.col("sid"), (F.col("ts_ms") / span_ms).cast("long")]
+        else:
+            hash_exprs = [F.col("sid")]
+        # 2x cores: two waves of map tasks so a straggler partition (skewed
+        # series mix) doesn't idle the rest of the cluster
+        n_part = num_partitions or 2 * series.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(n_part, *hash_exprs).sortWithinPartitions(
+            "sid", "metric", "ts_ms"
+        )
     return df.select("sid", "metric", "ts_ms", "value").mapInArrow(
         _make_map_fn(cfg, span_ms=span_ms), schema=SEGMENT_SCHEMA
     )
@@ -280,6 +289,7 @@ def compress_transcripts(
     cfg: EngineConfig,
     salt_span_points: int | None = None,
     num_partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Fused transcript -> series -> segments operator.
 
@@ -292,7 +302,19 @@ def compress_transcripts(
     bottleneck (memory-bound, poor multicore scaling); the fused path
     shuffles only (conv_id, ts_ms, tokens) rows and aggregates per
     conversation in vectorized code. Output is bit-identical to the
-    unfused path (asserted in tests/test_pipeline.py)."""
+    unfused path (asserted in tests/test_pipeline.py).
+
+    pre_partitioned=True drops even that one exchange: the caller
+    guarantees every conv_id's rows already live in one input partition
+    (a bucket(N, conv_id) Iceberg/bucketed table scanned via
+    sources.bucketed.read_bucketed, which asserts the guarantee). The
+    stage then plans as scan -> in-task sort -> kernel with ZERO shuffles;
+    output stays bit-identical because segment content depends only on
+    each conversation's own sorted rows, never on which task compresses
+    it. The in-kernel salt (segment-boundary flush) semantics are
+    unchanged; what salting can no longer do on this path is spread ONE
+    hot conversation across tasks — see sources/bucketed.py for when that
+    trade is wrong."""
     si = cfg.sampling_interval_ms
     df = transcripts.select(
         F.col("conv_id").alias("sid"),
@@ -309,15 +331,21 @@ def compress_transcripts(
     # ts_ms expression directly and the kernel re-derives salt = ts//span
     # from the shuffled ts_ms — 8 fewer bytes per shuffled turn row
     span_ms = salt_span_points * si if salt_span_points else None
-    if span_ms:
-        salt_expr = (F.col("ts_ms") / span_ms).cast("long")
-        hash_exprs = [F.col("sid"), salt_expr]
+    if pre_partitioned:
+        df = df.sortWithinPartitions("sid", "ts_ms")
     else:
-        hash_exprs = [F.col("sid")]
-    n_part = num_partitions or 2 * transcripts.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(n_part, *hash_exprs).sortWithinPartitions(
-        "sid", "ts_ms"
-    )
+        if span_ms:
+            salt_expr = (F.col("ts_ms") / span_ms).cast("long")
+            hash_exprs = [F.col("sid"), salt_expr]
+        else:
+            hash_exprs = [F.col("sid")]
+        n_part = (
+            num_partitions
+            or 2 * transcripts.sparkSession.sparkContext.defaultParallelism
+        )
+        df = df.repartition(n_part, *hash_exprs).sortWithinPartitions(
+            "sid", "ts_ms"
+        )
 
     def map_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         carry_key: tuple | None = None

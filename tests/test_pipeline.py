@@ -163,6 +163,41 @@ def test_fused_compress_transcripts_identical(spark, transcripts, series):
         assert unfused.exceptAll(fused).count() == 0, f"salt={salt}"
 
 
+def test_bucketed_compress_zero_shuffle_identical(spark, transcripts, tmp_path):
+    """The bucket(N, conv_id) input layout (north rule's Iceberg spec,
+    plain-parquet stand-in): compress_transcripts(pre_partitioned=True)
+    over a bucketed scan must (a) plan ZERO exchanges, (b) read bucketed
+    with one task per bucket (read_bucketed asserts both confs and scan),
+    (c) emit segments bit-identical to the shuffled path, salted and not,
+    and (d) survive catalog re-registration from bare files."""
+    from modelardb_dynamic_spark.operators.compress import compress_transcripts
+    from modelardb_dynamic_spark.sources.bucketed import (
+        read_bucketed,
+        register_bucketed,
+        write_bucketed,
+    )
+
+    path = str(tmp_path / "bucketed_in")
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_in")
+    write_bucketed(
+        transcripts, path, "t_bucketed_in", "conv_id", 8, ("conv_id", "ts")
+    )
+    # simulate a fresh session's empty catalog: re-register from the files
+    spark.sql("DROP TABLE t_bucketed_in")
+    register_bucketed(spark, path, "t_bucketed_in", "conv_id", 8, ("conv_id", "ts"))
+    b = read_bucketed(spark, "t_bucketed_in", 8)
+    assert b.count() == transcripts.count()
+    for salt in (None, 16):
+        segs_b = compress_transcripts(b, CFG10, salt_span_points=salt,
+                                      pre_partitioned=True)
+        plan = segs_b._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        segs_s = compress_transcripts(transcripts, CFG10, salt_span_points=salt)
+        assert segs_b.exceptAll(segs_s).count() == 0, f"salt={salt}"
+        assert segs_s.exceptAll(segs_b).count() == 0, f"salt={salt}"
+    spark.sql("DROP TABLE t_bucketed_in")
+
+
 def test_range_agg_real_time_tail(spark, transcripts, tmp_path):
     """range_agg (tier-selection planner + lineage high-water): build the
     warehouse from the OLD 75% of the transcripts, then land the full set

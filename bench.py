@@ -100,14 +100,23 @@ def bench_pipeline(
     job. turns_base=5000 with the generator's Zipf skew yields roughly
     50 * n_convs turns with a 15k-turn hot head conversation.
 
-    bucketed (default on; MDBS_PIPELINE_BUCKETED=0 for the legacy
-    shuffled path): stage the input as a bucket(128, conv_id) table —
-    the north rule's Iceberg input layout, reproduced on plain parquet
-    (sources/bucketed.py) — and compress with pre_partitioned=True, so
-    the whole compress stage runs shuffle-FREE (scan -> in-task sort ->
-    Arrow kernel). The writer pays the clustering once at ingest; every
-    downstream run skips the full-data exchange. Output is bit-identical
-    to the shuffled path (tests/test_pipeline.py)."""
+    bucketed (default OFF; MDBS_PIPELINE_BUCKETED=1 to opt in): stage
+    the input as a bucket(128, conv_id) table — the north rule's Iceberg
+    input layout, reproduced on plain parquet (sources/bucketed.py) —
+    and compress with pre_partitioned=True, so the whole compress stage
+    runs shuffle-FREE (scan -> in-task sort -> Arrow kernel). Output is
+    bit-identical to the shuffled path (tests/test_pipeline.py). Why the
+    local default is the SHUFFLED path: a warm quiet-window A/B on this
+    box (18.6M turns, local[16], steal <=1%) measured legacy 24.3-28.0 s
+    vs bucketed 35.9-36.3 s (29.7-33.9 s with the coalesce-to-2xcores
+    read) — a single-JVM "shuffle" is an in-memory copy, so eliminating
+    it buys ~nothing here, while the bucketed scan's fixed one-task-per-
+    bucket granularity forfeits AQE's balanced partitions and multiplies
+    downstream per-(map x reduce) zstd stream setup. On a real cluster
+    the same exchange is 12.2 B/turn ACROSS THE NETWORK (~12 TB moved
+    twice at 10^12 turns, BENCH.md round-4 headline) and the bucketed
+    scan wins; the trade is per-deployment, both paths are tested, and
+    the full A/B table is in BENCH.md."""
     import tempfile
 
     from modelardb_dynamic_spark.operators.compress import compress_transcripts
@@ -115,7 +124,7 @@ def bench_pipeline(
     from modelardb_dynamic_spark.sources.transcripts import generate_transcripts
 
     if bucketed is None:
-        bucketed = os.environ.get("MDBS_PIPELINE_BUCKETED", "1") == "1"
+        bucketed = os.environ.get("MDBS_PIPELINE_BUCKETED", "0") == "1"
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     suffix = "_b128" if bucketed else ""
     path = input_dir or os.path.join(
@@ -157,7 +166,14 @@ def bench_pipeline(
     n_turns = spark.read.parquet(path).count()
 
     t0 = time.time()
-    tr = read_bucketed(spark, table, n_buckets) if bucketed else spark.read.parquet(path)
+    tr = (
+        read_bucketed(
+            spark, table, n_buckets,
+            coalesce_to=2 * spark.sparkContext.defaultParallelism,
+        )
+        if bucketed
+        else spark.read.parquet(path)
+    )
     # fused derive+compress: one narrow exchange, or ZERO on the bucketed
     # path (bit-identical to the staged series path, asserted in tests)
     # length_bound 256 (reference default 50 is an in-memory JVM buffer

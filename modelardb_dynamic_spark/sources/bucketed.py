@@ -18,6 +18,18 @@ the round-4 zstd+salt cuts, i.e. ~12 TB moved twice at 10^12 turns) is
 gone entirely. On the memory-bandwidth-bound box BENCH.md documents, bytes
 not moved are the cheapest bytes.
 
+Where this path wins — and where it doesn't: the exchange it removes is
+a NETWORK cost. On a multi-node cluster that cost is real (the dominant
+stage's full-data shuffle, twice over at 10^12 turns); on a single JVM a
+"shuffle" is an in-memory copy, and a warm quiet-window A/B (18.6M
+turns, local[16], BENCH.md round-4) measured the shuffled path FASTER
+(24-28 s vs 30-36 s): the fixed one-task-per-bucket scan forfeits AQE's
+balanced partitions, and downstream stages inherit n_buckets map
+partitions, multiplying per-(map x reduce) zstd shuffle-stream setup
+(mitigated but not erased by read_bucketed(coalesce_to=2x cores)).
+bench.py therefore defaults to the shuffled path locally and keeps this
+one opt-in (MDBS_PIPELINE_BUCKETED=1); both are oracle-identical.
+
 Guard rails: Spark silently falls back to a split-file scan when bucketing
 is disabled (or when spark.sql.sources.bucketing.autoBucketedScan.enabled
 decides no operator "needs" the clustering — a pure mapInArrow does not
@@ -110,17 +122,30 @@ def register_bucketed(
 
 
 def read_bucketed(
-    spark: SparkSession, table: str, n_buckets: int
+    spark: SparkSession, table: str, n_buckets: int,
+    coalesce_to: int | None = None,
 ) -> DataFrame:
     """Scan a bucketed table with the clustering guarantee ENFORCED:
     pins the bucketing confs and asserts the physical scan reads bucketed
     (one task per bucket, files never split), because a silent fallback
     would hand the compress kernel partitions that do not contain whole
-    conversations."""
+    conversations.
+
+    coalesce_to: optionally coalesce the scan DOWN to this many
+    partitions (must be <= n_buckets; no shuffle — each output partition
+    is a union of WHOLE buckets, so per-conv_id grouping survives).
+    Bucket counts are fixed at ingest for the table's lifetime, sized for
+    the cluster, not for one job; a small job over a many-bucket table
+    should coalesce to ~2x its cores instead of paying per-task overhead
+    x n_buckets — measured 36 -> 30 s on the 18.6M-turn local[16] bench,
+    mostly from downstream stages inheriting 128 map partitions and
+    paying per-(map x reduce) zstd shuffle-stream setup."""
     for k, v in BUCKETED_CONFS.items():
         spark.conf.set(k, v)
     df = spark.table(table)
     assert_bucketed_scan(df, n_buckets)
+    if coalesce_to is not None and coalesce_to < n_buckets:
+        df = df.coalesce(coalesce_to)
     return df
 
 

@@ -259,15 +259,26 @@ def main() -> None:
     _force(registry["seg_count_s"](spark, sf_dir))
     # best-of-2 per query: the sandbox VM has a bursty noisy neighbor
     # (sustained 10-33% CPU-steal windows, measured in BENCH.md) and a
-    # single contaminated pass misreports capability by multiple x
+    # single contaminated pass misreports capability by multiple x.
+    # Repeats are INTERLEAVED (pass 1 of every query, then pass 2) so a
+    # multi-minute steal window cannot contaminate both samples of one
+    # query — with 62 queries a full pass takes ~10 min, longer than the
+    # observed windows. A query whose two samples still disagree >1.6x
+    # gets one tiebreak rep (bounded extra cost, only where contamination
+    # is evident).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(repeats):
+    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    for _ in range(repeats):
+        for name in BENCH_QUERIES:
             t0 = time.time()
             _force(registry[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples[name].append(time.time() - t0)
+    for name, ss in samples.items():
+        if len(ss) >= 2 and max(ss) > 1.6 * min(ss):
+            t0 = time.time()
+            _force(registry[name](spark, sf_dir))
+            ss.append(time.time() - t0)
+        timings[name] = round(min(ss), 3)
 
     pipe_best = None
     for _ in range(repeats):

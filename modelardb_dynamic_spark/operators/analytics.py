@@ -124,73 +124,39 @@ def interpolate_grid(
     points = points.groupBy("sid", "ts_ms").agg(F.max("v").alias("v"))
     if materialize:
         points = _materialize(points)
-    spans = points.groupBy("sid").agg(
-        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+    # ONE window pass over the observations alone: each observation learns
+    # its successor via lead(), and the half-open interval [t, tn) it
+    # brackets then EMITS its own grid points directly
+    # (explode(sequence(...))). No grid/observation union, no second sort
+    # over obs+grid rows, no carry-forward running window — earlier
+    # versions of this operator did all three (a [current, unbounded
+    # following] frame was 10x worse still: Spark evaluates that frame
+    # shape O(n^2) per partition). Intervals partition the sid's span, so
+    # each grid point is generated exactly once; the series' final
+    # observation (tn NULL) contributes only a coincident grid point
+    # (glo = ghi = t when t is grid-aligned, an empty range otherwise) —
+    # the same "exact where the grid hits an observation, defined only
+    # inside the observed span" semantics as before. A grid point equal
+    # to an observation's t is emitted by the interval STARTING there, so
+    # it takes the t = tp exact branch of the shared lerp expression.
+    ow = Window.partitionBy("sid").orderBy("ts_ms")
+    obs = points.withColumn("tn", F.lead("ts_ms").over(ow)).withColumn(
+        "vn", F.lead("v").over(ow)
     )
-    # integer grid alignment (no float division on the path)
-    grid = (
-        spans.selectExpr(
-            "sid",
-            f"((lo + {grid_ms - 1}) DIV {grid_ms}) * {grid_ms} AS glo",
-            f"(hi DIV {grid_ms}) * {grid_ms} AS ghi",
-        )
-        .where(F.col("glo") <= F.col("ghi"))
-        .select(
-            "sid",
-            F.explode(
-                F.sequence("glo", "ghi", F.lit(grid_ms).cast("long"))
-            ).alias("t"),
-        )
-    )
-    obs = points.select(
+    glo = f"((ts_ms + {grid_ms - 1}) DIV {grid_ms}) * {grid_ms}"
+    ghi = f"coalesce((tn - 1) DIV {grid_ms}, ts_ms DIV {grid_ms}) * {grid_ms}"
+    covered = obs.selectExpr(
         "sid",
-        F.col("ts_ms").alias("t"),
-        F.col("v"),
-        F.lit(0).alias("g"),
+        "ts_ms AS tp",
+        "v AS vp",
+        "tn",
+        "vn",
+        f"CASE WHEN {glo} <= {ghi} THEN "
+        f"sequence({glo}, {ghi}, CAST({grid_ms} AS BIGINT)) "
+        f"ELSE CAST(array() AS array<bigint>) END AS ts_grid",
     )
-    # ONE full-size sort. Each observation first learns its successor via
-    # lead() over the (small) observation set alone; the union pass then
-    # needs only FORWARD-carrying running lasts on the (t asc, g asc)
-    # ordering: a grid row picks up (tp, vp) from the nearest preceding
-    # observation and (tn, vn) from that same observation's stored
-    # successor — which is exactly the nearest following observation,
-    # since no observation lies between them. (A [current, unbounded
-    # following] frame would express "next" directly but Spark evaluates
-    # that frame shape O(n^2) per partition — measured 10x slower than
-    # the original two-sort form, while this carry form halves it.)
-    # Coincident grid points (t = tp) take vp exactly; the lerp factor is
-    # 0 there, so tn being the successor (or NULL at the series end, a
-    # row the filter keeps) never contributes.
-    ow = Window.partitionBy("sid").orderBy("t")
-    obs2 = obs.withColumn("tn0", F.lead("t").over(ow)).withColumn(
-        "vn0", F.lead("v").over(ow)
-    )
-    u = obs2.unionByName(
-        grid.select(
-            "sid",
-            "t",
-            F.lit(None).cast("long").alias("v"),
-            F.lit(1).alias("g"),
-            F.lit(None).cast("long").alias("tn0"),
-            F.lit(None).cast("long").alias("vn0"),
-        )
-    )
-    wp = (
-        Window.partitionBy("sid")
-        .orderBy(F.asc("t"), F.asc("g"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    obs_t = F.when(F.col("g") == 0, F.col("t"))
-    res = (
-        u.withColumn("vp", F.last("v", ignorenulls=True).over(wp))
-        .withColumn("tp", F.last(obs_t, ignorenulls=True).over(wp))
-        .withColumn("vn", F.last("vn0", ignorenulls=True).over(wp))
-        .withColumn("tn", F.last("tn0", ignorenulls=True).over(wp))
-    )
-    return res.where(
-        (F.col("g") == 1)
-        & F.col("tp").isNotNull()
-        & (F.col("tn").isNotNull() | (F.col("t") == F.col("tp")))
+    return covered.select(
+        "sid", "tp", "vp", "tn", "vn", F.explode("ts_grid").alias("t")
     ).selectExpr("sid", "t AS ts_ms", f"{_LERP_EXPR} AS value")
 
 

@@ -1194,11 +1194,17 @@ def q_tiered_agg(spark, sf_dir):
     from modelardb_dynamic_spark.plans.planner import tiered_agg
     from modelardb_dynamic_spark.sources.timeseries import transcript_series
 
+    from modelardb_dynamic_spark.operators.dedup import _materialize
+
     tr = _events_as_transcripts(spark, sf_dir)
-    series = transcript_series(tr, SI_MS)
+    # series, t1m, t1h each feed TWO consumers (compress + the routed
+    # cover's raw tail; the next tier's downsample + the cover's edge
+    # branch) — materialize so each upstream runs once per tier instead
+    # of once per consumer
+    series = _materialize(transcript_series(tr, SI_MS))
     segs = compress(series, CFG0)
-    t1m = rollup(segs, SI_MS)
-    t1h = downsample(t1m, HOUR_MS)
+    t1m = _materialize(rollup(segs, SI_MS))
+    t1h = _materialize(downsample(t1m, HOUR_MS))
     t1d = downsample(t1h, DAY_MS)
     lo = RANGE_LO + 90 * SI_MS + 30_000
     hi = RANGE_HI - 90 * SI_MS - 30_000

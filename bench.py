@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "tiered_agg",
     "dup_clusters",
     "hll_distinct",
+    "kmv_distinct",
+    "kmv_overlap",
     "hist_quantile",
     "rolling_zscore",
     "counter_rate",

@@ -626,3 +626,206 @@ def tiered_cms_estimates(
         low_water=low_water,
     )
     return cms_estimates(merged, keys, probes)
+
+
+# -- KMV (k-minimum-values / bottom-k) distinct sketch tier --------------------
+#
+# The set-operation companion to the HLL tier: HLL registers union (max)
+# but cannot INTERSECT — "how many users were active in BOTH window A and
+# window B" has no register answer. A KMV sketch (the k smallest h60
+# hashes of the distinct values) supports union AND intersection: the
+# bottom-k of a union is the bottom-k of the merged bottom-ks, and within
+# the union sketch the fraction of hashes present in both sides is an
+# unbiased Jaccard estimate (Beyer et al., "On Synopses for Distinct-Value
+# Estimation Under Multiset Operations", SIGMOD'07 — the classic KMV/AKMV
+# construction; also Bar-Yossef et al. 2002).
+#
+# Everything is DETERMINISTIC and value-gatable, same contract as the HLL
+# tier above:
+# - the hash is the shared 60-bit md5 prefix (spark_h60 / duck_h60);
+# - the tier stores PLAIN ROWS (keys..., bucket_ts, h): the k smallest
+#   distinct hashes — merge/downsample = distinct + re-rank, <= k rows
+#   per key-bucket at any cardinality;
+# - the estimator (k-1) * 2^60 / h_(k) uses exact-integer inputs and ONE
+#   double division, its expression text shared verbatim with the DuckDB
+#   oracle (_kmv_est_sql), so even the double column hash-matches.
+#
+# Scale notes (100 TB): the finest-tier build first prunes each Arrow
+# batch to its per-(key, bucket) bottom-k (vectorized pandas — bottom-k
+# of a union == bottom-k of per-part bottom-ks, so the prune is
+# result-invariant, pinned by pytest), then ONE map-side-combinable
+# groupBy collects, sorts, and slices <= k hashes per group; the shuffle
+# carries <= k rows per (key, bucket) per upstream partition instead of
+# every distinct value. Downsampling re-ranks <= k * fanin rows per
+# group. Sketches are tiny (k per key) so overlap joins broadcast. No
+# reference counterpart (ModelarDB has no distinct aggregate at all);
+# this is the training-pipeline's "overlap between crawl snapshots /
+# active-set churn" workhorse.
+
+K_KMV = 64
+_H60_SPAN = float(1 << 60)  # exactly representable; repr round-trips
+
+
+def _kmv_est_sql(k: int, m: str = "m", h_k: str = "h_k") -> str:
+    """Distinct estimate: exact count below k, else the KMV unbiased
+    estimator (k-1) * 2^60 / h_(k). (k-1)*2^60 is computed as one exact
+    double literal product; the division is the single rounding step,
+    performed identically by Spark and DuckDB."""
+    return (
+        f"CASE WHEN {m} < {k} THEN CAST({m} AS DOUBLE) "
+        f"ELSE (CAST({k - 1} AS DOUBLE) * {_H60_SPAN!r}) "
+        f"/ CAST({h_k} AS DOUBLE) END"
+    )
+
+
+def _kmv_prune(df: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Per-Arrow-batch partial bottom-k (the map-side combine): within
+    each batch keep only the k smallest distinct h per group. Never
+    changes the final sketch — bottom-k(union) == bottom-k(bottom-ks)."""
+    schema = df.schema
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.drop_duplicates(subset=[*group_cols, "h"])
+            pdf = pdf.sort_values([*group_cols, "h"], kind="mergesort")
+            yield pdf.groupby(group_cols, sort=False).head(k)
+
+    return df.mapInPandas(prune, schema)
+
+
+def _kmv_bottomk(df: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """groupBy collect -> distinct -> sort -> slice k -> explode back to
+    plain tier rows. collect_list is map-side combinable and its partial
+    states are bounded by the upstream prune."""
+    g = df.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k).alias(
+            "hs"
+        )
+    )
+    return g.select(*group_cols, F.explode("hs").alias("h"))
+
+
+def kmv_tier(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    bucket_expr: str,
+    k: int = K_KMV,
+) -> DataFrame:
+    """Finest sketch tier: (keys..., bucket_ts, h) — the k smallest
+    distinct 60-bit hashes of value_col per (keys, bucket)."""
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.expr(bucket_expr).alias("bucket_ts"),
+        spark_h60(value_col).alias("h"),
+    )
+    pruned = _kmv_prune(base, [*keys, "bucket_ts"], k)
+    return _kmv_bottomk(pruned, [*keys, "bucket_ts"], k)
+
+
+def kmv_downsample(
+    tier: DataFrame, keys: list[str], bucket_ms: int, k: int = K_KMV
+) -> DataFrame:
+    """Sketch tier -> coarser sketch tier: re-bucket, re-rank, keep k.
+    Exactly the coarse sketch a direct build would produce (pytest-pinned
+    merge property)."""
+    rebucketed = tier.select(
+        *keys,
+        F.expr(f"(bucket_ts DIV {bucket_ms}) * {bucket_ms}").alias("bucket_ts"),
+        "h",
+    )
+    return _kmv_bottomk(rebucketed, [*keys, "bucket_ts"], k)
+
+
+def kmv_summary(tier: DataFrame, keys: list[str], k: int = K_KMV) -> DataFrame:
+    """Per (keys..., bucket_ts): m = |sketch| (exact count when m < k),
+    h_k = the k-th smallest hash, and the distinct estimate — every
+    column value-gatable against DuckDB."""
+    return (
+        tier.groupBy(*keys, "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("m"), F.max("h").alias("h_k"))
+        .selectExpr(
+            *keys, "bucket_ts", "m", "h_k",
+            f"{_kmv_est_sql(k)} AS distinct_est",
+        )
+    )
+
+
+def kmv_overlap(
+    sa: DataFrame, sb: DataFrame, keys: list[str], k: int = K_KMV
+) -> DataFrame:
+    """Set-operation estimates between two KMV sketches with the same
+    keys (plain rows (keys..., h), one sketch per key on each side):
+    per key — mu/h_k_u (the union sketch state), n_both (union-sketch
+    hashes present in BOTH sides), est_union, and the intersection
+    estimate est_inter = (n_both / mu) * est_union. Sketches carry <= k
+    rows per key, so both joins broadcast at any corpus size."""
+    u = _kmv_bottomk(sa.unionByName(sb), keys, k)
+    j = (
+        u.join(sa.withColumn("in_a", F.lit(1)), [*keys, "h"], "left")
+        .join(sb.withColumn("in_b", F.lit(1)), [*keys, "h"], "left")
+    )
+    est_u = _kmv_est_sql(k, m="mu", h_k="h_k_u")
+    return (
+        j.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("mu"),
+            F.max("h").alias("h_k_u"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL "
+                    "THEN 1 ELSE 0 END"
+                )
+            ).alias("n_both"),
+        )
+        .selectExpr(
+            *keys, "mu", "h_k_u", "n_both",
+            f"{est_u} AS est_union",
+            f"(CAST(n_both AS DOUBLE) / CAST(mu AS DOUBLE)) * ({est_u}) "
+            "AS est_inter",
+        )
+    )
+
+
+def duck_kmv_sketch_sql(
+    table: str, keys_sql: str, value_expr: str, bucket_sql: str,
+    k: int = K_KMV, where: str = "TRUE",
+) -> str:
+    """The identical sketch as a DuckDB CTE body returning
+    (keys..., bucket_ts, h): distinct hashes ranked per group, bottom k."""
+    return f"""
+        SELECT {keys_sql}, bucket_ts, h FROM (
+            SELECT {keys_sql}, bucket_ts, h,
+                   row_number() OVER (
+                       PARTITION BY {keys_sql}, bucket_ts ORDER BY h
+                   ) AS rn
+            FROM (
+                SELECT DISTINCT {keys_sql}, {bucket_sql} AS bucket_ts,
+                       {duck_h60(value_expr)} AS h
+                FROM {table}
+                WHERE ({value_expr}) IS NOT NULL AND ({where})
+            )
+        ) WHERE rn <= {k}
+    """
+
+
+def duck_kmv_summary_sql(
+    table: str, keys_sql: str, value_expr: str, bucket_sql: str,
+    k: int = K_KMV, where: str = "TRUE",
+) -> str:
+    """Sketch + summary as ONE DuckDB query (the oracle); the estimate
+    expression text is shared verbatim with kmv_summary."""
+    sketch = duck_kmv_sketch_sql(table, keys_sql, value_expr, bucket_sql, k, where)
+    return f"""
+        WITH sk AS ({sketch}),
+        s AS (
+            SELECT {keys_sql}, bucket_ts,
+                   CAST(count(*) AS BIGINT) AS m, max(h) AS h_k
+            FROM sk GROUP BY ALL
+        )
+        SELECT {keys_sql}, bucket_ts, m, h_k,
+               {_kmv_est_sql(k)} AS distinct_est
+        FROM s
+    """

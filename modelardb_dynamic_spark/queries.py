@@ -949,6 +949,62 @@ def q_hll_distinct(spark, sf_dir):
     return hll_summary(daily, ["event_type"])
 
 
+def _events_uid(spark, sf_dir):
+    """(event_type, uid, ts_ms) — the KMV queries' shared projection."""
+    return _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").cast("string").alias("uid"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct sketch tier (operators/sketches.py KMV
+    family): the k=64 smallest md5-60 hashes of user_id per event_type,
+    built as an hourly tier then DOWNSAMPLED to daily (distinct +
+    re-rank — the KMV merge property, pinned by tests/test_sketches.py),
+    then summarized to (m, h_k, distinct_est). The estimator is exact
+    integers plus one shared double division, so the whole sketch is
+    value-gated against DuckDB replaying the identical ranking algebra
+    at day grain."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        kmv_downsample,
+        kmv_summary,
+        kmv_tier,
+    )
+
+    ev = _events_uid(spark, sf_dir)
+    hourly = kmv_tier(ev, ["event_type"], "uid", f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}")
+    daily = kmv_downsample(hourly, ["event_type"], DAY_MS)
+    return kmv_summary(daily, ["event_type"])
+
+
+# the kmv_overlap window boundary: first 3 days vs the rest of the range
+KMV_CUT = RANGE_LO + 3 * DAY_MS
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Distinct-set OVERLAP between two time windows — the query HLL
+    registers cannot answer (registers union but never intersect):
+    per event_type, how many distinct user_ids were active in BOTH the
+    first 3 days and the remainder of the range. Both windows are
+    sketched (KMV bottom-64), the union sketch is re-ranked from the two
+    sides, and est_inter = (n_both / mu) * est_union — every column
+    integer or a shared double expression, fully value-gated."""
+    from modelardb_dynamic_spark.operators.sketches import kmv_overlap, kmv_tier
+
+    ev = _events_uid(spark, sf_dir)
+    sa = kmv_tier(
+        ev.where(F.col("ts_ms") < KMV_CUT),
+        ["event_type"], "uid", "CAST(0 AS BIGINT)",
+    ).drop("bucket_ts")
+    sb = kmv_tier(
+        ev.where(F.col("ts_ms") >= KMV_CUT),
+        ["event_type"], "uid", "CAST(0 AS BIGINT)",
+    ).drop("bucket_ts")
+    return kmv_overlap(sa, sb, ["event_type"])
+
+
 def q_hist_quantile(spark, sf_dir):
     """Mergeable quantile tier (operators/sketches.py histogram family):
     HDR-style log2x4 histogram of the events value (scaled to integer
@@ -1278,6 +1334,8 @@ QUERIES = {
     "tiered_agg": q_tiered_agg,
     "dup_clusters": q_dup_clusters,
     "hll_distinct": q_hll_distinct,
+    "kmv_distinct": q_kmv_distinct,
+    "kmv_overlap": q_kmv_overlap,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
@@ -2238,6 +2296,63 @@ ORACLES["hll_distinct"] = duck_hll_summary_sql(
     "CAST(event_id AS VARCHAR)",
     f"(epoch_ms(ts) // {DAY_MS}) * {DAY_MS}",
 )
+
+
+from modelardb_dynamic_spark.operators.sketches import (
+    K_KMV,
+    _kmv_est_sql,
+    duck_kmv_sketch_sql,
+    duck_kmv_summary_sql,
+)
+
+ORACLES["kmv_distinct"] = duck_kmv_summary_sql(
+    "events",
+    "event_type",
+    "CAST(user_id AS VARCHAR)",
+    f"(epoch_ms(ts) // {DAY_MS}) * {DAY_MS}",
+)
+
+_KMV_EST_U = _kmv_est_sql(K_KMV, m="mu", h_k="h_k_u")
+ORACLES["kmv_overlap"] = f"""
+    WITH sa AS ({duck_kmv_sketch_sql(
+        "events", "event_type", "CAST(user_id AS VARCHAR)",
+        "CAST(0 AS BIGINT)", where=f"epoch_ms(ts) < {KMV_CUT}")}),
+    sb AS ({duck_kmv_sketch_sql(
+        "events", "event_type", "CAST(user_id AS VARCHAR)",
+        "CAST(0 AS BIGINT)", where=f"epoch_ms(ts) >= {KMV_CUT}")}),
+    u0 AS (
+        SELECT DISTINCT event_type, h FROM (
+            SELECT event_type, h FROM sa
+            UNION ALL SELECT event_type, h FROM sb
+        )
+    ),
+    u AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h, row_number() OVER (
+                PARTITION BY event_type ORDER BY h) AS rn
+            FROM u0
+        ) WHERE rn <= {K_KMV}
+    ),
+    j AS (
+        SELECT u.event_type, u.h,
+               (sa.h IS NOT NULL AND sb.h IS NOT NULL) AS in_both
+        FROM u
+        LEFT JOIN sa ON sa.event_type = u.event_type AND sa.h = u.h
+        LEFT JOIN sb ON sb.event_type = u.event_type AND sb.h = u.h
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS mu,
+               max(h) AS h_k_u,
+               CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both
+        FROM j GROUP BY 1
+    )
+    SELECT event_type, mu, h_k_u, n_both,
+           {_KMV_EST_U} AS est_union,
+           (CAST(n_both AS DOUBLE) / CAST(mu AS DOUBLE)) * ({_KMV_EST_U})
+               AS est_inter
+    FROM s
+"""
 
 
 from modelardb_dynamic_spark.operators.sketches import duck_hist_quantiles_sql

@@ -363,3 +363,96 @@ def test_cms_duplicate_probes_do_not_inflate(spark):
         )
     )
     assert once == twice
+
+
+# -- KMV bottom-k sketch family -------------------------------------------------
+
+from modelardb_dynamic_spark.operators.sketches import (  # noqa: E402
+    K_KMV,
+    kmv_downsample,
+    kmv_overlap,
+    kmv_summary,
+    kmv_tier,
+)
+
+
+def _py_bottomk(values, k=K_KMV):
+    return sorted({_h60(v) for v in values})[:k]
+
+
+@pytest.fixture(scope="module")
+def kdf(spark):
+    # ~3k rows, 900 distinct vals for key "a" (> k: estimator path),
+    # 40 distinct for "b" (< k: exact path), spread over 3 days hourly
+    rows = [("a", (i % 72) * HOUR, f"v{i % 900}") for i in range(2600)] + [
+        ("b", (i % 24) * HOUR, f"w{i % 40}") for i in range(400)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["sid", "ts_ms", "val"])
+    ).cache()
+
+
+def test_kmv_rows_match_python_reference(spark, kdf):
+    tier = kmv_tier(kdf, ["sid"], "val", f"(ts_ms DIV {DAY}) * {DAY}")
+    got = {}
+    for r in tier.collect():
+        got.setdefault((r["sid"], r["bucket_ts"]), []).append(r["h"])
+    pdf = kdf.toPandas()
+    for (sid, day), grp in pdf.groupby(["sid", pdf.ts_ms // DAY * DAY]):
+        want = _py_bottomk(grp["val"].tolist())
+        assert sorted(got[(sid, day)]) == want, (sid, day)
+
+
+def test_kmv_merge_property_and_layout_invariance(spark, kdf):
+    """Downsampled hourly->daily sketch == direct daily build, and the
+    mapInPandas prune is layout-invariant (repartitioned input gives the
+    identical sketch)."""
+    hourly = kmv_tier(kdf, ["sid"], "val", f"(ts_ms DIV {HOUR}) * {HOUR}")
+    via_merge = kmv_downsample(hourly, ["sid"], DAY)
+    direct = kmv_tier(kdf, ["sid"], "val", f"(ts_ms DIV {DAY}) * {DAY}")
+    shuffled = kmv_tier(
+        kdf.repartition(13), ["sid"], "val", f"(ts_ms DIV {DAY}) * {DAY}"
+    )
+    key = lambda r: (r["sid"], r["bucket_ts"], r["h"])  # noqa: E731
+    a = sorted(map(key, via_merge.collect()))
+    b = sorted(map(key, direct.collect()))
+    c = sorted(map(key, shuffled.collect()))
+    assert a == b == c and len(a) > 0
+
+
+def test_kmv_estimate_accuracy(spark, kdf):
+    tier = kmv_tier(kdf, ["sid"], "val", "CAST(0 AS BIGINT)")
+    s = {r["sid"]: r for r in kmv_summary(tier, ["sid"]).collect()}
+    # "b": 40 < k -> exact
+    assert s["b"]["m"] == 40 and s["b"]["distinct_est"] == 40.0
+    # "a": 900 distinct, k=64 -> rel err ~ 1/sqrt(k-2) ~ 13%; allow 40%
+    assert abs(s["a"]["distinct_est"] - 900) / 900 < 0.40
+
+
+def test_kmv_overlap_exact_below_k_and_estimates_above(spark):
+    # exact path: both sides < k distinct -> n_both IS the intersection
+    rows = [("x", f"u{i}") for i in range(30)] + [
+        ("y", f"u{i}") for i in range(20, 50)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["side", "val"]))
+    sk = lambda side: kmv_tier(  # noqa: E731
+        df.where(F.col("side") == side).withColumn("g", F.lit("g")),
+        ["g"], "val", "CAST(0 AS BIGINT)",
+    ).drop("bucket_ts")
+    row = kmv_overlap(sk("x"), sk("y"), ["g"]).collect()[0]
+    assert row["n_both"] == 10 and row["mu"] == 50
+    assert row["est_union"] == 50.0 and abs(row["est_inter"] - 10.0) < 1e-9
+
+    # estimator path: 600 vs 600 with 300 shared -> union 900, inter 300
+    big = [("x", f"s{i}") for i in range(600)] + [
+        ("y", f"s{i}") for i in range(300, 900)
+    ]
+    dfb = spark.createDataFrame(pd.DataFrame(big, columns=["side", "val"]))
+    skb = lambda side: kmv_tier(  # noqa: E731
+        dfb.where(F.col("side") == side).withColumn("g", F.lit("g")),
+        ["g"], "val", "CAST(0 AS BIGINT)",
+    ).drop("bucket_ts")
+    r = kmv_overlap(skb("x"), skb("y"), ["g"]).collect()[0]
+    assert r["mu"] == K_KMV
+    assert abs(r["est_union"] - 900) / 900 < 0.40
+    assert abs(r["est_inter"] - 300) / 300 < 0.60  # inter compounds two ests

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "hll_distinct",
     "kmv_distinct",
     "kmv_overlap",
+    "turn_transitions",
     "hist_quantile",
     "rolling_zscore",
     "counter_rate",

@@ -221,6 +221,41 @@ def sessionize(
     )
 
 
+def turn_transitions(tr: DataFrame) -> DataFrame:
+    """Conversation-flow transition matrix over a transcript table
+    (conv_id, turn_idx, role, ts — the BASELINE input shape): for every
+    adjacent turn pair within a conversation under the stable
+    (conv_id, turn_idx) ordering, the (prev_role -> role) transition
+    count, the exact integer gap-time sum, and the mean gap as ONE
+    shared double division (value-gatable). The answer to "what does an
+    agent loop actually look like": user->assistant->tool cycle rates
+    and the latency between them.
+
+    Scale: one window pass shuffling on conv_id (the same partitioning
+    every per-conversation stage uses), then a map-side-combinable
+    groupBy onto the tiny |roles|^2 matrix — the shuffle after the
+    window carries one row per matrix cell per task."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    t = (
+        tr.select("conv_id", "turn_idx", "role", ms.alias("ts_ms"))
+        .withColumn("prev_role", F.lag("role").over(w))
+        .withColumn("prev_ts", F.lag("ts_ms").over(w))
+        .where(F.col("prev_role").isNotNull())
+    )
+    return (
+        t.groupBy("prev_role", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("ts_ms - prev_ts")).alias("gap_sum_ms"),
+        )
+        .selectExpr(
+            "prev_role", "role", "n", "gap_sum_ms",
+            "CAST(gap_sum_ms AS DOUBLE) / CAST(n AS DOUBLE) AS avg_gap_ms",
+        )
+    )
+
+
 # -- as-of join -------------------------------------------------------------------
 
 

@@ -979,6 +979,31 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_summary(daily, ["event_type"])
 
 
+def q_turn_transitions(spark, sf_dir):
+    """Conversation-flow transition matrix (operators/textstats.py
+    turn_transitions) over the deterministic transcript table: per
+    (prev_role -> role) adjacent-turn pair, the transition count, exact
+    gap-time sum, and mean gap. The oracle rebuilds the identical
+    transcript (row_number turn order, role cycle) and replays the same
+    lag-window + matrix aggregation in DuckDB. Roles are assigned
+    per-event (event_id % 3) rather than by the cyclic turn_idx stand-in
+    so all 9 matrix cells carry data-dependent counts."""
+    from modelardb_dynamic_spark.operators.textstats import turn_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
+    tr = ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(
+            roles, F.pmod(F.col("event_id"), F.lit(3)).cast("int") + 1
+        ).alias("role"),
+        F.col("ts"),
+    )
+    return turn_transitions(tr)
+
+
 # the kmv_overlap window boundary: first 3 days vs the rest of the range
 KMV_CUT = RANGE_LO + 3 * DAY_MS
 
@@ -1336,6 +1361,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "kmv_distinct": q_kmv_distinct,
     "kmv_overlap": q_kmv_overlap,
+    "turn_transitions": q_turn_transitions,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
@@ -2311,6 +2337,41 @@ ORACLES["kmv_distinct"] = duck_kmv_summary_sql(
     "CAST(user_id AS VARCHAR)",
     f"(epoch_ms(ts) // {DAY_MS}) * {DAY_MS}",
 )
+
+ORACLES["turn_transitions"] = """
+    WITH tr AS (
+        SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)
+                   AS turn_idx,
+               event_id,
+               epoch_ms(ts) AS ts_ms
+        FROM events
+    ),
+    r AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN event_id % 3 = 0 THEN 'user'
+                    WHEN event_id % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               ts_ms
+        FROM tr
+    ),
+    l AS (
+        SELECT conv_id, role, ts_ms,
+               lag(role) OVER w AS prev_role,
+               lag(ts_ms) OVER w AS prev_ts
+        FROM r WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ),
+    s AS (
+        SELECT prev_role, role,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ts_ms - prev_ts) AS BIGINT) AS gap_sum_ms
+        FROM l WHERE prev_role IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_role, role, n, gap_sum_ms,
+           CAST(gap_sum_ms AS DOUBLE) / CAST(n AS DOUBLE) AS avg_gap_ms
+    FROM s
+"""
 
 _KMV_EST_U = _kmv_est_sql(K_KMV, m="mu", h_k="h_k_u")
 ORACLES["kmv_overlap"] = f"""

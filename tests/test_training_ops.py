@@ -586,3 +586,36 @@ def test_dup_clusters_survivors(spark, docs):
     assert out[2] == (1, False) and out[3] == (1, False)
     assert out[4] == (4, True) and out[5] == (5, True)
     assert sum(1 for c, k in out.values() if k) == 3  # one survivor/cluster
+
+
+def test_turn_transitions_hand_computed(spark):
+    from datetime import datetime, timezone
+
+    from modelardb_dynamic_spark.operators.textstats import turn_transitions
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp()
+
+    def ts(sec):
+        return datetime.fromtimestamp(t0 + sec, tz=timezone.utc)
+
+    rows = [
+        # c1: user ->2s-> assistant ->1s-> tool ->2s-> assistant
+        ("c1", 0, "user", ts(0)),
+        ("c1", 1, "assistant", ts(2)),
+        ("c1", 2, "tool", ts(3)),
+        ("c1", 3, "assistant", ts(5)),
+        # c2: user ->10s-> user (self-transition); no cross-conv pair
+        ("c2", 0, "user", ts(100)),
+        ("c2", 1, "user", ts(110)),
+    ]
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, ts timestamp")
+    got = {
+        (r["prev_role"], r["role"]): (r["n"], r["gap_sum_ms"], r["avg_gap_ms"])
+        for r in turn_transitions(tr).collect()
+    }
+    assert got == {
+        ("user", "assistant"): (1, 2000, 2000.0),
+        ("assistant", "tool"): (1, 1000, 1000.0),
+        ("tool", "assistant"): (1, 2000, 2000.0),
+        ("user", "user"): (1, 10000, 10000.0),
+    }

@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="after a --sketches build, estimate the probe "
                          "conversations' turn counts per bucket from the "
                          "cms_1d counter tier (hot-conversation audit)")
+    ap.add_argument("--overlap-days", default=None, metavar="DAY_A:DAY_B",
+                    help="after a --sketches build, estimate the "
+                         "active-conversation-set overlap between two "
+                         "days (ms epochs) from the kmv_1d sketch tier")
     args = ap.parse_args(argv)
 
     from modelardb_dynamic_spark.config import EngineConfig
@@ -134,6 +138,9 @@ def main(argv: list[str] | None = None) -> None:
             "n_rows": len(rows),
             "sample": [r.asDict() for r in rows[:5]],
         }
+    if args.overlap_days:
+        da, db = (int(x) for x in args.overlap_days.split(":", 1))
+        out["overlap_days"] = pipe.overlap_convs(da, db).collect()[0].asDict()
     print(json.dumps(out))
 
 

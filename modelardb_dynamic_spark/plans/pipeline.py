@@ -256,7 +256,9 @@ class TierPipeline:
           counts (p50/p90/p99 turn length per conv per hour/day straight
           from the tier, hist_quantiles);
         - hll_1d — HLL-256 distinct turn contents per conv per day
-          (repetition/degeneracy signal).
+          (repetition/degeneracy signal);
+        - kmv_1d — KMV bottom-64 of the active conversation set per day
+          keyed by sbucket (day-over-day overlap/churn, overlap_convs).
         Built from the raw stage per bucket chunk like every other stage:
         lineage manifests, resume, and incremental append() all apply."""
         from modelardb_dynamic_spark.operators.sketches import (
@@ -342,6 +344,37 @@ class TierPipeline:
             return t
 
         self._run_stage("cms_1d", fingerprint, build_cms_1d,
+                        ts_col="bucket_ts", only_buckets=only_buckets)
+
+        def build_kmv_1d(bucket_ids: list[int]) -> DataFrame:
+            # KMV bottom-64 sketch of the ACTIVE CONVERSATION SET per
+            # day, keyed by sbucket: the sid_bucket hash partitions
+            # conversations disjointly, so each warehouse bucket's
+            # sketch is the exact bottom-k of ITS convs and a global
+            # day sketch is just the re-ranked union across sbuckets.
+            # Unlike hll_1d this supports INTERSECTION — day-over-day
+            # active-set overlap/churn (overlap_convs) — which HLL
+            # registers cannot express.
+            from modelardb_dynamic_spark.operators.sketches import kmv_tier
+
+            src = _turns(bucket_ids)
+            if preserve_below_day is not None:
+                src = src.where(f"ts_ms >= {preserve_below_day}")
+            t = kmv_tier(
+                src.withColumn(
+                    "sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets)
+                ),
+                ["sbucket"], "sid",
+                f"(ts_ms DIV {DAY_MS}) * {DAY_MS}",
+            )
+            if preserve_below_day is not None:
+                old = self._read_buckets("kmv_1d", bucket_ids).where(
+                    f"bucket_ts < {preserve_below_day}"
+                )
+                t = t.unionByName(old)
+            return t
+
+        self._run_stage("kmv_1d", fingerprint, build_kmv_1d,
                         ts_col="bucket_ts", only_buckets=only_buckets)
 
     def run(self, transcripts: DataFrame, sketches: bool = False) -> None:
@@ -691,6 +724,63 @@ class TierPipeline:
         return tiered_cms_estimates(
             self._raw_turns(), [], "sid", probes, tiers,
             lo_ms, hi_ms, bucket_ms, high_water=hw, low_water=lw,
+        )
+
+    def overlap_convs(self, day_a_ms: int, day_b_ms: int) -> DataFrame:
+        """Estimated active-conversation-set OVERLAP between two days via
+        the kmv_1d sketch tier — the set-intersection question hll_1d
+        cannot answer (HLL registers union but never intersect):
+        est_inter ~= |convs active on day A AND day B|, with the union
+        estimate and the exact union-sketch state beside it. A sealed
+        day reads <= k rows per sbucket from the tier (re-ranked union
+        across sbuckets IS the global bottom-k — sid_bucket partitions
+        convs disjointly); an unsealed or retained-away day falls back
+        to sketching raw, and raises loudly if retention dropped raw too
+        (the validate_cover contract)."""
+        from modelardb_dynamic_spark.operators.sketches import (
+            K_KMV,
+            _kmv_bottomk,
+            kmv_overlap,
+            kmv_tier,
+        )
+
+        hw, lw = self._sketch_route_bounds([("kmv_1d", DAY_MS)])
+        hw_ts, lw_ts = hw.get(DAY_MS), lw.get(DAY_MS)
+        raw_low = self.retention_horizon("raw")
+        tier = self.wh.read(self.spark, "kmv_1d")
+
+        def day_sketch(day_ms: int) -> DataFrame:
+            day_ms = (day_ms // DAY_MS) * DAY_MS
+            sealed = (
+                hw_ts is not None
+                and day_ms < hw_ts
+                and (lw_ts is None or day_ms >= lw_ts)
+            )
+            if sealed:
+                rows = tier.where(F.col("bucket_ts") == day_ms).select(
+                    F.lit(1).alias("g"), "h"
+                )
+            else:
+                if raw_low is not None and day_ms < raw_low:
+                    raise ValueError(
+                        f"overlap_convs: day {day_ms} is past the kmv_1d "
+                        f"cover (high_water={hw_ts}, low_water={lw_ts}) "
+                        f"and raw is retained away below {raw_low}"
+                    )
+                src = self._raw_turns().where(
+                    f"ts_ms >= {day_ms} AND ts_ms < {day_ms + DAY_MS}"
+                )
+                rows = kmv_tier(
+                    src.withColumn("g", F.lit(1)), ["g"], "sid",
+                    "CAST(0 AS BIGINT)",
+                ).drop("bucket_ts")
+            return _kmv_bottomk(rows, ["g"], K_KMV)
+
+        out = kmv_overlap(day_sketch(day_a_ms), day_sketch(day_b_ms), ["g"])
+        return out.select(
+            F.lit((day_a_ms // DAY_MS) * DAY_MS).alias("day_a"),
+            F.lit((day_b_ms // DAY_MS) * DAY_MS).alias("day_b"),
+            "mu", "h_k_u", "n_both", "est_union", "est_inter",
         )
 
     def tier(self, name: str, gap_filled: bool = False) -> DataFrame:

@@ -621,3 +621,70 @@ def test_append_backfills_stage_added_after_build(spark, transcripts, tmp_path):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_overlap_convs_matches_python_kmv_replay(spark, transcripts, tmp_path):
+    """overlap_convs: the kmv_1d sketch tier's day-over-day active-set
+    overlap must equal a pure-Python KMV replay over the raw turns —
+    per-sbucket partial sketches re-ranked across sbuckets ARE the
+    global bottom-k (sid_bucket partitions convs disjointly)."""
+    import hashlib
+
+    from modelardb_dynamic_spark.operators.sketches import K_KMV
+    from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+    DAY = 86_400_000
+    wh = Warehouse(str(tmp_path / "ov"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4, salt_span_points=None)
+    p.run(transcripts, sketches=True)
+
+    turns = transcripts.select(
+        F.col("conv_id").alias("sid"), to_ms("ts").alias("ts_ms")
+    )
+    days = sorted(
+        r["d"]
+        for r in turns.selectExpr(f"(ts_ms DIV {DAY}) * {DAY} AS d")
+        .distinct()
+        .collect()
+    )
+    assert len(days) >= 2, "fixture must span two days"
+    da, db = days[0], days[1]
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def day_set(day):
+        return {
+            r["sid"]
+            for r in turns.where(
+                f"ts_ms >= {day} AND ts_ms < {day + DAY}"
+            ).select("sid").distinct().collect()
+        }
+
+    ka = sorted({h60(s) for s in day_set(da)})[:K_KMV]
+    kb = sorted({h60(s) for s in day_set(db)})[:K_KMV]
+    u = sorted(set(ka) | set(kb))[:K_KMV]
+    sa, sb = set(ka), set(kb)
+    mu, hku = len(u), max(u)
+    n_both = sum(1 for h in u if h in sa and h in sb)
+    est_union = float(mu) if mu < K_KMV else (
+        float(K_KMV - 1) * float(1 << 60)
+    ) / float(hku)
+    est_inter = (float(n_both) / float(mu)) * est_union
+
+    row = p.overlap_convs(da, db).collect()[0]
+    assert (row["day_a"], row["day_b"]) == (da, db)
+    assert (row["mu"], row["h_k_u"], row["n_both"]) == (mu, hku, n_both)
+    assert row["est_union"] == pytest.approx(est_union, rel=1e-12)
+    assert row["est_inter"] == pytest.approx(est_inter, rel=1e-12)
+
+    # a day past the tier's unsealed high-water falls back to raw and
+    # still matches (same replay); a retained-away day fails loudly is
+    # covered by the validate_cover tests for the other sketch queries.
+    hw = p._sketch_route_bounds([("kmv_1d", DAY)])[0].get(DAY)
+    assert hw is not None
+    unsealed = (hw // DAY) * DAY
+    if unsealed in days:
+        other = days[0] if unsealed != days[0] else days[1]
+        r2 = p.overlap_convs(other, unsealed).collect()[0]
+        assert r2["mu"] >= 1

@@ -355,3 +355,40 @@ def test_duck_hist_oracle_matches_python_model(rows):
         for r in con.execute(sql).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(_cms_key, st.integers(min_value=0, max_value=3)),
+        min_size=0,
+        max_size=120,
+    ),
+    k=st.sampled_from([2, 5, 64]),
+)
+def test_duck_kmv_oracle_matches_python_model(rows, k):
+    """Pin duck_kmv_summary_sql against an independent pure-Python model
+    of the bottom-k ranking (distinct hashes, k smallest per bucket) and
+    the shared (k-1)*2^60/h_k estimator expression."""
+    import duckdb
+
+    from modelardb_dynamic_spark.operators.dedup import py_h60
+    from modelardb_dynamic_spark.operators.sketches import duck_kmv_summary_sql
+
+    by_bucket: dict = {}
+    for key, b in rows:
+        by_bucket.setdefault(b, set()).add(py_h60(key))
+    want = {}
+    for b, hs in by_bucket.items():
+        bottom = sorted(hs)[:k]
+        m, h_k = len(bottom), max(bottom)
+        est = float(m) if m < k else (float(k - 1) * float(1 << 60)) / float(h_k)
+        want[b] = (m, h_k, est)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, b BIGINT)")
+    if rows:
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = duck_kmv_summary_sql("t", "''", "k", "b", k=k)
+    got = {r[1]: (r[2], r[3], r[4]) for r in con.execute(sql).fetchall()}
+    assert got == want, (sorted(got.items())[:4], sorted(want.items())[:4])

@@ -306,3 +306,43 @@ def ewma_levels(
             "ELSE abs(CAST(s AS DOUBLE) / n - forecast) END AS abs_err",
         )
     )
+
+
+def m4_downsample(points: DataFrame, bucket_ms: int) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., "M4: A
+    Visualization-Oriented Time Series Data Aggregation", VLDB 2014):
+    per (sid, pixel-column bucket) keep exactly the rows that realize
+    the bucket's min/max TIME and min/max VALUE — the four points that
+    make a width-w line rendering of the reduction pixel-identical to
+    rendering the full series. The relational form (the paper's own
+    point: M4 is a groupBy + the extreme-matching filter) beats LTTB for
+    an engine like this because it is pure column algebra — no
+    sequential fold, no Python.
+
+    points: (sid, ts_ms, v). Returns (sid, bucket_ts, ts_ms, v) with the
+    per-bucket extreme rows; value ties keep every achieving row (the
+    relational-join semantics of the paper, replayed identically by the
+    oracle). The engine grid makes ts_ms unique per sid, so first/last
+    never duplicate.
+
+    Scale: ONE window pass partitioned by (sid, bucket) — the same
+    hash(sid)-dominated shuffle every tier build uses — then a
+    selective filter; output is <=4 rows per bucket regardless of input
+    density. For 100 TB, run it on the coarsest tier that still has
+    >=n_px points per window (the planner's cover), not on raw.
+    """
+    b = F.expr(f"(ts_ms DIV {bucket_ms}) * {bucket_ms}")
+    w = Window.partitionBy("sid", "bucket_ts")
+    p = points.select("sid", b.alias("bucket_ts"), "ts_ms", "v")
+    p = (
+        p.withColumn("ts_lo", F.min("ts_ms").over(w))
+        .withColumn("ts_hi", F.max("ts_ms").over(w))
+        .withColumn("v_lo", F.min("v").over(w))
+        .withColumn("v_hi", F.max("v").over(w))
+    )
+    return p.where(
+        (F.col("ts_ms") == F.col("ts_lo"))
+        | (F.col("ts_ms") == F.col("ts_hi"))
+        | (F.col("v") == F.col("v_lo"))
+        | (F.col("v") == F.col("v_hi"))
+    ).select("sid", "bucket_ts", "ts_ms", "v")

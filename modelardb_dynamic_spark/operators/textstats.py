@@ -256,6 +256,107 @@ def turn_transitions(tr: DataFrame) -> DataFrame:
     )
 
 
+def cohort_retention(tr: DataFrame, day_ms: int = 86_400_000) -> DataFrame:
+    """Cohort retention matrix over a transcript table (conv_id, ts — the
+    BASELINE input shape): conversations are cohorted by their first
+    active day; for each (cohort_day, day_offset) cell, how many of the
+    cohort's conversations were active again `day_offset` days later,
+    plus the retention fraction as ONE shared double division. The
+    standard warehouse view of "do conversations come back".
+
+    Scale: the (conv_id, day) activity set is a map-side-combinable
+    distinct (state bounded by convs x active-days, far below turns);
+    first-day attach is a co-partitioned self-aggregation on conv_id
+    (one shuffle, the same key every per-conversation stage uses); the
+    final matrix is |days|^2 cells, and cohort size is attached with a
+    window over that tiny matrix instead of another join.
+    """
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    days = (
+        tr.select(
+            "conv_id",
+            F.expr(f"(unix_millis(CAST(ts AS TIMESTAMP)) DIV {day_ms}) * {day_ms}")
+            .alias("day"),
+        )
+        .groupBy("conv_id", "day")
+        .agg(F.count(F.lit(1)).alias("turns"))
+    )
+    first = days.groupBy("conv_id").agg(F.min("day").alias("cohort_day"))
+    cells = (
+        days.join(first, "conv_id")
+        .groupBy(
+            "cohort_day",
+            F.expr(f"(day - cohort_day) DIV {day_ms}").alias("day_offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("turns").alias("n_turns"),
+        )
+    )
+    wc = Window.partitionBy("cohort_day")
+    return (
+        cells.withColumn(
+            "cohort_n",
+            F.max(F.when(F.col("day_offset") == 0, F.col("n_convs"))).over(wc),
+        )
+        .selectExpr(
+            "cohort_day", "day_offset", "n_convs", "n_turns", "cohort_n",
+            "CAST(n_convs AS DOUBLE) / CAST(cohort_n AS DOUBLE) AS retention",
+        )
+    )
+
+
+def funnel_matches(
+    tr: DataFrame,
+    pattern: tuple[str, ...] = ("user", "assistant", "user"),
+    max_gap_ms: int = 600_000,
+    day_ms: int = 86_400_000,
+) -> DataFrame:
+    """Funnel / sequence-pattern matching over a transcript table: count
+    occurrences of an ADJACENT role sequence (e.g. user -> assistant ->
+    user: the "user came back after the answer" engagement funnel) where
+    every step-to-step gap is <= max_gap_ms, grouped by the day of the
+    match's first turn. Returns (day, n_matches, n_convs, avg_span_ms)
+    with the mean as one shared double division.
+
+    Scale: one window pass shuffling on conv_id (lead(role, i) /
+    lead(ts, i) for i < len(pattern)), then a map-side-combinable
+    groupBy onto |days| rows. No self-joins: the pattern is matched
+    positionally inside the window, so cost is O(turns * pattern_len).
+    """
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least two steps")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    t = tr.select("conv_id", "turn_idx", "role", ms.alias("ts_ms"))
+    for i in range(1, len(pattern)):
+        t = t.withColumn(f"r{i}", F.lag("role", -i).over(w)).withColumn(
+            f"t{i}", F.lag("ts_ms", -i).over(w)
+        )
+    cond = F.col("role") == pattern[0]
+    for i in range(1, len(pattern)):
+        prev_t = F.col("ts_ms") if i == 1 else F.col(f"t{i - 1}")
+        cond = (
+            cond
+            & (F.col(f"r{i}") == pattern[i])
+            & ((F.col(f"t{i}") - prev_t) <= max_gap_ms)
+        )
+    last = f"t{len(pattern) - 1}"
+    m = t.where(cond).select(
+        "conv_id",
+        F.expr(f"(ts_ms DIV {day_ms}) * {day_ms}").alias("day"),
+        (F.col(last) - F.col("ts_ms")).alias("span_ms"),
+    )
+    return m.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.sum("span_ms").alias("span_sum_ms"),
+    ).selectExpr(
+        "day", "n_matches", "n_convs", "span_sum_ms",
+        "CAST(span_sum_ms AS DOUBLE) / CAST(n_matches AS DOUBLE) AS avg_span_ms",
+    )
+
+
 # -- as-of join -------------------------------------------------------------------
 
 

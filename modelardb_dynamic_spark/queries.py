@@ -1004,6 +1004,66 @@ def q_turn_transitions(spark, sf_dir):
     return turn_transitions(tr)
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/textstats.py cohort_retention)
+    over the deterministic transcript table: conversations cohorted by
+    first active day, (cohort_day, day_offset) cells with conversation
+    and turn counts plus the retention fraction as one shared double
+    division. Oracle replays the identical day-distinct -> first-day
+    join -> matrix aggregation in DuckDB."""
+    from modelardb_dynamic_spark.operators.textstats import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    tr = ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("ts"),
+    )
+    return cohort_retention(tr, day_ms=DAY_MS)
+
+
+def q_funnel_daily(spark, sf_dir):
+    """Engagement-funnel matching (operators/textstats.py funnel_matches):
+    adjacent user -> assistant -> tool role sequences with every
+    step-to-step gap <= 12h, counted per day of the match's first turn.
+    Roles are assigned per-event (event_id % 3, the turn_transitions
+    convention) so matches are data-dependent; the gap bound also
+    rejects data-dependently. Oracle replays the same lead-window
+    pattern match in DuckDB."""
+    from modelardb_dynamic_spark.operators.textstats import funnel_matches
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
+    tr = ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(
+            roles, F.pmod(F.col("event_id"), F.lit(3)).cast("int") + 1
+        ).alias("role"),
+        F.col("ts"),
+    )
+    return funnel_matches(
+        tr, pattern=("user", "assistant", "tool"),
+        max_gap_ms=12 * HOUR_MS, day_ms=DAY_MS,
+    )
+
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling ON the compressed store
+    (operators/analytics.py m4_downsample, VLDB'14): segments ->
+    datapoint view -> per (sid, 6h pixel bucket) the <=4 rows realizing
+    the bucket's time/value extremes. Error bound 0, so the oracle
+    replays the identical window-extremes filter over the raw minute
+    buckets — including the keep-all-value-ties semantics."""
+    from modelardb_dynamic_spark.operators.analytics import m4_downsample
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return m4_downsample(pts, bucket_ms=6 * HOUR_MS)
+
+
 # the kmv_overlap window boundary: first 3 days vs the rest of the range
 KMV_CUT = RANGE_LO + 3 * DAY_MS
 
@@ -1362,6 +1422,9 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "kmv_overlap": q_kmv_overlap,
     "turn_transitions": q_turn_transitions,
+    "cohort_retention": q_cohort_retention,
+    "funnel_daily": q_funnel_daily,
+    "m4_downsample": q_m4_downsample,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
@@ -2371,6 +2434,87 @@ ORACLES["turn_transitions"] = """
     SELECT prev_role, role, n, gap_sum_ms,
            CAST(gap_sum_ms AS DOUBLE) / CAST(n AS DOUBLE) AS avg_gap_ms
     FROM s
+"""
+
+ORACLES["cohort_retention"] = f"""
+    WITH days AS (
+        SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+               (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS day,
+               CAST(count(*) AS BIGINT) AS turns
+        FROM events GROUP BY 1, 2
+    ),
+    firsts AS (
+        SELECT conv_id, min(day) AS cohort_day FROM days GROUP BY 1
+    ),
+    cells AS (
+        SELECT cohort_day, (day - cohort_day) // {DAY_MS} AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_convs,
+               CAST(sum(turns) AS BIGINT) AS n_turns
+        FROM days JOIN firsts USING (conv_id) GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT cohort_day, day_offset, n_convs, n_turns,
+               max(CASE WHEN day_offset = 0 THEN n_convs END) OVER (
+                   PARTITION BY cohort_day) AS cohort_n
+        FROM cells
+    )
+    SELECT cohort_day, day_offset, n_convs, n_turns, cohort_n,
+           CAST(n_convs AS DOUBLE) / CAST(cohort_n AS DOUBLE) AS retention
+    FROM sized
+"""
+
+ORACLES["funnel_daily"] = f"""
+    WITH tr AS (
+        SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)
+                   AS turn_idx,
+               CASE WHEN event_id % 3 = 0 THEN 'user'
+                    WHEN event_id % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               epoch_ms(ts) AS ts_ms
+        FROM events
+    ),
+    l AS (
+        SELECT conv_id, role, ts_ms,
+               lead(role, 1) OVER w AS r1, lead(ts_ms, 1) OVER w AS t1,
+               lead(role, 2) OVER w AS r2, lead(ts_ms, 2) OVER w AS t2
+        FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ),
+    m AS (
+        SELECT conv_id, (ts_ms // {DAY_MS}) * {DAY_MS} AS day,
+               t2 - ts_ms AS span_ms
+        FROM l
+        WHERE role = 'user'
+          AND r1 = 'assistant' AND (t1 - ts_ms) <= {12 * HOUR_MS}
+          AND r2 = 'tool' AND (t2 - t1) <= {12 * HOUR_MS}
+    ),
+    s AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               CAST(sum(span_ms) AS BIGINT) AS span_sum_ms
+        FROM m GROUP BY 1
+    )
+    SELECT day, n_matches, n_convs, span_sum_ms,
+           CAST(span_sum_ms AS DOUBLE) / CAST(n_matches AS DOUBLE)
+               AS avg_span_ms
+    FROM s
+"""
+
+ORACLES["m4_downsample"] = f"""
+    WITH b AS ({_MINUTE_BUCKETS}),
+    p AS (SELECT sid, (m // {6 * HOUR_MS}) * {6 * HOUR_MS} AS bucket_ts,
+                 m AS ts_ms, CAST(v AS BIGINT) AS v
+          FROM b),
+    w AS (
+        SELECT sid, bucket_ts, ts_ms, v,
+               min(ts_ms) OVER win AS ts_lo, max(ts_ms) OVER win AS ts_hi,
+               min(v) OVER win AS v_lo, max(v) OVER win AS v_hi
+        FROM p WINDOW win AS (PARTITION BY sid, bucket_ts)
+    )
+    SELECT sid, bucket_ts, ts_ms, v
+    FROM w
+    WHERE ts_ms = ts_lo OR ts_ms = ts_hi OR v = v_lo OR v = v_hi
 """
 
 _KMV_EST_U = _kmv_est_sql(K_KMV, m="mu", h_k="h_k_u")

@@ -6,6 +6,7 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from modelardb_dynamic_spark.operators.analytics import (
     correlated_pairs,
@@ -217,3 +218,55 @@ def test_ewma_levels_matches_python(spark):
             assert forecast == prev_level
             assert abs(abs_err - abs(sum(vs) / len(vs) - prev_level)) < 1e-12
         prev_level = s
+
+
+def test_m4_downsample_keeps_exactly_the_extremes(spark):
+    from modelardb_dynamic_spark.operators.analytics import m4_downsample
+
+    rng = np.random.default_rng(11)
+    n = 240
+    pdf = pd.DataFrame(
+        {
+            "sid": ["a"] * n + ["b"] * n,
+            "ts_ms": list(np.arange(n, dtype="int64") * 60_000) * 2,
+            "v": rng.integers(0, 1000, 2 * n).astype("int64"),
+        }
+    )
+    bucket = 3_600_000  # 60 points per bucket
+    got = m4_downsample(spark.createDataFrame(pdf), bucket_ms=bucket)
+    rows = {(r.sid, r.ts_ms) for r in got.collect()}
+    # pandas reference: per (sid, bucket) rows achieving the 4 extremes
+    want = set()
+    pdf["b"] = pdf.ts_ms // bucket * bucket
+    for (sid, _), g in pdf.groupby(["sid", "b"]):
+        keep = g[
+            (g.ts_ms == g.ts_ms.min())
+            | (g.ts_ms == g.ts_ms.max())
+            | (g.v == g.v.min())
+            | (g.v == g.v.max())
+        ]
+        want |= {(sid, int(t)) for t in keep.ts_ms}
+    assert rows == want
+    # each bucket is reduced to <= 4 points (ties can only add rows when
+    # duplicate extreme VALUES occur, which this check covers via `want`)
+    per_bucket = (
+        got.groupBy("sid", "bucket_ts").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_bucket <= 8  # 4 extremes, ties bounded by the data
+
+
+def test_m4_downsample_value_ties_keep_all_rows(spark):
+    from modelardb_dynamic_spark.operators.analytics import m4_downsample
+
+    rows = [
+        ("s", 0, 5), ("s", 60_000, 1), ("s", 120_000, 9),
+        ("s", 180_000, 9), ("s", 240_000, 3),
+    ]
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    got = sorted(
+        (r.ts_ms, r.v) for r in m4_downsample(df, bucket_ms=600_000).collect()
+    )
+    # first(0), last(240k), min(60k), and BOTH max ties (120k, 180k)
+    assert got == [
+        (0, 5), (60_000, 1), (120_000, 9), (180_000, 9), (240_000, 3)
+    ]

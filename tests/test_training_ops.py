@@ -619,3 +619,75 @@ def test_turn_transitions_hand_computed(spark):
         ("tool", "assistant"): (1, 2000, 2000.0),
         ("user", "user"): (1, 10000, 10000.0),
     }
+
+
+def test_cohort_retention_hand_computed(spark):
+    from datetime import datetime, timezone
+
+    from modelardb_dynamic_spark.operators.textstats import cohort_retention
+
+    DAY = 86_400_000
+
+    def ts(day, hour=0):
+        return datetime.fromtimestamp(
+            day * 86_400 + hour * 3_600, tz=timezone.utc
+        )
+
+    rows = [
+        # cohort day 0: c1 active days 0,1,3 (two turns day 0); c2 day 0 only
+        ("c1", ts(0, 1)), ("c1", ts(0, 2)), ("c1", ts(1)), ("c1", ts(3)),
+        ("c2", ts(0)),
+        # cohort day 2: c3 active days 2,3
+        ("c3", ts(2)), ("c3", ts(3, 5)),
+    ]
+    tr = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    got = {
+        (r["cohort_day"] // DAY, r["day_offset"]): (
+            r["n_convs"], r["n_turns"], r["cohort_n"], r["retention"]
+        )
+        for r in cohort_retention(tr).collect()
+    }
+    assert got == {
+        (0, 0): (2, 3, 2, 1.0),
+        (0, 1): (1, 1, 2, 0.5),
+        (0, 3): (1, 1, 2, 0.5),
+        (2, 0): (1, 1, 1, 1.0),
+        (2, 1): (1, 1, 1, 1.0),
+    }
+
+
+def test_funnel_matches_gap_and_pattern(spark):
+    from datetime import datetime, timezone
+
+    from modelardb_dynamic_spark.operators.textstats import funnel_matches
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc)
+
+    rows = [
+        # c1: two overlapping u->a->u matches (turns 0-2 and 2-4 share turn 2)
+        ("c1", 0, "user", ts(0)),
+        ("c1", 1, "assistant", ts(10)),
+        ("c1", 2, "user", ts(30)),
+        ("c1", 3, "assistant", ts(40)),
+        ("c1", 4, "user", ts(50)),
+        # c2: pattern present but second gap exceeds the bound
+        ("c2", 0, "user", ts(100)),
+        ("c2", 1, "assistant", ts(110)),
+        ("c2", 2, "user", ts(1000)),
+        # c3: wrong middle role
+        ("c3", 0, "user", ts(200)),
+        ("c3", 1, "tool", ts(210)),
+        ("c3", 2, "user", ts(220)),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    out = funnel_matches(
+        tr, pattern=("user", "assistant", "user"), max_gap_ms=60_000
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["day"] == 0 and r["n_matches"] == 2 and r["n_convs"] == 1
+    assert r["span_sum_ms"] == 30_000 + 20_000
+    assert r["avg_span_ms"] == 25_000.0

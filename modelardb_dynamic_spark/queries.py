@@ -1064,6 +1064,38 @@ def q_m4_downsample(spark, sf_dir):
     return m4_downsample(pts, bucket_ms=6 * HOUR_MS)
 
 
+def q_zorder_scan(spark, sf_dir):
+    """Z-order clustered layout round-trip (operators/zorder.py): the
+    reconstructed minute points are rewritten as a Morton-clustered
+    parquet dataset (series-rank x time-rank bit interleave, one
+    repartitionByRange shuffle) and scanned back through a selective
+    two-dimensional predicate. The value gate proves the re-layout is
+    lossless under a real mixed filter; the two-dimensional row-group
+    pruning the layout exists for is pinned separately by footer-stat
+    tests (tests/test_zorder.py). The staging dir lives under /tmp for
+    the session's lifetime (the returned frame reads from it lazily)."""
+    import tempfile
+
+    from modelardb_dynamic_spark.operators.zorder import zorder_write
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    d = tempfile.mkdtemp(prefix="mdbs_zorder_")
+    zorder_write(pts, d, bits=8, n_files=8)
+    lo, hi = RANGE_LO + 2 * DAY_MS, RANGE_LO + 4 * DAY_MS
+    return (
+        spark.read.parquet(d)
+        .where(
+            (F.col("ts_ms") >= lo)
+            & (F.col("ts_ms") < hi)
+            & (F.expr("CAST(sid AS BIGINT) % 7") == 3)
+        )
+        .select("sid", "ts_ms", "v")
+    )
+
+
 # the kmv_overlap window boundary: first 3 days vs the rest of the range
 KMV_CUT = RANGE_LO + 3 * DAY_MS
 
@@ -1425,6 +1457,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "funnel_daily": q_funnel_daily,
     "m4_downsample": q_m4_downsample,
+    "zorder_scan": q_zorder_scan,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
@@ -2499,6 +2532,14 @@ ORACLES["funnel_daily"] = f"""
            CAST(span_sum_ms AS DOUBLE) / CAST(n_matches AS DOUBLE)
                AS avg_span_ms
     FROM s
+"""
+
+ORACLES["zorder_scan"] = f"""
+    WITH b AS ({_MINUTE_BUCKETS})
+    SELECT sid, m AS ts_ms, CAST(v AS BIGINT) AS v
+    FROM b
+    WHERE m >= {RANGE_LO + 2 * DAY_MS} AND m < {RANGE_LO + 4 * DAY_MS}
+      AND CAST(sid AS BIGINT) % 7 = 3
 """
 
 ORACLES["m4_downsample"] = f"""

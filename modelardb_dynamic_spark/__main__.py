@@ -55,6 +55,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="after a --sketches build, estimate the probe "
                          "conversations' turn counts per bucket from the "
                          "cms_1d counter tier (hot-conversation audit)")
+    ap.add_argument("--segment-layout", default="bucket",
+                    choices=["bucket", "zorder"],
+                    help="zorder: Morton-cluster segment files on "
+                         "(series rank, start_ts) for two-dimensional "
+                         "row-group pruning")
     ap.add_argument("--overlap-days", default=None, metavar="DAY_A:DAY_B",
                     help="after a --sketches build, estimate the "
                          "active-conversation-set overlap between two "
@@ -92,6 +97,7 @@ def main(argv: list[str] | None = None) -> None:
         spark, wh, cfg,
         chunk_buckets=args.chunk_buckets,
         salt_span_points=args.salt_span_points,
+        segment_layout=args.segment_layout,
     )
     t0 = time.time()
     out: dict = {}

@@ -46,12 +46,23 @@ class TierPipeline:
         cfg: EngineConfig,
         chunk_buckets: int = 16,
         salt_span_points: int | None = 1 << 20,
+        segment_layout: str = "bucket",
+        zorder_partitions: int | None = None,
     ):
+        if segment_layout not in ("bucket", "zorder"):
+            raise ValueError(f"unknown segment_layout {segment_layout!r}")
         self.spark = spark
         self.wh = warehouse
         self.cfg = cfg
         self.chunk_buckets = chunk_buckets
         self.salt_span_points = salt_span_points
+        # "bucket": files land as the compress shuffle produced them
+        # (hash(sid)-mixed). "zorder": one extra repartitionByRange on a
+        # Morton key of (series rank, start_ts) so file/row-group min-max
+        # stats prune per-series scans AND time-window rollups
+        # (operators/zorder.py; same idea as Delta OPTIMIZE ZORDER).
+        self.segment_layout = segment_layout
+        self.zorder_partitions = zorder_partitions
 
     # -- stage plumbing ------------------------------------------------------
 
@@ -210,12 +221,26 @@ class TierPipeline:
         def build(bucket_ids: list[int]) -> DataFrame:
             series = self._read_buckets("series", bucket_ids)
             segs = compress(series, self.cfg, salt_span_points=self.salt_span_points)
-            return segs.withColumn(
+            segs = segs.withColumn(
                 "sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets)
             )
+            if self.segment_layout == "zorder":
+                from modelardb_dynamic_spark.operators.zorder import zorder_keys
+
+                keyed = zorder_keys(segs, "sid", "start_ts", bits=10)
+                parts = ["sbucket", "zval"]
+                keyed = (
+                    keyed.repartitionByRange(self.zorder_partitions, *parts)
+                    if self.zorder_partitions
+                    else keyed.repartitionByRange(*parts)
+                )
+                segs = keyed.sortWithinPartitions(*parts).drop("zval")
+            return segs
 
         self._run_stage(
-            "segments", fingerprint, build, ts_col="end_ts",
+            "segments",
+            fingerprint + ("+zorder" if self.segment_layout == "zorder" else ""),
+            build, ts_col="end_ts",
             fail_after_chunks=fail_after_chunks, only_buckets=only_buckets,
         )
 

@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "cms_heavy",
     "tiered_cms_range",
     "ewma_backtest",
+    "cohort_retention",
+    "funnel_daily",
+    "m4_downsample",
+    "zorder_scan",
 ]
 
 

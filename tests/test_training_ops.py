@@ -691,3 +691,81 @@ def test_funnel_matches_gap_and_pattern(spark):
     assert r["day"] == 0 and r["n_matches"] == 2 and r["n_convs"] == 1
     assert r["span_sum_ms"] == 30_000 + 20_000
     assert r["avg_span_ms"] == 25_000.0
+
+
+def test_cohort_and_funnel_random_differential(spark):
+    """Seeded random transcript shapes (1-turn convs, duplicate
+    timestamps, role runs) vs pure-pandas models."""
+    import numpy as np
+    import pandas as pd
+
+    from modelardb_dynamic_spark.operators.textstats import (
+        cohort_retention,
+        funnel_matches,
+    )
+
+    DAY = 86_400_000
+    rng = np.random.default_rng(42)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{v}" for v in rng.integers(0, 60, n)],
+            "ts_ms": rng.integers(0, 12 * DAY, n),
+            "role": rng.choice(["user", "assistant", "tool"], n),
+        }
+    )
+    pdf = pdf.sort_values(["conv_id", "ts_ms"], kind="stable").reset_index(
+        drop=True
+    )
+    pdf["turn_idx"] = pdf.groupby("conv_id").cumcount()
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "ts", F.expr("timestamp_millis(ts_ms)")
+    )
+
+    # cohort model
+    act = pdf.assign(day=pdf.ts_ms // DAY * DAY)
+    days = act.groupby(["conv_id", "day"]).size().rename("turns").reset_index()
+    firsts = days.groupby("conv_id").day.min().rename("cohort_day")
+    j = days.join(firsts, on="conv_id")
+    j["day_offset"] = (j.day - j.cohort_day) // DAY
+    cells = (
+        j.groupby(["cohort_day", "day_offset"])
+        .agg(n_convs=("conv_id", "size"), n_turns=("turns", "sum"))
+        .reset_index()
+    )
+    got = {
+        (r["cohort_day"], r["day_offset"]): (r["n_convs"], r["n_turns"])
+        for r in cohort_retention(sdf, day_ms=DAY).collect()
+    }
+    want = {
+        (int(r.cohort_day), int(r.day_offset)): (int(r.n_convs), int(r.n_turns))
+        for r in cells.itertuples()
+    }
+    assert got == want
+
+    # funnel model (adjacent triples in turn_idx order, gap-bounded)
+    gap = 6 * 3_600_000
+    want_f: dict = {}
+    for _, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        r = g.role.tolist()
+        t = g.ts_ms.tolist()
+        for i in range(len(g) - 2):
+            if (
+                r[i] == "user" and r[i + 1] == "assistant"
+                and r[i + 2] == "tool"
+                and t[i + 1] - t[i] <= gap and t[i + 2] - t[i + 1] <= gap
+            ):
+                day = t[i] // DAY * DAY
+                m, convs, span = want_f.get(day, (0, set(), 0))
+                convs = set(convs) | {g.conv_id.iloc[0]}
+                want_f[day] = (m + 1, convs, span + t[i + 2] - t[i])
+    got_f = {
+        r["day"]: (r["n_matches"], r["n_convs"], r["span_sum_ms"])
+        for r in funnel_matches(
+            sdf, pattern=("user", "assistant", "tool"), max_gap_ms=gap
+        ).collect()
+    }
+    assert got_f == {
+        d: (m, len(c), s) for d, (m, c, s) in want_f.items()
+    }

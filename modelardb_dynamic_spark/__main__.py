@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="after a --sketches build, estimate the probe "
                          "conversations' turn counts per bucket from the "
                          "cms_1d counter tier (hot-conversation audit)")
+    ap.add_argument("--compact", default=None, metavar="TABLE[:N]",
+                    help="after the build, compact TABLE's bucket dirs "
+                         "down to N files each (default 1); crash-safe, "
+                         "rows and lineage unchanged")
     ap.add_argument("--segment-layout", default="bucket",
                     choices=["bucket", "zorder"],
                     help="zorder: Morton-cluster segment files on "
@@ -123,6 +127,9 @@ def main(argv: list[str] | None = None) -> None:
     for spec in args.retain:
         table, horizon = spec.rsplit(":", 1)
         pipe.retain(table, int(horizon))
+    if args.compact:
+        table, _, n = args.compact.partition(":")
+        out["compact"] = pipe.compact(table, target_files=int(n) if n else 1)
     metrics = {
         stage: Lineage(wh.path(stage)).metrics()
         for stage in ["raw", "series", "segments", "tier_1m", "tier_1h", "tier_1d"]

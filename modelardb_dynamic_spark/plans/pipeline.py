@@ -595,6 +595,72 @@ class TierPipeline:
     def retain_raw(self, horizon_ms: int, fingerprint_suffix: str = "") -> None:
         self.retain("raw", horizon_ms, fingerprint_suffix)
 
+    # -- maintenance -----------------------------------------------------------
+
+    def compact(
+        self,
+        table: str,
+        target_files: int = 1,
+        sort_cols: list[str] | None = None,
+    ) -> dict:
+        """Small-file compaction for a stage table: rewrite each bucket
+        dir holding more than `target_files` parquet files down to
+        `target_files` (optionally re-sorted), leaving rows, manifests,
+        and resume state untouched. The in-sandbox twin of Iceberg
+        `rewrite_data_files` (reference: compaction with crash recovery,
+        storage/FileStorage.scala:126-165).
+
+        Crash-safe via a rename journal: each swap goes
+        dst -> dst.old, tmp -> dst, rm dst.old; a recovery pass at entry
+        repairs any interrupted swap (dst missing + dst.old present ->
+        restore; both present -> drop the stale .old). A row-count check
+        against the bucket's lineage manifest guards the swap: a
+        mismatched rewrite is abandoned loudly instead of installed.
+        """
+        root = self.wh.path(table)
+        lineage = Lineage(root)
+        # recovery pass for swaps interrupted by a crash
+        for name in sorted(os.listdir(root)):
+            if not name.endswith(".old"):
+                continue
+            old, dst = os.path.join(root, name), os.path.join(root, name[:-4])
+            if os.path.exists(dst):
+                shutil.rmtree(old)  # crashed after install: stale backup
+            else:
+                os.rename(old, dst)  # crashed mid-swap: restore original
+        stats = {"buckets_compacted": 0, "files_before": 0, "files_after": 0,
+                 "rows": 0}
+        import glob as _glob
+
+        for b in sorted(lineage.completed_buckets()):
+            dst = os.path.join(root, f"sbucket={b}")
+            files = _glob.glob(os.path.join(dst, "*.parquet"))
+            if len(files) <= target_files:
+                continue
+            m = lineage.get(b)
+            df = self.spark.read.parquet(dst).coalesce(target_files)
+            if sort_cols:
+                df = df.sortWithinPartitions(*sort_cols)
+            tmp = dst + "." + uuid.uuid4().hex[:8] + ".tmp"
+            df.write.mode("overwrite").parquet(tmp)
+            got = self.spark.read.parquet(tmp).count()
+            if m is not None and got != m.rows:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise RuntimeError(
+                    f"compaction of {table} bucket {b} produced {got} rows, "
+                    f"manifest says {m.rows}; rewrite abandoned"
+                )
+            os.rename(dst, dst + ".old")
+            os.rename(tmp, dst)
+            shutil.rmtree(dst + ".old")
+            stats["buckets_compacted"] += 1
+            stats["files_before"] += len(files)
+            stats["files_after"] += len(
+                _glob.glob(os.path.join(dst, "*.parquet"))
+            )
+            stats["rows"] += got
+        return stats
+
     # -- views ---------------------------------------------------------------
 
     def range_agg(self, lo_ms: int, hi_ms: int, bucket_ms: int) -> DataFrame:

@@ -738,3 +738,51 @@ def test_zorder_segment_layout_value_identical_and_prunes(
         return sum(fr) / len(fr)
 
     assert avg_kept(wh_z) < avg_kept(wh_a)
+
+
+def test_compact_preserves_rows_manifests_and_resume(
+    spark, transcripts, tmp_path
+):
+    """Compaction must change only file counts: rows identical, lineage
+    manifests untouched (so a rebuild still skips), and an interrupted
+    swap recovers on the next call."""
+    import glob
+    import os
+    import shutil
+
+    wh = Warehouse(str(tmp_path / "cp"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4)
+    p.run(transcripts)
+
+    table = "tier_1m"
+    root = wh.path(table)
+    before = sorted(map(tuple, wh.read(spark, table).collect()))
+    n_files_before = len(glob.glob(f"{root}/sbucket=*/*.parquet"))
+    assert n_files_before > 4, "need multi-file buckets for the test"
+
+    st = p.compact(table, target_files=1)
+    assert st["buckets_compacted"] >= 1
+    assert st["files_after"] == st["buckets_compacted"]
+    after = sorted(map(tuple, wh.read(spark, table).collect()))
+    assert after == before
+    assert len(glob.glob(f"{root}/sbucket=*/*.parquet")) == 4
+
+    # manifests untouched -> rebuild is a no-op (resume still skips)
+    p.build_tiers()
+    assert sorted(map(tuple, wh.read(spark, table).collect())) == before
+
+    # idempotent: nothing left to compact
+    assert p.compact(table, target_files=1)["buckets_compacted"] == 0
+
+    # crash recovery: simulate a swap interrupted between the two renames
+    dst = os.path.join(root, "sbucket=0")
+    os.rename(dst, dst + ".old")
+    assert not os.path.exists(dst)
+    p.compact(table, target_files=1)  # recovery pass restores the bucket
+    assert os.path.exists(dst)
+    assert sorted(map(tuple, wh.read(spark, table).collect())) == before
+
+    # and a stale backup beside an installed dir is cleaned up
+    shutil.copytree(dst, dst + ".old")
+    p.compact(table, target_files=1)
+    assert not os.path.exists(dst + ".old")

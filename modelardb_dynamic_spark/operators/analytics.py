@@ -346,3 +346,55 @@ def m4_downsample(points: DataFrame, bucket_ms: int) -> DataFrame:
         | (F.col("v") == F.col("v_lo"))
         | (F.col("v") == F.col("v_hi"))
     ).select("sid", "bucket_ts", "ts_ms", "v")
+
+
+def gap_audit(segs: DataFrame) -> DataFrame:
+    """Data-quality gap audit computed from the SEGMENT TABLE ALONE — no
+    decode: per sid, observed point count (sum of segment cnt), grid
+    span, expected-vs-missing points, and the number/total/longest of
+    interior gaps from adjacent-segment discontinuities (a gap exists
+    iff next.start_ts > prev.end_ts + si; segments tile runs exactly, so
+    this equals the point-level answer — the segment-native shape the
+    whole engine favors, cf. the COUNT_S family SparkUDAF.scala:35-56).
+
+    Returns (sid, observed_pts, first_ts, last_ts, expected_pts,
+    missing_pts, n_gaps, gap_ms_sum, longest_gap_ms). All exact int64.
+
+    Scale: one window pass + two groupBys, all keyed on sid (the
+    engine's universal partitioning); input is segment rows (hundreds of
+    times below point rows), so this audits a 100 TB store by scanning
+    only its metadata-sized summary columns.
+    """
+    w = Window.partitionBy("sid").orderBy("start_ts")
+    s = segs.select("sid", "start_ts", "end_ts", "si").withColumn(
+        "prev_end", F.lag("end_ts").over(w)
+    )
+    gaps = s.where(
+        F.col("prev_end").isNotNull()
+        & (F.col("start_ts") > F.col("prev_end") + F.col("si"))
+    ).select(
+        "sid",
+        (F.col("start_ts") - F.col("prev_end") - F.col("si")).alias("gap_ms"),
+    )
+    gstats = gaps.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_ms").alias("gap_ms_sum"),
+        F.max("gap_ms").alias("longest_gap_ms"),
+    )
+    base = segs.groupBy("sid").agg(
+        F.sum("cnt").alias("observed_pts"),
+        F.min("start_ts").alias("first_ts"),
+        F.max("end_ts").alias("last_ts"),
+        F.first("si").alias("si"),
+    )
+    return (
+        base.join(gstats, "sid", "left")
+        .selectExpr(
+            "sid", "observed_pts", "first_ts", "last_ts",
+            "(last_ts - first_ts) DIV si + 1 AS expected_pts",
+            "(last_ts - first_ts) DIV si + 1 - observed_pts AS missing_pts",
+            "coalesce(n_gaps, CAST(0 AS BIGINT)) AS n_gaps",
+            "coalesce(gap_ms_sum, CAST(0 AS BIGINT)) AS gap_ms_sum",
+            "coalesce(longest_gap_ms, CAST(0 AS BIGINT)) AS longest_gap_ms",
+        )
+    )

@@ -602,6 +602,7 @@ class TierPipeline:
         table: str,
         target_files: int = 1,
         sort_cols: list[str] | None = None,
+        zorder_on: tuple[str, str] | None = None,
     ) -> dict:
         """Small-file compaction for a stage table: rewrite each bucket
         dir holding more than `target_files` parquet files down to
@@ -609,6 +610,11 @@ class TierPipeline:
         and resume state untouched. The in-sandbox twin of Iceberg
         `rewrite_data_files` (reference: compaction with crash recovery,
         storage/FileStorage.scala:126-165).
+
+        `zorder_on=(sid_col, ts_col)` re-clusters each rewritten bucket
+        on the Morton key while compacting (Iceberg's
+        `rewrite_data_files(strategy => 'sort')` with a z-order);
+        `sort_cols` is the plain-sort alternative.
 
         Crash-safe via a rename journal: each swap goes
         dst -> dst.old, tmp -> dst, rm dst.old; a recovery pass at entry
@@ -638,9 +644,20 @@ class TierPipeline:
             if len(files) <= target_files:
                 continue
             m = lineage.get(b)
-            df = self.spark.read.parquet(dst).coalesce(target_files)
-            if sort_cols:
-                df = df.sortWithinPartitions(*sort_cols)
+            df = self.spark.read.parquet(dst)
+            if zorder_on is not None:
+                from modelardb_dynamic_spark.operators.zorder import zorder_keys
+
+                df = (
+                    zorder_keys(df, zorder_on[0], zorder_on[1], bits=10)
+                    .coalesce(target_files)
+                    .sortWithinPartitions("zval")
+                    .drop("zval")
+                )
+            else:
+                df = df.coalesce(target_files)
+                if sort_cols:
+                    df = df.sortWithinPartitions(*sort_cols)
             tmp = dst + "." + uuid.uuid4().hex[:8] + ".tmp"
             df.write.mode("overwrite").parquet(tmp)
             got = self.spark.read.parquet(tmp).count()

@@ -1096,6 +1096,19 @@ def q_zorder_scan(spark, sf_dir):
     )
 
 
+def q_gap_audit(spark, sf_dir):
+    """Segment-native data-quality gap audit (operators/analytics.py
+    gap_audit): per series, observed vs expected grid points and the
+    count/total/longest of interior gaps — computed from segment bounds
+    and summary columns alone, never decoding a model. The oracle
+    replays the point-level definition over the raw minute buckets
+    (lag-window deltas > si), which the segment-boundary form must equal
+    because segments tile runs exactly."""
+    from modelardb_dynamic_spark.operators.analytics import gap_audit
+
+    return gap_audit(_event_segments(spark, sf_dir))
+
+
 # the kmv_overlap window boundary: first 3 days vs the rest of the range
 KMV_CUT = RANGE_LO + 3 * DAY_MS
 
@@ -1458,6 +1471,7 @@ QUERIES = {
     "funnel_daily": q_funnel_daily,
     "m4_downsample": q_m4_downsample,
     "zorder_scan": q_zorder_scan,
+    "gap_audit": q_gap_audit,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
@@ -2532,6 +2546,35 @@ ORACLES["funnel_daily"] = f"""
            CAST(span_sum_ms AS DOUBLE) / CAST(n_matches AS DOUBLE)
                AS avg_span_ms
     FROM s
+"""
+
+ORACLES["gap_audit"] = f"""
+    WITH b AS ({_MINUTE_BUCKETS}),
+    l AS (
+        SELECT sid, m, m - lag(m) OVER (
+            PARTITION BY sid ORDER BY m) AS d
+        FROM b
+    ),
+    g AS (
+        SELECT sid,
+               CAST(count(*) FILTER (d > {SI_MS}) AS BIGINT) AS n_gaps,
+               CAST(coalesce(sum(d - {SI_MS}) FILTER (d > {SI_MS}), 0)
+                    AS BIGINT) AS gap_ms_sum,
+               CAST(coalesce(max(d - {SI_MS}) FILTER (d > {SI_MS}), 0)
+                    AS BIGINT) AS longest_gap_ms
+        FROM l GROUP BY sid
+    ),
+    base AS (
+        SELECT sid, CAST(count(*) AS BIGINT) AS observed_pts,
+               min(m) AS first_ts, max(m) AS last_ts
+        FROM b GROUP BY sid
+    )
+    SELECT base.sid, observed_pts, first_ts, last_ts,
+           (last_ts - first_ts) // {SI_MS} + 1 AS expected_pts,
+           (last_ts - first_ts) // {SI_MS} + 1 - observed_pts
+               AS missing_pts,
+           n_gaps, gap_ms_sum, longest_gap_ms
+    FROM base JOIN g USING (sid)
 """
 
 ORACLES["zorder_scan"] = f"""

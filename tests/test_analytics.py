@@ -270,3 +270,37 @@ def test_m4_downsample_value_ties_keep_all_rows(spark):
     assert got == [
         (0, 5), (60_000, 1), (120_000, 9), (180_000, 9), (240_000, 3)
     ]
+
+
+def test_gap_audit_hand_computed(spark):
+    from modelardb_dynamic_spark.operators.analytics import gap_audit
+
+    SI = 60_000
+    # sid a: [0..2], gap of 2 buckets, [5..6] -> 5 observed of 7 expected
+    # sid b: single contiguous run, no gaps
+    segs = spark.createDataFrame(
+        [
+            ("a", 0 * SI, 2 * SI, SI, 3),
+            ("a", 5 * SI, 6 * SI, SI, 2),
+            ("b", 10 * SI, 13 * SI, SI, 4),
+        ],
+        "sid string, start_ts long, end_ts long, si long, cnt long",
+    )
+    got = {r["sid"]: r.asDict() for r in gap_audit(segs).collect()}
+    assert got["a"] == dict(
+        sid="a", observed_pts=5, first_ts=0, last_ts=6 * SI,
+        expected_pts=7, missing_pts=2, n_gaps=1,
+        gap_ms_sum=2 * SI, longest_gap_ms=2 * SI,
+    )
+    assert got["b"] == dict(
+        sid="b", observed_pts=4, first_ts=10 * SI, last_ts=13 * SI,
+        expected_pts=4, missing_pts=0, n_gaps=0,
+        gap_ms_sum=0, longest_gap_ms=0,
+    )
+    # adjacent segments (salt boundary shape) are NOT gaps
+    adj = spark.createDataFrame(
+        [("c", 0, 2 * SI, SI, 3), ("c", 3 * SI, 4 * SI, SI, 2)],
+        "sid string, start_ts long, end_ts long, si long, cnt long",
+    )
+    r = gap_audit(adj).collect()[0]
+    assert r["n_gaps"] == 0 and r["missing_pts"] == 0

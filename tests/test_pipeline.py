@@ -786,3 +786,15 @@ def test_compact_preserves_rows_manifests_and_resume(
     shutil.copytree(dst, dst + ".old")
     p.compact(table, target_files=1)
     assert not os.path.exists(dst + ".old")
+
+
+def test_compact_with_zorder_recluster(spark, transcripts, tmp_path):
+    """compact(zorder_on=...) rewrites buckets Morton-clustered: rows
+    unchanged, and within-file sid spans shrink vs plain compaction."""
+    wh = Warehouse(str(tmp_path / "cz"), n_buckets=2)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=2)
+    p.run(transcripts)
+    before = sorted(map(tuple, wh.read(spark, "segments").collect()))
+    st = p.compact("segments", target_files=4, zorder_on=("sid", "start_ts"))
+    assert st["buckets_compacted"] >= 1
+    assert sorted(map(tuple, wh.read(spark, "segments").collect())) == before

@@ -398,3 +398,129 @@ def gap_audit(segs: DataFrame) -> DataFrame:
             "coalesce(longest_gap_ms, CAST(0 AS BIGINT)) AS longest_gap_ms",
         )
     )
+
+
+# ACF tree shared with the oracle (same discipline as _PEARSON_EXPR):
+# every aggregate is an exact int64 sum, mu = s/n is the single shared
+# division, and the final expression is evaluated identically by Spark
+# and DuckDB on exactly-representable inputs. Rows where the series is
+# constant (q*n == s*s, an EXACT integer predicate) are excluded before
+# the division so neither engine ever divides by zero.
+_ACF_EXPR = (
+    "(CAST(sab AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+    "* CAST(sa + sb AS DOUBLE) "
+    "+ CAST(n_pairs AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+    "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) "
+    "/ (CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+    "* CAST(s AS DOUBLE))"
+)
+
+
+def acf_lags(
+    points: DataFrame, max_lag: int, si_ms: int, materialize: bool = True
+) -> DataFrame:
+    """Autocorrelation function of a regular-grid integer series at lags
+    1..max_lag, over the OBSERVED grid buckets: pairs are the buckets
+    where both t and t+k*si exist; the series mean and energy are over
+    all observed buckets (the sparse-ACF convention — gaps contribute no
+    pairs rather than zeros, matching the engine's gap semantics where a
+    missing bucket is absence, not 0).
+
+    points: (sid string, ts_ms long, v long) — v exact integer (the
+    engine's count-valued series at error bound 0).
+    Returns (sid, lag, n_pairs, acf) for non-constant series with at
+    least one pair at that lag; acf = sum((x_t-mu)(x_{t+k}-mu)) /
+    sum((x_t-mu)^2), both moments expanded to exact int64 sums with mu
+    applied once in a shared IEEE-754 expression tree (value-gatable).
+
+    Scale: the lag join is an equi-join on (sid, ts) — the engine's
+    universal co-partitioning key — carrying max_lag probe rows per
+    point (max_lag is small and fixed); per-series moments are one
+    map-side-combinable aggregation. No window over data rows, no
+    quadratic term: seasonality detection at 100 TB is max_lag
+    linear passes that AQE fuses into one shuffle each side.
+    """
+    if materialize:
+        points = _materialize(points)
+    spark = points.sparkSession
+    base = points.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    lag_df = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    a = points.alias("a")
+    b = points.select(
+        F.col("sid"), F.col("ts_ms").alias("ts_b"), F.col("v").alias("v_b")
+    ).alias("b")
+    probes = a.join(F.broadcast(lag_df))
+    pairs = probes.join(
+        b,
+        (F.col("a.sid") == F.col("b.sid"))
+        & (F.col("ts_b") == F.col("a.ts_ms") + F.col("lag") * F.lit(si_ms)),
+    )
+    agg = pairs.groupBy(F.col("a.sid").alias("sid"), "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("a.v").alias("sa"),
+        F.sum("v_b").alias("sb"),
+        F.sum(F.col("a.v") * F.col("v_b")).alias("sab"),
+    )
+    return (
+        agg.join(base, "sid")
+        .where(F.expr("q * n != s * s"))
+        .selectExpr("sid", "lag", "n_pairs", f"{_ACF_EXPR} AS acf")
+    )
+
+
+def sax_words(
+    points: DataFrame,
+    paa_ms: int,
+    word_positions: int,
+    alphabet: int = 8,
+) -> DataFrame:
+    """SAX-style symbolic words over an integer-valued series: PAA
+    buckets of `paa_ms` (each summarized by its exact integer SUM —
+    equal-width windows make the sum order-equivalent to the mean),
+    quantized per series onto an `alphabet`-letter equal-width scale
+    between the series' own min/max PAA sums, then concatenated into one
+    word per (sid, window of `word_positions` consecutive PAA buckets).
+
+    Everything before the letter lookup is exact integer algebra —
+    symbol = (paa_sum - lo) * alphabet DIV (hi - lo + 1), which lands in
+    [0, alphabet) with no float rounding at bin edges (the classic
+    z-normalized-Gaussian-breakpoint SAX puts bin edges on irrational
+    numbers; the equal-width integer variant trades that for exact
+    replayability, which is what a value-gated store query needs).
+    Missing PAA buckets are simply absent from the word (gap semantics),
+    so word length encodes coverage.
+
+    Returns (sid, word_ts, word). alphabet <= 26.
+
+    Scale: two map-side-combinable aggregations keyed on (sid, bucket)
+    and one catalog-sized min/max per sid broadcast back; the word
+    concat sorts only within each (sid, window) group via array_sort of
+    collected (pos, sym) structs — group size is word_positions, a
+    constant.
+    """
+    if not 2 <= alphabet <= 26:
+        raise ValueError("alphabet must be in [2, 26]")
+    letters = "abcdefghijklmnopqrstuvwxyz"[:alphabet]
+    word_ms = paa_ms * word_positions
+    paa = points.groupBy(
+        "sid", F.expr(f"(ts_ms DIV {paa_ms}) * {paa_ms}").alias("h")
+    ).agg(F.sum("v").alias("paa_sum"))
+    rng = paa.groupBy("sid").agg(
+        F.min("paa_sum").alias("lo"), F.max("paa_sum").alias("hi")
+    )
+    sym = paa.join(F.broadcast(rng), "sid").withColumn(
+        "sym",
+        F.expr(f"CAST((paa_sum - lo) * {alphabet} DIV (hi - lo + 1) AS INT)"),
+    )
+    return sym.groupBy(
+        "sid", F.expr(f"(h DIV {word_ms}) * {word_ms}").alias("word_ts")
+    ).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(h, sym))), "
+            f"p -> substring('{letters}', p.sym + 1, 1)), '')"
+        ).alias("word")
+    )

@@ -576,3 +576,61 @@ def gopher_quality(
         & (F.col("symbol_ratio") < 0.1)
     )
     return out.withColumn("keep", keep)
+
+
+def reply_latency(tr: DataFrame) -> DataFrame:
+    """Per-role reply-latency distribution over a transcript table
+    (conv_id, turn_idx, role, ts — the BASELINE input shape): for every
+    turn with a predecessor in its conversation, the gap to that
+    predecessor is attributed to the REPLYING turn's role; per role the
+    operator reports count, exact gap sum, mean (one shared double
+    division), min/max, and exact p50/p90/p99 order statistics under the
+    1-based ceil-index ("disc") convention k_p = ceil(p*n).
+
+    The percentiles are computed by DISTRIBUTED SELECTION, not a sort:
+    gaps are first reduced to (role, gap_ms, occurrences) — a map-side-
+    combinable aggregation whose state is bounded by the number of
+    DISTINCT latency values, not rows — then one window pass over that
+    value-count table (catalog-sized: distinct millisecond gaps saturate
+    long before 10^12 turns do) finds the smallest value whose running
+    count reaches k_p. A partitionBy(role) window over raw rows would
+    put an entire role — a third of all turns — in one task; this shape
+    never moves more than the distinct-value table through a window.
+
+    Every output is an exact integer except avg_gap_ms (one shared
+    division), so the whole row is value-gatable.
+    Returns (role, n, gap_sum_ms, avg_gap_ms, min_ms, p50_ms, p90_ms,
+    p99_ms, max_ms).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    g = (
+        tr.select("conv_id", "turn_idx", "role", ms.alias("ts_ms"))
+        .withColumn("prev_ts", F.lag("ts_ms").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select("role", (F.col("ts_ms") - F.col("prev_ts")).alias("gap_ms"))
+    )
+    counts = g.groupBy("role", "gap_ms").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("role").orderBy("gap_ms")
+    cum = counts.withColumn("cum", F.sum("c").over(wr))
+    stats = counts.groupBy("role").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("gap_ms")).alias("gap_sum_ms"),
+        F.min("gap_ms").alias("min_ms"),
+        F.max("gap_ms").alias("max_ms"),
+    )
+    j = cum.join(F.broadcast(stats), "role")
+    # ceil(p*n) in pure integer arithmetic: ceil(a*n/b) = (a*n + b - 1) DIV b
+    picks = j.groupBy("role").agg(
+        F.min(F.expr("CASE WHEN cum >= (n + 1) DIV 2 THEN gap_ms END"))
+        .alias("p50_ms"),
+        F.min(F.expr("CASE WHEN cum >= (9 * n + 9) DIV 10 THEN gap_ms END"))
+        .alias("p90_ms"),
+        F.min(F.expr("CASE WHEN cum >= (99 * n + 99) DIV 100 THEN gap_ms END"))
+        .alias("p99_ms"),
+    )
+    return stats.join(picks, "role").selectExpr(
+        "role", "n", "gap_sum_ms",
+        "CAST(gap_sum_ms AS DOUBLE) / CAST(n AS DOUBLE) AS avg_gap_ms",
+        "min_ms", "p50_ms", "p90_ms", "p99_ms", "max_ms",
+    )

@@ -1409,6 +1409,71 @@ def q_tiered_agg(spark, sf_dir):
     )
 
 
+def q_acf_turnrate(spark, sf_dir):
+    """Autocorrelation of the per-minute turn-rate series at lags 1..4,
+    computed ON the compressed store (segments -> datapoint view -> exact
+    int pair/moment sums -> one shared IEEE expression, the
+    _PEARSON_EXPR discipline; operators/analytics.py acf_lags). The
+    oracle replays the identical sparse-ACF algebra over the raw minute
+    buckets — seasonality detection pinned value-level."""
+    from modelardb_dynamic_spark.operators.analytics import acf_lags
+
+    segs = _event_segments(spark, sf_dir)
+    # hourly rebucket, same reason as corr_pairs: the minute grid is too
+    # sparse for adjacent-bucket pairs; hourly sums stay exact int64
+    pts = (
+        datapoint_view(segs)
+        .select(
+            "sid",
+            F.expr(f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}").alias("ts_ms"),
+            F.col("value").cast("long").alias("v"),
+        )
+        .groupBy("sid", "ts_ms")
+        .agg(F.sum("v").alias("v"))
+    )
+    return acf_lags(pts, max_lag=4, si_ms=HOUR_MS)
+
+
+def q_sax_words(spark, sf_dir):
+    """SAX-style symbolic words over the compressed store
+    (operators/analytics.py sax_words): hourly PAA sums, per-series
+    equal-width 8-letter quantization in exact integer algebra, one word
+    per (sid, 8-hour window). The oracle replays PAA + binning + ordered
+    string_agg over the raw minute buckets, so the symbolization — bin
+    edges included — is value-gated."""
+    from modelardb_dynamic_spark.operators.analytics import sax_words
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return sax_words(pts, paa_ms=HOUR_MS, word_positions=8, alphabet=8)
+
+
+def q_reply_latency(spark, sf_dir):
+    """Per-role reply-latency distribution (operators/textstats.py
+    reply_latency) over the deterministic transcript table: count, exact
+    gap sum, mean, min/max and exact ceil-index p50/p90/p99 — computed
+    by distributed selection over the (role, gap, occurrences) value
+    table, never a per-role sort of raw rows. The oracle replays the
+    identical transcript, value-count table, and integer ceil-index
+    picks in DuckDB."""
+    from modelardb_dynamic_spark.operators.textstats import reply_latency
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
+    tr = ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(
+            roles, F.pmod(F.col("event_id"), F.lit(3)).cast("int") + 1
+        ).alias("role"),
+        F.col("ts"),
+    )
+    return reply_latency(tr)
+
+
 QUERIES = {
     "seg_count_s": q_seg_count_s,
     "seg_agg_s": q_seg_agg_s,
@@ -1472,6 +1537,9 @@ QUERIES = {
     "m4_downsample": q_m4_downsample,
     "zorder_scan": q_zorder_scan,
     "gap_audit": q_gap_audit,
+    "acf_turnrate": q_acf_turnrate,
+    "sax_words": q_sax_words,
+    "reply_latency": q_reply_latency,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
@@ -2856,6 +2924,118 @@ def _kmeans_oracle_sql() -> str:
                    PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
         FROM cand QUALIFY rank <= 5
     """
+
+
+from modelardb_dynamic_spark.operators.analytics import _ACF_EXPR
+
+ORACLES["acf_turnrate"] = f"""
+    WITH mb AS ({_MINUTE_BUCKETS}),
+    b AS (
+        SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS m,
+               CAST(sum(v) AS BIGINT) AS v
+        FROM mb GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT sid, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(v * v) AS BIGINT) AS q
+        FROM b GROUP BY sid
+    ),
+    lags AS (SELECT * FROM (VALUES (1), (2), (3), (4)) t(lag)),
+    p AS (
+        SELECT a.sid, l.lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(a.v) AS BIGINT) AS sa,
+               CAST(sum(c.v) AS BIGINT) AS sb,
+               CAST(sum(a.v * c.v) AS BIGINT) AS sab
+        FROM b a CROSS JOIN lags l
+        JOIN b c ON c.sid = a.sid AND c.m = a.m + l.lag * {HOUR_MS}
+        GROUP BY 1, 2
+    )
+    SELECT p.sid, CAST(lag AS BIGINT) AS lag, n_pairs, {_ACF_EXPR} AS acf
+    FROM p JOIN base ON base.sid = p.sid
+    WHERE q * n != s * s
+"""
+
+SAX_WORD_MS = 8 * HOUR_MS
+
+ORACLES["sax_words"] = f"""
+    WITH b AS ({_MINUTE_BUCKETS}),
+    paa AS (
+        SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS h,
+               CAST(sum(v) AS BIGINT) AS paa_sum
+        FROM b GROUP BY 1, 2
+    ),
+    rng AS (
+        SELECT sid, min(paa_sum) AS lo, max(paa_sum) AS hi
+        FROM paa GROUP BY 1
+    ),
+    s AS (
+        SELECT paa.sid, h,
+               CAST((paa_sum - lo) * 8 // (hi - lo + 1) AS INT) AS sym
+        FROM paa JOIN rng USING (sid)
+    )
+    SELECT sid, (h // {SAX_WORD_MS}) * {SAX_WORD_MS} AS word_ts,
+           string_agg(substring('abcdefgh', sym + 1, 1), ''
+                      ORDER BY h) AS word
+    FROM s GROUP BY 1, 2
+"""
+
+ORACLES["reply_latency"] = """
+    WITH tr AS (
+        SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)
+                   AS turn_idx,
+               event_id,
+               epoch_ms(ts) AS ts_ms
+        FROM events
+    ),
+    r AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN event_id % 3 = 0 THEN 'user'
+                    WHEN event_id % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               ts_ms
+        FROM tr
+    ),
+    g AS (
+        SELECT role, gap_ms FROM (
+            SELECT role, ts_ms - lag(ts_ms) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) AS gap_ms
+            FROM r
+        ) WHERE gap_ms IS NOT NULL
+    ),
+    counts AS (
+        SELECT role, gap_ms, CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT role, gap_ms, c,
+               sum(c) OVER (PARTITION BY role ORDER BY gap_ms) AS cum
+        FROM counts
+    ),
+    stats AS (
+        SELECT role, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * gap_ms) AS BIGINT) AS gap_sum_ms,
+               min(gap_ms) AS min_ms, max(gap_ms) AS max_ms
+        FROM counts GROUP BY 1
+    ),
+    picks AS (
+        SELECT cum.role,
+               min(CASE WHEN cum >= (n + 1) // 2 THEN gap_ms END)
+                   AS p50_ms,
+               min(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap_ms END)
+                   AS p90_ms,
+               min(CASE WHEN cum >= (99 * n + 99) // 100 THEN gap_ms END)
+                   AS p99_ms
+        FROM cum JOIN stats USING (role) GROUP BY 1
+    )
+    SELECT stats.role, n, gap_sum_ms,
+           CAST(gap_sum_ms AS DOUBLE) / CAST(n AS DOUBLE) AS avg_gap_ms,
+           min_ms, p50_ms, p90_ms, p99_ms, max_ms
+    FROM stats JOIN picks ON picks.role = stats.role
+"""
 
 
 def build_oracles() -> dict[str, str]:

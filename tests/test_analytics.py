@@ -304,3 +304,72 @@ def test_gap_audit_hand_computed(spark):
     )
     r = gap_audit(adj).collect()[0]
     assert r["n_gaps"] == 0 and r["missing_pts"] == 0
+
+
+def test_acf_lags_matches_numpy(spark):
+    """acf_lags on a dense grid equals the classic numpy sparse-ACF
+    (full-series mean, pairs at observed offsets)."""
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import acf_lags
+
+    SI = 60_000
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 20, size=40)
+    rows = [("s", i * SI, int(v[i])) for i in range(40)]
+    pts = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in acf_lags(pts, max_lag=3, si_ms=SI, materialize=False)
+        .collect()
+    }
+    mu = v.mean()
+    den = ((v - mu) ** 2).sum()
+    for k in (1, 2, 3):
+        n_pairs, acf = got[k]
+        assert n_pairs == 40 - k
+        expect = ((v[:-k] - mu) * (v[k:] - mu)).sum() / den
+        assert abs(acf - expect) < 1e-12
+
+
+def test_acf_lags_gap_and_constant_semantics(spark):
+    """Gaps contribute no pairs (sparse convention); constant series are
+    excluded by the exact integer predicate rather than dividing by 0."""
+    from modelardb_dynamic_spark.operators.analytics import acf_lags
+
+    SI = 60_000
+    rows = (
+        # sid g: buckets 0,1,3 -> lag1 pairs: (0,1) only; lag2: (1,3)
+        [("g", 0, 5), ("g", SI, 7), ("g", 3 * SI, 9)]
+        # sid c: constant -> zero variance -> no output rows
+        + [("c", i * SI, 4) for i in range(10)]
+    )
+    pts = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    out = acf_lags(pts, max_lag=2, si_ms=SI, materialize=False).collect()
+    got = {(r["sid"], r["lag"]): r["n_pairs"] for r in out}
+    assert got == {("g", 1): 1, ("g", 2): 1}
+
+
+def test_sax_words_hand_computed(spark):
+    from modelardb_dynamic_spark.operators.analytics import sax_words
+
+    SI = 60_000
+    # one point per "hour" with hourly sums 0..7 over an 8-slot window:
+    # lo=0, hi=7, sym = v*8 DIV 8 = v -> word "abcdefgh"
+    rows = [("s", i * 8 * SI, i) for i in range(8)]
+    pts = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    out = sax_words(
+        pts, paa_ms=8 * SI, word_positions=8, alphabet=8
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["word"] == "abcdefgh"
+    assert out[0]["word_ts"] == 0
+
+    # constant series: hi==lo -> every symbol 'a'; missing PAA buckets
+    # shorten the word rather than injecting fake zeros
+    rows2 = [("t", 0, 3), ("t", 8 * SI, 3), ("t", 3 * 8 * SI, 3)]
+    pts2 = spark.createDataFrame(rows2, "sid string, ts_ms long, v long")
+    out2 = sax_words(
+        pts2, paa_ms=8 * SI, word_positions=8, alphabet=8
+    ).collect()
+    assert out2[0]["word"] == "aaa"

@@ -769,3 +769,74 @@ def test_cohort_and_funnel_random_differential(spark):
     assert got_f == {
         d: (m, len(c), s) for d, (m, c, s) in want_f.items()
     }
+
+
+def test_reply_latency_hand_computed(spark):
+    from datetime import datetime, timezone
+
+    from modelardb_dynamic_spark.operators.textstats import reply_latency
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp()
+
+    def ts(sec):
+        return datetime.fromtimestamp(t0 + sec, tz=timezone.utc)
+
+    # assistant replies with gaps 1s,2s,3s,4s,5s (across two convs);
+    # user replies once with 7s; first turns contribute nothing
+    rows = [
+        ("c1", 0, "user", ts(0)),
+        ("c1", 1, "assistant", ts(1)),
+        ("c1", 2, "assistant", ts(3)),
+        ("c1", 3, "assistant", ts(6)),
+        ("c1", 4, "user", ts(13)),
+        ("c2", 0, "user", ts(100)),
+        ("c2", 1, "assistant", ts(104)),
+        ("c2", 2, "assistant", ts(109)),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    got = {r["role"]: r.asDict() for r in reply_latency(tr).collect()}
+    a = got["assistant"]
+    # gaps ms: [1000, 2000, 3000, 4000, 5000]; ceil-index picks:
+    # k50=ceil(5/2)=3 -> 3000, k90=ceil(4.5)=5 -> 5000, k99=5 -> 5000
+    assert (a["n"], a["gap_sum_ms"], a["min_ms"], a["max_ms"]) == (
+        5, 15000, 1000, 5000,
+    )
+    assert (a["p50_ms"], a["p90_ms"], a["p99_ms"]) == (3000, 5000, 5000)
+    assert a["avg_gap_ms"] == 3000.0
+    u = got["user"]
+    assert (u["n"], u["p50_ms"], u["p90_ms"], u["p99_ms"]) == (
+        1, 7000, 7000, 7000,
+    )
+
+
+def test_reply_latency_duplicate_gaps_cumulative_pick(spark):
+    """Duplicate gap values collapse into one value-count row; the
+    ceil-index selection must honor multiplicity: gaps [1s x 9, 2s] ->
+    p90 = ceil(0.9*10)=9th smallest = 1s, p99 = 10th = 2s."""
+    from datetime import datetime, timezone
+
+    from modelardb_dynamic_spark.operators.textstats import reply_latency
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp()
+
+    def ts(sec):
+        return datetime.fromtimestamp(t0 + sec, tz=timezone.utc)
+
+    rows = [("c", 0, "user", ts(0))]
+    sec = 0
+    for i in range(9):
+        sec += 1
+        rows.append(("c", i + 1, "assistant", ts(sec)))
+    sec += 2
+    rows.append(("c", 10, "assistant", ts(sec)))
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    a = {r["role"]: r.asDict() for r in reply_latency(tr).collect()}[
+        "assistant"
+    ]
+    assert (a["n"], a["p50_ms"], a["p90_ms"], a["p99_ms"], a["max_ms"]) == (
+        10, 1000, 1000, 2000, 2000,
+    )

@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "funnel_daily",
     "m4_downsample",
     "zorder_scan",
+    "gap_audit",
+    "acf_turnrate",
+    "sax_words",
+    "reply_latency",
 ]
 
 

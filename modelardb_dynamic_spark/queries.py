@@ -1076,11 +1076,17 @@ def q_zorder_scan(spark, sf_dir):
     the session's lifetime (the returned frame reads from it lazily)."""
     import tempfile
 
+    from modelardb_dynamic_spark.operators.dedup import _materialize
     from modelardb_dynamic_spark.operators.zorder import zorder_write
 
     segs = _event_segments(spark, sf_dir)
-    pts = datapoint_view(segs).select(
-        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    # zorder_write runs THREE actions over its input (sid-rank window,
+    # ts min/max, the write itself): materialize the decoded points once
+    # instead of re-running the segment decode per action
+    pts = _materialize(
+        datapoint_view(segs).select(
+            "sid", "ts_ms", F.col("value").cast("long").alias("v")
+        )
     )
     d = tempfile.mkdtemp(prefix="mdbs_zorder_")
     zorder_write(pts, d, bits=8, n_files=8)

@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "acf_turnrate",
     "sax_words",
     "reply_latency",
+    "burst_episodes",
+    "interarrival",
 ]
 
 

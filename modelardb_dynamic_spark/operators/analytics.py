@@ -524,3 +524,102 @@ def sax_words(
             f"p -> substring('{letters}', p.sym + 1, 1)), '')"
         ).alias("word")
     )
+
+
+def burst_episodes(
+    points: DataFrame, threshold: int, si_ms: int, min_len: int = 1
+) -> DataFrame:
+    """Burst-episode detection over an integer-valued grid series: maximal
+    runs of GRID-ADJACENT buckets with v >= threshold (gaps-and-islands:
+    island id = grid index minus the per-sid row_number over qualifying
+    buckets — two monotone integers whose difference is constant exactly
+    while the run is unbroken, so a missing or sub-threshold bucket ends
+    the episode). Each episode reports start/end, length, peak, and
+    total volume; episodes shorter than `min_len` buckets are dropped.
+
+    The complement of rolling_zscore: that flags single anomalous
+    buckets against a trailing baseline; this materializes sustained
+    load as first-class (start, end, peak) rows — "which conversations
+    sustained >= T turns/min, for how long, and how hot did they get".
+
+    All-integer algebra, so every output column is exact.
+    Returns (sid, start_ts, end_ts, n_buckets, peak_v, total_v).
+
+    Scale: one filter (pushed to the scan), ONE window pass partitioned
+    by sid ordered by ts over only the above-threshold rows, one
+    map-side-combinable groupBy on (sid, island) — no joins, state per
+    task bounded by its rows.
+    """
+    w = Window.partitionBy("sid").orderBy("ts_ms")
+    hot = points.where(F.col("v") >= threshold).withColumn(
+        "island",
+        F.expr(f"ts_ms DIV {si_ms}") - F.row_number().over(w),
+    )
+    return (
+        hot.groupBy("sid", "island")
+        .agg(
+            F.min("ts_ms").alias("start_ts"),
+            F.max("ts_ms").alias("end_ts"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("v").alias("peak_v"),
+            F.sum("v").alias("total_v"),
+        )
+        .where(F.col("n_buckets") >= min_len)
+        .drop("island")
+    )
+
+
+# Burstiness tree shared with the oracle: exact int64 moment sums, the
+# Goh-Barabási coefficient B = (sigma - mu) / (sigma + mu) evaluated as
+# one shared IEEE expression (sigma the POPULATION std of inter-arrival
+# gaps). B -> -1 periodic, 0 Poisson-like, -> 1 extremely bursty.
+_BURSTINESS_EXPR = (
+    "(sqrt(CAST(n * qq - ss * ss AS DOUBLE)) - CAST(ss AS DOUBLE)) / "
+    "(sqrt(CAST(n * qq - ss * ss AS DOUBLE)) + CAST(ss AS DOUBLE))"
+)
+
+
+def interarrival_stats(points: DataFrame, unit_ms: int = 1) -> DataFrame:
+    """Inter-arrival analysis per series over OBSERVED buckets: gap count
+    and exact sum/sum-of-squares, mean gap, coefficient of variation and
+    the Goh-Barabási burstiness B = (sigma-mu)/(sigma+mu) — the standard
+    "is this traffic periodic, Poisson, or bursty" classifier, applied
+    to when conversations are active rather than how much they say.
+
+    The gaps are consecutive-observation deltas (lag over the sid
+    window) measured in `unit_ms` units (floor division — EXACT when
+    observations lie on a unit_ms grid, e.g. unit_ms = the sampling
+    interval; both cv and burstiness are scale-invariant so the unit
+    only rescales gap_sum/mean). The unit also guards the int64 budget:
+    millisecond gap squares of multi-day gaps would overflow the n*qq
+    term, grid-step gaps never do. The moments are exact int64 sums and
+    mean/cv/burstiness are shared IEEE expressions over them, so every
+    row value-gates. Series with fewer than 2 gaps or zero gap variance
+    are excluded by exact integer predicates (n >= 2 AND n*qq != ss*ss)
+    rather than emitting engine-dependent NaN/inf.
+
+    Returns (sid, n, gap_sum, gap_sq_sum, mean_units, cv, burstiness).
+
+    Scale: one window pass + one map-side-combinable groupBy, both
+    keyed on sid — the engine's universal partitioning.
+    """
+    w = Window.partitionBy("sid").orderBy("ts_ms")
+    g = (
+        points.withColumn("prev", F.lag("ts_ms").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "sid",
+            F.expr(f"(ts_ms - prev) DIV {int(unit_ms)}").alias("gap"),
+        )
+    )
+    m = g.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("ss"),
+        F.sum(F.col("gap") * F.col("gap")).alias("qq"),
+    )
+    return m.where(F.expr("n >= 2 AND n * qq != ss * ss")).selectExpr(
+        "sid", "n", "ss AS gap_sum", "qq AS gap_sq_sum",
+        "CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS mean_units",
+        "sqrt(CAST(n * qq - ss * ss AS DOUBLE)) / CAST(ss AS DOUBLE) AS cv",
+        f"{_BURSTINESS_EXPR} AS burstiness",
+    )

@@ -1424,20 +1424,9 @@ def q_acf_turnrate(spark, sf_dir):
     buckets — seasonality detection pinned value-level."""
     from modelardb_dynamic_spark.operators.analytics import acf_lags
 
-    segs = _event_segments(spark, sf_dir)
     # hourly rebucket, same reason as corr_pairs: the minute grid is too
     # sparse for adjacent-bucket pairs; hourly sums stay exact int64
-    pts = (
-        datapoint_view(segs)
-        .select(
-            "sid",
-            F.expr(f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}").alias("ts_ms"),
-            F.col("value").cast("long").alias("v"),
-        )
-        .groupBy("sid", "ts_ms")
-        .agg(F.sum("v").alias("v"))
-    )
-    return acf_lags(pts, max_lag=4, si_ms=HOUR_MS)
+    return acf_lags(_hourly_points(spark, sf_dir), max_lag=4, si_ms=HOUR_MS)
 
 
 def q_sax_words(spark, sf_dir):
@@ -1454,6 +1443,46 @@ def q_sax_words(spark, sf_dir):
         "sid", "ts_ms", F.col("value").cast("long").alias("v")
     )
     return sax_words(pts, paa_ms=HOUR_MS, word_positions=8, alphabet=8)
+
+
+def _hourly_points(spark, sf_dir):
+    """Shared hourly rebucket of the compressed store's minute points
+    (exact int64 sums) — input to the acf/burst/interarrival trio."""
+    segs = _event_segments(spark, sf_dir)
+    return (
+        datapoint_view(segs)
+        .select(
+            "sid",
+            F.expr(f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}").alias("ts_ms"),
+            F.col("value").cast("long").alias("v"),
+        )
+        .groupBy("sid", "ts_ms")
+        .agg(F.sum("v").alias("v"))
+    )
+
+
+def q_burst_episodes(spark, sf_dir):
+    """Burst-episode detection (operators/analytics.py burst_episodes)
+    on the compressed store: maximal runs of grid-adjacent hourly
+    buckets with activity, gaps-and-islands form, episodes >= 2 buckets
+    with exact start/end/length/peak/volume. The oracle replays the
+    identical island algebra over the raw hourly buckets."""
+    from modelardb_dynamic_spark.operators.analytics import burst_episodes
+
+    return burst_episodes(
+        _hourly_points(spark, sf_dir), threshold=1, si_ms=HOUR_MS, min_len=2
+    )
+
+
+def q_interarrival(spark, sf_dir):
+    """Inter-arrival burstiness (operators/analytics.py
+    interarrival_stats) on the compressed store: per series, exact gap
+    moments over observed hourly buckets (grid-step units), mean/cv and
+    the Goh-Barabasi burstiness coefficient as shared IEEE expressions.
+    The oracle replays the identical lag-window + moment algebra."""
+    from modelardb_dynamic_spark.operators.analytics import interarrival_stats
+
+    return interarrival_stats(_hourly_points(spark, sf_dir), unit_ms=HOUR_MS)
 
 
 def q_reply_latency(spark, sf_dir):
@@ -1546,6 +1575,8 @@ QUERIES = {
     "acf_turnrate": q_acf_turnrate,
     "sax_words": q_sax_words,
     "reply_latency": q_reply_latency,
+    "burst_episodes": q_burst_episodes,
+    "interarrival": q_interarrival,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
@@ -2961,6 +2992,50 @@ ORACLES["acf_turnrate"] = f"""
     SELECT p.sid, CAST(lag AS BIGINT) AS lag, n_pairs, {_ACF_EXPR} AS acf
     FROM p JOIN base ON base.sid = p.sid
     WHERE q * n != s * s
+"""
+
+from modelardb_dynamic_spark.operators.analytics import _BURSTINESS_EXPR
+
+_HOURLY_POINTS = f"""
+    SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS hm,
+           CAST(sum(v) AS BIGINT) AS v
+    FROM ({_MINUTE_BUCKETS}) GROUP BY 1, 2
+"""
+
+ORACLES["burst_episodes"] = f"""
+    WITH b AS ({_HOURLY_POINTS}),
+    hot AS (
+        SELECT sid, hm, v,
+               hm // {HOUR_MS} - row_number() OVER (
+                   PARTITION BY sid ORDER BY hm) AS island
+        FROM b WHERE v >= 1
+    )
+    SELECT sid, min(hm) AS start_ts, max(hm) AS end_ts,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           max(v) AS peak_v, CAST(sum(v) AS BIGINT) AS total_v
+    FROM hot GROUP BY sid, island
+    HAVING count(*) >= 2
+"""
+
+ORACLES["interarrival"] = f"""
+    WITH b AS ({_HOURLY_POINTS}),
+    g AS (
+        SELECT sid, (hm - lag(hm) OVER (
+            PARTITION BY sid ORDER BY hm)) // {HOUR_MS} AS gap
+        FROM b
+    ),
+    mo AS (
+        SELECT sid, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(gap) AS BIGINT) AS ss,
+               CAST(sum(gap * gap) AS BIGINT) AS qq
+        FROM g WHERE gap IS NOT NULL GROUP BY sid
+    )
+    SELECT sid, n, ss AS gap_sum, qq AS gap_sq_sum,
+           CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS mean_units,
+           sqrt(CAST(n * qq - ss * ss AS DOUBLE)) / CAST(ss AS DOUBLE)
+               AS cv,
+           {_BURSTINESS_EXPR} AS burstiness
+    FROM mo WHERE n >= 2 AND n * qq != ss * ss
 """
 
 SAX_WORD_MS = 8 * HOUR_MS

@@ -373,3 +373,59 @@ def test_sax_words_hand_computed(spark):
         pts2, paa_ms=8 * SI, word_positions=8, alphabet=8
     ).collect()
     assert out2[0]["word"] == "aaa"
+
+
+def test_burst_episodes_hand_computed(spark):
+    from modelardb_dynamic_spark.operators.analytics import burst_episodes
+
+    SI = 60_000
+    rows = [
+        # sid a: hot run [0,1,2] (v>=2), cold bucket 3, hot [5,6] but
+        # non-adjacent to the first run; single hot bucket at 9
+        ("a", 0 * SI, 3), ("a", 1 * SI, 2), ("a", 2 * SI, 5),
+        ("a", 3 * SI, 1),
+        ("a", 5 * SI, 2), ("a", 6 * SI, 4),
+        ("a", 9 * SI, 7),
+        # sid b: all cold
+        ("b", 0 * SI, 1), ("b", 1 * SI, 1),
+    ]
+    pts = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    got = sorted(
+        (r["sid"], r["start_ts"], r["end_ts"], r["n_buckets"],
+         r["peak_v"], r["total_v"])
+        for r in burst_episodes(
+            pts, threshold=2, si_ms=SI, min_len=2
+        ).collect()
+    )
+    assert got == [
+        ("a", 0, 2 * SI, 3, 5, 10),
+        ("a", 5 * SI, 6 * SI, 2, 4, 6),
+    ]
+    # min_len=1 also surfaces the singleton at bucket 9
+    got1 = burst_episodes(pts, threshold=2, si_ms=SI, min_len=1)
+    assert got1.count() == 3
+
+
+def test_interarrival_stats_hand_computed(spark):
+    import math
+
+    from modelardb_dynamic_spark.operators.analytics import (
+        interarrival_stats,
+    )
+
+    SI = 60_000
+    # sid a at grid steps 0,1,3,6 -> gaps (units of SI): 1,2,3
+    rows = [("a", 0, 9), ("a", SI, 9), ("a", 3 * SI, 9), ("a", 6 * SI, 9)]
+    # sid c: constant gaps -> zero variance -> excluded
+    rows += [("c", i * 2 * SI, 1) for i in range(5)]
+    pts = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    out = {r["sid"]: r.asDict() for r in
+           interarrival_stats(pts, unit_ms=SI).collect()}
+    assert "c" not in out
+    a = out["a"]
+    assert (a["n"], a["gap_sum"], a["gap_sq_sum"]) == (3, 6, 14)
+    assert a["mean_units"] == 2.0
+    # population sigma = sqrt((14 - 36/3)/3) = sqrt(2/3)
+    sigma = math.sqrt(2.0 / 3.0)
+    assert abs(a["cv"] - sigma / 2.0) < 1e-12
+    assert abs(a["burstiness"] - (sigma - 2) / (sigma + 2)) < 1e-12

@@ -1446,18 +1446,20 @@ def q_sax_words(spark, sf_dir):
 
 
 def _hourly_points(spark, sf_dir):
-    """Shared hourly rebucket of the compressed store's minute points
-    (exact int64 sums) — input to the acf/burst/interarrival trio."""
+    """Shared hourly rebucket of the compressed store — input to the
+    acf/burst/interarrival trio. Served by the engine's own rollup
+    operator (shuffle-minimal interior-bucket bypass, batched C decode)
+    rather than decode-all-points + re-groupBy: at eb0 the count-valued
+    series sums are exact integers in float64, so CAST(vsum AS LONG) is
+    lossless and the tier path is value-identical to the point path
+    (the oracles replay the point-level definition and stay green)."""
+    from modelardb_dynamic_spark.operators.rollup import rollup
+
     segs = _event_segments(spark, sf_dir)
-    return (
-        datapoint_view(segs)
-        .select(
-            "sid",
-            F.expr(f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}").alias("ts_ms"),
-            F.col("value").cast("long").alias("v"),
-        )
-        .groupBy("sid", "ts_ms")
-        .agg(F.sum("v").alias("v"))
+    return rollup(segs, HOUR_MS).select(
+        "sid",
+        F.col("bucket_ts").alias("ts_ms"),
+        F.col("vsum").cast("long").alias("v"),
     )
 
 

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "reply_latency",
     "burst_episodes",
     "interarrival",
+    "bloom_members",
 ]
 
 

@@ -829,3 +829,203 @@ def duck_kmv_summary_sql(
                {_kmv_est_sql(k)} AS distinct_est
         FROM s
     """
+
+
+# --- Bloom-filter membership tier ---------------------------------------------
+# The fifth mergeable sketch family: MEMBERSHIP ("was conv X active in
+# this window"), beside HLL (cardinality), CMS (frequency), KMV
+# (intersection) and the log2 histogram (quantiles). Merge/downsample is
+# bitwise OR — order-free exact integer algebra, so build -> merge ->
+# probe value-gates end to end with the shared md5-60 hash.
+#
+# Layout: m = 2^14 bits as 512 x 32-bit words stored in an int64 `bits`
+# column (32-bit packing keeps every shift/mask positive in both
+# engines); k = 4 positions from disjoint 15-bit slices of the hash
+# (low 14 bits of each). A key-bucket carries <= 512 plain rows on the
+# shuffle regardless of how many values it saw.
+
+BLOOM_P_BITS = 14
+BLOOM_M = 1 << BLOOM_P_BITS      # 16384 bits
+BLOOM_K = 4                      # K * 15 <= 60 hash bits
+BLOOM_WORD_BITS = 32
+
+
+def bloom_positions_py(key: str) -> list[int]:
+    """The K bit positions of `key` (driver-side, for probes/oracles)."""
+    from modelardb_dynamic_spark.operators.dedup import py_h60
+
+    h = py_h60(key)
+    return [(h >> (15 * r)) & (BLOOM_M - 1) for r in range(BLOOM_K)]
+
+
+def bloom_tier(
+    df: DataFrame, keys: list[str], value_col: str, bucket_expr: str
+) -> DataFrame:
+    """Finest Bloom tier: (keys..., bucket_ts, word, bits). One map-side
+    combinable groupBy + bit_or; <= m/32 rows per (keys, bucket)."""
+    from modelardb_dynamic_spark.operators.dedup import spark_h60
+
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.expr(bucket_expr).alias("bucket_ts"),
+        spark_h60(value_col).alias("h"),
+    )
+    pos = base.select(
+        *keys,
+        "bucket_ts",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"(h >> {15 * r}) & {BLOOM_M - 1}").cast("int")
+                    for r in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos"),
+    )
+    return (
+        pos.select(
+            *keys,
+            "bucket_ts",
+            F.expr(f"pos DIV {BLOOM_WORD_BITS}").cast("int").alias("word"),
+            F.expr(
+                f"CAST(1 AS BIGINT) << (pos % {BLOOM_WORD_BITS})"
+            ).alias("b"),
+        )
+        .groupBy(*keys, "bucket_ts", "word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+
+
+def bloom_downsample(
+    tier: DataFrame, keys: list[str], bucket_ms: int
+) -> DataFrame:
+    """Bloom tier -> coarser tier: words merge by bitwise OR (the union
+    filter — exactly the filter a from-scratch build of the coarser
+    bucket would produce, so downsampling loses nothing)."""
+    return (
+        tier.groupBy(
+            *keys,
+            F.expr(f"(bucket_ts DIV {bucket_ms}) * {bucket_ms}").alias(
+                "bucket_ts"
+            ),
+            "word",
+        )
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+def bloom_membership(
+    tier: DataFrame, keys: list[str], probes: list[str]
+) -> DataFrame:
+    """Per (keys..., bucket_ts, probe): Bloom membership, via a broadcast
+    join of the probes' (word, mask) parts (literals, shared hash).
+    member = every one of the probe's distinct parts is fully present
+    (bits & mask == mask). Output contract mirrors cms_estimates: a
+    (group, probe) row is emitted only when at least one part's word
+    row exists AND is fully satisfied (inner join + filter); an absent
+    row means non-member — no false negatives are possible because a
+    recorded value sets ALL its parts, so all-parts-present is the
+    membership test. Probe parts are deduplicated (two of a probe's K
+    positions can share a word or even collide)."""
+    spark = tier.sparkSession
+    rows = []
+    for p in dict.fromkeys(probes):
+        parts: dict[int, int] = {}
+        for pos in bloom_positions_py(p):
+            w, b = pos // BLOOM_WORD_BITS, 1 << (pos % BLOOM_WORD_BITS)
+            parts[w] = parts.get(w, 0) | b
+        for w, mask in sorted(parts.items()):
+            rows.append((p, w, mask, len(parts)))
+    probe_df = spark.createDataFrame(
+        rows, "probe string, word int, mask long, n_parts int"
+    )
+    return (
+        tier.join(F.broadcast(probe_df), "word")
+        .where(F.expr("(bits & mask) = mask"))
+        .groupBy(*keys, "bucket_ts", "probe")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.first("n_parts").alias("n_parts"),
+        )
+        .selectExpr(
+            *keys, "bucket_ts", "probe", "hits",
+            "hits = n_parts AS member",
+        )
+    )
+
+
+def bloom_occupancy(tier: DataFrame, keys: list[str]) -> DataFrame:
+    """Per (keys..., bucket_ts): exact set-bit count and the standard
+    false-positive estimate (set/m)^k — the division and the three
+    multiplications are one shared IEEE tree (no pow(), which is not
+    correctly rounded across engines)."""
+    occ = tier.groupBy(*keys, "bucket_ts").agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("set_bits")
+    )
+    r = f"(CAST(set_bits AS DOUBLE) / CAST({BLOOM_M} AS DOUBLE))"
+    return occ.selectExpr(
+        *keys, "bucket_ts", "set_bits",
+        f"{r} * {r} * {r} * {r} AS fpr_est",
+    )
+
+
+def duck_bloom_membership_sql(
+    table: str,
+    keys_sql: str,
+    value_expr: str,
+    bucket_sql: str,
+    coarse_ms: int,
+    probes: list[str],
+    where: str = "TRUE",
+) -> str:
+    """Identical build -> OR-downsample -> probe as ONE DuckDB query."""
+    parts_rows = []
+    for p in dict.fromkeys(probes):
+        parts: dict[int, int] = {}
+        for pos in bloom_positions_py(p):
+            w, b = pos // BLOOM_WORD_BITS, 1 << (pos % BLOOM_WORD_BITS)
+            parts[w] = parts.get(w, 0) | b
+        for w, mask in sorted(parts.items()):
+            pl = "'" + p.replace("'", "''") + "'"
+            parts_rows.append(f"({pl}, {w}, {mask}, {len(parts)})")
+    return f"""
+        WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        h AS (
+            SELECT {keys_sql}, {bucket_sql} AS fine_ts,
+                   {duck_h60(value_expr)} AS h
+            FROM {table}
+            WHERE ({value_expr}) IS NOT NULL AND ({where})
+        ),
+        pos AS (
+            SELECT {keys_sql}, fine_ts,
+                   (h >> (15 * r)) & {BLOOM_M - 1} AS pos
+            FROM h CROSS JOIN rs
+        ),
+        fine AS (
+            SELECT {keys_sql}, fine_ts,
+                   CAST(pos // {BLOOM_WORD_BITS} AS INT) AS word,
+                   bit_or(CAST(1 AS BIGINT) << (pos % {BLOOM_WORD_BITS}))
+                       AS bits
+            FROM pos GROUP BY ALL
+        ),
+        tier AS (
+            SELECT {keys_sql},
+                   (fine_ts // {coarse_ms}) * {coarse_ms} AS bucket_ts,
+                   word, bit_or(bits) AS bits
+            FROM fine GROUP BY ALL
+        ),
+        pc (probe, word, mask, n_parts) AS (
+            VALUES {", ".join(parts_rows)}
+        ),
+        j AS (
+            SELECT {keys_sql}, bucket_ts, probe,
+                   CAST(count(*) AS BIGINT) AS hits,
+                   any_value(n_parts) AS n_parts
+            FROM pc JOIN tier USING (word)
+            WHERE (bits & mask) = mask
+            GROUP BY ALL
+        )
+        SELECT {keys_sql}, bucket_ts, probe, hits,
+               hits = n_parts AS member
+        FROM j
+    """

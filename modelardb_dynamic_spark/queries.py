@@ -1280,6 +1280,33 @@ def q_cms_heavy(spark, sf_dir):
     return cms_estimates(daily, ["event_type"], CMS_PROBES)
 
 
+def q_bloom_members(spark, sf_dir):
+    """Bloom-filter membership tier (operators/sketches.py bloom family):
+    hourly per-event_type filters over user ids (512x32-bit words,
+    k=4 positions from the shared md5-60 hash), OR-downsampled to daily,
+    probed for 8 user ids via a broadcast join of (word, mask) literals.
+    Pure bit algebra end to end, so build -> merge -> probe is
+    value-gated (the oracle replays the identical hash/positions/OR in
+    DuckDB). The membership companion of cms_heavy: "was this
+    conversation active that day" without scanning raw rows."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        bloom_downsample,
+        bloom_membership,
+        bloom_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").cast("string").alias("uid"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    hourly = bloom_tier(
+        ev, ["event_type"], "uid", f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}"
+    )
+    daily = bloom_downsample(hourly, ["event_type"], DAY_MS)
+    return bloom_membership(daily, ["event_type"], CMS_PROBES)
+
+
 def q_tiered_cms_range(spark, sf_dir):
     """Range-routed frequency estimates: the tier-selection cover applied
     to CMS tiers (operators/sketches.py tiered_cms_estimates) — hourly +
@@ -1584,6 +1611,7 @@ QUERIES = {
     "counter_rate": q_counter_rate,
     "tiered_hll_range": q_tiered_hll_range,
     "cms_heavy": q_cms_heavy,
+    "bloom_members": q_bloom_members,
     "tiered_cms_range": q_tiered_cms_range,
     "ewma_backtest": q_ewma_backtest,
     "stream_sessions": q_stream_sessions,
@@ -2828,6 +2856,19 @@ ORACLES["cms_heavy"] = duck_cms_estimates_sql(
     "event_type",
     "CAST(user_id AS VARCHAR)",
     f"(epoch_ms(ts) // {DAY_MS}) * {DAY_MS}",
+    CMS_PROBES,
+)
+
+from modelardb_dynamic_spark.operators.sketches import (  # noqa: E402
+    duck_bloom_membership_sql,
+)
+
+ORACLES["bloom_members"] = duck_bloom_membership_sql(
+    "events",
+    "event_type",
+    "CAST(user_id AS VARCHAR)",
+    f"(epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS}",
+    DAY_MS,
     CMS_PROBES,
 )
 

@@ -456,3 +456,112 @@ def test_kmv_overlap_exact_below_k_and_estimates_above(spark):
     assert r["mu"] == K_KMV
     assert abs(r["est_union"] - 900) / 900 < 0.40
     assert abs(r["est_inter"] - 300) / 300 < 0.60  # inter compounds two ests
+
+
+# --- Bloom membership tier -----------------------------------------------------
+
+
+def test_bloom_positions_match_python(spark):
+    from modelardb_dynamic_spark.operators.sketches import (
+        BLOOM_M,
+        bloom_positions_py,
+        bloom_tier,
+    )
+
+    rows = [("a", 0, "v1"), ("a", 0, "v2")]
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, val string")
+    tier = bloom_tier(df, ["sid"], "val", "ts_ms")
+    # reconstruct the set bit positions from the word rows
+    got = set()
+    for r in tier.collect():
+        for b in range(32):
+            if r["bits"] & (1 << b):
+                got.add(r["word"] * 32 + b)
+    expect = set()
+    for v in ("v1", "v2"):
+        for p in bloom_positions_py(v):
+            assert 0 <= p < BLOOM_M
+            expect.add(p)
+    assert got == expect
+
+
+def test_bloom_merge_property(spark, df):
+    """OR-downsampling hourly filters == building daily filters from
+    scratch (the defining property of a mergeable sketch tier)."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        bloom_downsample,
+        bloom_tier,
+    )
+
+    hourly = bloom_tier(df, ["sid"], "val", "ts_ms")
+    merged = bloom_downsample(hourly, ["sid"], DAY)
+    direct = bloom_tier(df, ["sid"], "val", f"(ts_ms DIV {DAY}) * {DAY}")
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """Every inserted value is a member (Bloom guarantees no false
+    negatives); non-inserted probes are mostly non-members and the
+    occupancy-based FPR estimate bounds the observed rate loosely."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        bloom_membership,
+        bloom_occupancy,
+        bloom_tier,
+    )
+
+    inserted = [f"u{i}" for i in range(500)]
+    rows = [("a", 0, v) for v in inserted]
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, val string")
+    tier = bloom_tier(df, ["sid"], "val", "ts_ms").cache()
+
+    mem = bloom_membership(tier, ["sid"], inserted[:50])
+    got = {r["probe"]: r["member"] for r in mem.collect()}
+    assert len(got) == 50 and all(got.values())
+
+    absent = [f"x{i}" for i in range(300)]
+    mem2 = bloom_membership(tier, ["sid"], absent)
+    false_pos = sum(1 for r in mem2.collect() if r["member"])
+    occ = bloom_occupancy(tier, ["sid"]).collect()[0]
+    # 500 values * 4 bits / 16384 -> ~11.5% occupancy -> fpr ~ 1.8e-4
+    assert occ["set_bits"] <= 2000
+    assert occ["fpr_est"] < 0.001
+    assert false_pos <= 5  # 300 * a-few-e-4 with slack
+
+
+def test_bloom_word_collision_probe(spark):
+    """A probe whose positions share a word must still require BOTH bits
+    (mask dedup by OR, not row duplication)."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        BLOOM_WORD_BITS,
+        bloom_membership,
+        bloom_positions_py,
+    )
+
+    # find a probe value with two positions in one word (brute search)
+    probe = None
+    for i in range(20000):
+        v = f"c{i}"
+        ws = [p // BLOOM_WORD_BITS for p in bloom_positions_py(v)]
+        if len(set(ws)) < len(ws):
+            probe = v
+            break
+    assert probe is not None
+    # tier that has only SOME of the probe's bits set in the shared word:
+    # take the probe's parts, clear one bit of the doubled word
+    parts: dict[int, int] = {}
+    for p in bloom_positions_py(probe):
+        w, b = p // BLOOM_WORD_BITS, 1 << (p % BLOOM_WORD_BITS)
+        parts[w] = parts.get(w, 0) | b
+    dbl_w = [w for w, m in parts.items() if bin(m).count("1") > 1][0]
+    lowbit = parts[dbl_w] & -parts[dbl_w]
+    rows = [
+        ("a", 0, w, (m & ~lowbit) if w == dbl_w else m)
+        for w, m in parts.items()
+    ]
+    tier = spark.createDataFrame(
+        rows, "sid string, bucket_ts long, word int, bits long"
+    )
+    out = bloom_membership(tier, ["sid"], [probe]).collect()
+    assert not out or not out[0]["member"]

@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="after a --sketches build, estimate the "
                          "active-conversation-set overlap between two "
                          "days (ms epochs) from the kmv_1d sketch tier")
+    ap.add_argument("--active-convs", default=None,
+                    metavar="DAY_MS:CONV,CONV,...",
+                    help="after a --sketches build, probe whether each "
+                         "conversation was active on the day (Bloom "
+                         "membership from the bloom_1d tier; exact raw "
+                         "fallback for unsealed days)")
     args = ap.parse_args(argv)
 
     from modelardb_dynamic_spark.config import EngineConfig
@@ -154,6 +160,10 @@ def main(argv: list[str] | None = None) -> None:
     if args.overlap_days:
         da, db = (int(x) for x in args.overlap_days.split(":", 1))
         out["overlap_days"] = pipe.overlap_convs(da, db).collect()[0].asDict()
+    if args.active_convs:
+        day_s, convs_csv = args.active_convs.split(":", 1)
+        rows = pipe.active_convs(int(day_s), convs_csv.split(",")).collect()
+        out["active_convs"] = [r.asDict() for r in rows]
     print(json.dumps(out))
 
 

@@ -283,7 +283,10 @@ class TierPipeline:
         - hll_1d — HLL-256 distinct turn contents per conv per day
           (repetition/degeneracy signal);
         - kmv_1d — KMV bottom-64 of the active conversation set per day
-          keyed by sbucket (day-over-day overlap/churn, overlap_convs).
+          keyed by sbucket (day-over-day overlap/churn, overlap_convs);
+        - bloom_1d — Bloom membership filter of the active conversation
+          set per day keyed by sbucket ("was conv X active on day D"
+          point probes, active_convs).
         Built from the raw stage per bucket chunk like every other stage:
         lineage manifests, resume, and incremental append() all apply."""
         from modelardb_dynamic_spark.operators.sketches import (
@@ -400,6 +403,36 @@ class TierPipeline:
             return t
 
         self._run_stage("kmv_1d", fingerprint, build_kmv_1d,
+                        ts_col="bucket_ts", only_buckets=only_buckets)
+
+        def build_bloom_1d(bucket_ids: list[int]) -> DataFrame:
+            # Bloom filter of the ACTIVE CONVERSATION SET per day, keyed
+            # by sbucket (each warehouse bucket's filter covers exactly
+            # ITS conversations — sid_bucket partitions them disjointly,
+            # so a probe consults only its own bucket's 512 words). The
+            # MEMBERSHIP question beside kmv_1d's intersection and
+            # cms_1d's frequency: "was conv X active on day D" as a
+            # point probe with no false negatives.
+            from modelardb_dynamic_spark.operators.sketches import bloom_tier
+
+            src = _turns(bucket_ids)
+            if preserve_below_day is not None:
+                src = src.where(f"ts_ms >= {preserve_below_day}")
+            t = bloom_tier(
+                src.withColumn(
+                    "sbucket", sid_bucket(F.col("sid"), self.wh.n_buckets)
+                ),
+                ["sbucket"], "sid",
+                f"(ts_ms DIV {DAY_MS}) * {DAY_MS}",
+            )
+            if preserve_below_day is not None:
+                old = self._read_buckets("bloom_1d", bucket_ids).where(
+                    f"bucket_ts < {preserve_below_day}"
+                )
+                t = t.unionByName(old)
+            return t
+
+        self._run_stage("bloom_1d", fingerprint, build_bloom_1d,
                         ts_col="bucket_ts", only_buckets=only_buckets)
 
     def run(self, transcripts: DataFrame, sketches: bool = False) -> None:
@@ -889,6 +922,82 @@ class TierPipeline:
             F.lit((day_a_ms // DAY_MS) * DAY_MS).alias("day_a"),
             F.lit((day_b_ms // DAY_MS) * DAY_MS).alias("day_b"),
             "mu", "h_k_u", "n_both", "est_union", "est_inter",
+        )
+
+    def active_convs(self, day_ms: int, probes: list[str]) -> DataFrame:
+        """Were these conversations active on `day_ms`? Point membership
+        probes against the bloom_1d tier: each probe consults ONLY its
+        own sbucket's filter (sid_bucket partitions conversations
+        disjointly — probing another bucket's filter would even be
+        unsound), so a sealed-day probe touches <= 512 tier rows per
+        distinct probe bucket. No false negatives; false positives at
+        the tier's (set/m)^k rate (bloom_occupancy). An unsealed or
+        retained-away day falls back to an EXACT raw-scan semi-join, and
+        raises loudly if retention dropped raw too.
+
+        Returns (probe, day_ts, member, exact) — exact=False rows are
+        Bloom answers (member=True may rarely be a false positive),
+        exact=True rows come from the raw fallback."""
+        from modelardb_dynamic_spark.operators.sketches import bloom_membership
+
+        day_ms = (day_ms // DAY_MS) * DAY_MS
+        hw, lw = self._sketch_route_bounds([("bloom_1d", DAY_MS)])
+        hw_ts, lw_ts = hw.get(DAY_MS), lw.get(DAY_MS)
+        raw_low = self.retention_horizon("raw")
+        probes = list(dict.fromkeys(probes))
+        sealed = (
+            hw_ts is not None
+            and day_ms < hw_ts
+            and (lw_ts is None or day_ms >= lw_ts)
+        )
+        if sealed:
+            # probe sbuckets via the same JVM hash the stage used
+            # (bounded: one tiny job over len(probes) rows)
+            pdf = self.spark.createDataFrame(
+                [(p,) for p in probes], "probe string"
+            ).withColumn(
+                "psb", sid_bucket(F.col("probe"), self.wh.n_buckets)
+            )
+            pmap = {r["probe"]: r["psb"] for r in pdf.collect()}
+            tier = self.wh.read(self.spark, "bloom_1d").where(
+                F.col("bucket_ts") == day_ms
+            )
+            mem = bloom_membership(tier, ["sbucket"], probes)
+            # keep only each probe's OWN bucket's verdict; absent row
+            # (or a row from a foreign bucket) = non-member
+            hits = {
+                r["probe"]
+                for r in mem.collect()
+                if r["member"] and pmap[r["probe"]] == r["sbucket"]
+            }
+            rows = [(p, day_ms, p in hits, False) for p in probes]
+        else:
+            if raw_low is not None and day_ms < raw_low:
+                raise ValueError(
+                    f"active_convs: day {day_ms} is past the bloom_1d "
+                    f"cover (high_water={hw_ts}, low_water={lw_ts}) "
+                    f"and raw is retained away below {raw_low}"
+                )
+            active = {
+                r["sid"]
+                for r in self._raw_turns()
+                .where(f"ts_ms >= {day_ms} AND ts_ms < {day_ms + DAY_MS}")
+                .join(
+                    F.broadcast(
+                        self.spark.createDataFrame(
+                            [(p,) for p in probes], "sid string"
+                        )
+                    ),
+                    "sid",
+                    "leftsemi",
+                )
+                .select("sid")
+                .distinct()
+                .collect()
+            }
+            rows = [(p, day_ms, p in active, True) for p in probes]
+        return self.spark.createDataFrame(
+            rows, "probe string, day_ts long, member boolean, exact boolean"
         )
 
     def tier(self, name: str, gap_filled: bool = False) -> DataFrame:

@@ -798,3 +798,63 @@ def test_compact_with_zorder_recluster(spark, transcripts, tmp_path):
     st = p.compact("segments", target_files=4, zorder_on=("sid", "start_ts"))
     assert st["buckets_compacted"] >= 1
     assert sorted(map(tuple, wh.read(spark, "segments").collect())) == before
+
+
+def test_active_convs_bloom_membership(spark, transcripts, tmp_path):
+    """active_convs: sealed-day Bloom probes have NO false negatives
+    (every truly-active conv reports member) and respect bucket routing
+    (a probe is judged only by its own sbucket's filter); an unsealed
+    day falls back to the exact raw scan with exact=True."""
+    from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+    DAY = 86_400_000
+    wh = Warehouse(str(tmp_path / "ac"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4, salt_span_points=None)
+    p.run(transcripts, sketches=True)
+
+    turns = transcripts.select(
+        F.col("conv_id").alias("sid"), to_ms("ts").alias("ts_ms")
+    )
+    days = sorted(
+        r["d"]
+        for r in turns.selectExpr(f"(ts_ms DIV {DAY}) * {DAY} AS d")
+        .distinct().collect()
+    )
+    hw = p._sketch_route_bounds([("bloom_1d", DAY)])[0].get(DAY)
+    assert hw is not None
+    sealed_days = [d for d in days if d < hw]
+    assert sealed_days, "fixture must have at least one sealed day"
+    day = sealed_days[0]
+    active = {
+        r["sid"]
+        for r in turns.where(f"ts_ms >= {day} AND ts_ms < {day + DAY}")
+        .select("sid").distinct().collect()
+    }
+    all_convs = {r["sid"] for r in turns.select("sid").distinct().collect()}
+    inactive = sorted(all_convs - active)
+    probes = sorted(active)[:6] + inactive[:4] + ["convDOESNOTEXIST"]
+    got = {r["probe"]: r for r in p.active_convs(day, probes).collect()}
+    assert len(got) == len(probes)
+    for c in sorted(active)[:6]:  # no false negatives
+        assert got[c]["member"] and not got[c]["exact"]
+    # false positives are possible but must be rare at this occupancy
+    fps = sum(1 for c in inactive[:4] + ["convDOESNOTEXIST"]
+              if got[c]["member"])
+    assert fps <= 1
+
+    # unsealed day -> exact raw fallback
+    unsealed = (hw // DAY) * DAY
+    if unsealed in days:
+        active_u = {
+            r["sid"]
+            for r in turns.where(
+                f"ts_ms >= {unsealed} AND ts_ms < {unsealed + DAY}"
+            ).select("sid").distinct().collect()
+        }
+        some = sorted(all_convs)[:5]
+        got_u = {
+            r["probe"]: r for r in p.active_convs(unsealed, some).collect()
+        }
+        for c in some:
+            assert got_u[c]["exact"]
+            assert got_u[c]["member"] == (c in active_u)

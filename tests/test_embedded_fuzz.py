@@ -115,6 +115,19 @@ def _queries(rng, lo_all: int, hi_all: int, sids: list[str]):
             "GROUP BY sid ORDER BY sid",
             None,  # min/max pick existing float32 values: order-free
         ),
+        (
+            "SELECT sid, start_ts, end_ts, cnt FROM Segment "
+            f"WHERE start_ts >= {lo} AND end_ts <= {hi} "
+            f"AND sid IN ({in_list})",
+            None,  # raw segment rows: exact
+        ),
+        (
+            # a non-timestamp predicate the pushdown walk must IGNORE
+            # (prune on ts only, re-filter value exactly)
+            "SELECT sid, ts_ms, value FROM DataPoint "
+            f"WHERE ts_ms BETWEEN {lo} AND {hi} AND value >= 15",
+            None,
+        ),
     ]
 
 

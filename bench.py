@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "burst_episodes",
     "interarrival",
     "bloom_members",
+    "twa",
 ]
 
 

@@ -623,3 +623,49 @@ def interarrival_stats(points: DataFrame, unit_ms: int = 1) -> DataFrame:
         "sqrt(CAST(n * qq - ss * ss AS DOUBLE)) / CAST(ss AS DOUBLE) AS cv",
         f"{_BURSTINESS_EXPR} AS burstiness",
     )
+
+
+def time_weighted_avg(
+    points: DataFrame, lo_ms: int | None = None, hi_ms: int | None = None
+) -> DataFrame:
+    """Time-weighted average per series over [lo_ms, hi_ms] with linear
+    interpolation between observations (the TimescaleDB time_weight
+    'linear' aggregate): for irregular arrivals, the plain AVG
+    over-weights chatty stretches; the trapezoid integral weights each
+    value by how long it was in force.
+
+    Exactness: the trapezoid integral's only division is by 2, so the
+    operator carries 2x the integral as an exact int64 column
+    (sum of (t2-t1)*(v1+v2) over consecutive observed pairs — int64-safe
+    while value-sums x the series' time span stay below 2^63, which
+    count-valued transcript series never approach) and applies ONE
+    shared double division twa = twice_integral / (2 * (last - first)).
+    Series with fewer than two observations in the window are excluded
+    by an exact predicate (no elapsed time to weight over).
+
+    Returns (sid, n_pts, first_ts, last_ts, twice_integral, twa).
+
+    Scale: one predicate-pushed scan, one lag window + one groupBy, both
+    keyed on sid.
+    """
+    if lo_ms is not None:
+        points = points.where(F.col("ts_ms") >= lo_ms)
+    if hi_ms is not None:
+        points = points.where(F.col("ts_ms") <= hi_ms)
+    w = Window.partitionBy("sid").orderBy("ts_ms")
+    p = (
+        points.select("sid", "ts_ms", "v")
+        .withColumn("pt", F.lag("ts_ms").over(w))
+        .withColumn("pv", F.lag("v").over(w))
+    )
+    agg = p.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.min("ts_ms").alias("first_ts"),
+        F.max("ts_ms").alias("last_ts"),
+        F.sum(F.expr("(ts_ms - pt) * (v + pv)")).alias("twice_integral"),
+    )
+    return agg.where(F.col("n_pts") >= 2).selectExpr(
+        "sid", "n_pts", "first_ts", "last_ts", "twice_integral",
+        "CAST(twice_integral AS DOUBLE) / "
+        "CAST(2 * (last_ts - first_ts) AS DOUBLE) AS twa",
+    )

@@ -1514,6 +1514,24 @@ def q_interarrival(spark, sf_dir):
     return interarrival_stats(_hourly_points(spark, sf_dir), unit_ms=HOUR_MS)
 
 
+def q_twa(spark, sf_dir):
+    """Time-weighted average turn-rate per series over the full range
+    (operators/analytics.py time_weighted_avg — the TimescaleDB
+    time_weight 'linear' aggregate): trapezoid integral over the
+    irregular observed minute buckets carried as an exact int64
+    (2x integral), one shared double division at the end. The oracle
+    replays the identical lag-window trapezoid over the raw buckets."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        time_weighted_avg,
+    )
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return time_weighted_avg(pts)
+
+
 def q_reply_latency(spark, sf_dir):
     """Per-role reply-latency distribution (operators/textstats.py
     reply_latency) over the deterministic transcript table: count, exact
@@ -1606,6 +1624,7 @@ QUERIES = {
     "reply_latency": q_reply_latency,
     "burst_episodes": q_burst_episodes,
     "interarrival": q_interarrival,
+    "twa": q_twa,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
@@ -3079,6 +3098,25 @@ ORACLES["interarrival"] = f"""
                AS cv,
            {_BURSTINESS_EXPR} AS burstiness
     FROM mo WHERE n >= 2 AND n * qq != ss * ss
+"""
+
+ORACLES["twa"] = f"""
+    WITH b AS ({_MINUTE_BUCKETS}),
+    l AS (
+        SELECT sid, m, v,
+               lag(m) OVER w AS pt, lag(v) OVER w AS pv
+        FROM b WINDOW w AS (PARTITION BY sid ORDER BY m)
+    ),
+    agg AS (
+        SELECT sid, CAST(count(*) AS BIGINT) AS n_pts,
+               min(m) AS first_ts, max(m) AS last_ts,
+               CAST(sum((m - pt) * (v + pv)) AS BIGINT) AS twice_integral
+        FROM l GROUP BY sid
+    )
+    SELECT sid, n_pts, first_ts, last_ts, twice_integral,
+           CAST(twice_integral AS DOUBLE) /
+           CAST(2 * (last_ts - first_ts) AS DOUBLE) AS twa
+    FROM agg WHERE n_pts >= 2
 """
 
 SAX_WORD_MS = 8 * HOUR_MS

@@ -429,3 +429,43 @@ def test_interarrival_stats_hand_computed(spark):
     sigma = math.sqrt(2.0 / 3.0)
     assert abs(a["cv"] - sigma / 2.0) < 1e-12
     assert abs(a["burstiness"] - (sigma - 2) / (sigma + 2)) < 1e-12
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from modelardb_dynamic_spark.operators.analytics import (
+        time_weighted_avg,
+    )
+
+    # value 10 held for 100ms (10->10), then ramp 10->20 over 100ms:
+    # integral = 10*100 + 15*100 = 2500; elapsed 200 -> twa 12.5
+    rows = [("a", 0, 10), ("a", 100, 10), ("a", 200, 20),
+            ("b", 0, 5)]  # single point -> excluded
+    pts = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    out = {r["sid"]: r.asDict() for r in time_weighted_avg(pts).collect()}
+    assert "b" not in out
+    a = out["a"]
+    assert (a["n_pts"], a["first_ts"], a["last_ts"]) == (3, 0, 200)
+    assert a["twice_integral"] == 2 * 2500
+    assert a["twa"] == 12.5
+    # window restriction drops the ramp pair
+    w = time_weighted_avg(pts, lo_ms=0, hi_ms=100).collect()
+    got = [r for r in w if r["sid"] == "a"][0]
+    assert got["twa"] == 10.0
+
+
+def test_time_weighted_avg_vs_plain_avg_overweighting(spark):
+    """The motivating case: a chatty burst at value 100 for a short span
+    then silence at value 0 observed sparsely — plain AVG of samples is
+    dominated by the burst's many samples; TWA weights by time."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        time_weighted_avg,
+    )
+
+    rows = [("s", t, 100) for t in range(0, 101, 10)]  # 11 samples, 100ms
+    rows += [("s", 10_100, 0)]  # one sample 10s later
+    pts = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    r = time_weighted_avg(pts).collect()[0]
+    plain = (11 * 100 + 0) / 12.0
+    # integral: 100*100 (burst) + 50*10000 (ramp to 0) = 510000 over 10100
+    assert r["twa"] == 510_000 / 10_100
+    assert r["twa"] < plain / 1.5

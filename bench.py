@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "interarrival",
     "bloom_members",
     "twa",
+    "context_growth",
+    "tool_usage",
 ]
 
 

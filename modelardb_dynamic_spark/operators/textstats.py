@@ -634,3 +634,77 @@ def reply_latency(tr: DataFrame) -> DataFrame:
         "CAST(gap_sum_ms AS DOUBLE) / CAST(n AS DOUBLE) AS avg_gap_ms",
         "min_ms", "p50_ms", "p90_ms", "p99_ms", "max_ms",
     )
+
+
+def context_growth(tr: DataFrame, budget_tokens: int) -> DataFrame:
+    """Context-window token accounting over a transcript table (conv_id,
+    turn_idx, text — the BASELINE input shape): per conversation, total
+    turns and tokens, plus WHERE the running context first exceeds a
+    token budget — the turn index at which an agent loop would need
+    truncation/compaction, and the exact cumulative token count there.
+    Conversations that never cross report NULL for both.
+
+    Tokens = whitespace-separated words (the pack_documents convention —
+    swap in a BPE count column upstream without changing the algebra).
+    The running sum is a per-conv window over turn_idx; token counts are
+    >= 1 per turn so it is strictly increasing, which is what makes
+    "min turn_idx with cum >= budget" and "min cum with cum >= budget"
+    pick the SAME row — both exact integers, fully value-gatable.
+
+    Returns (conv_id, n_turns, total_tokens, crossing_turn,
+    tokens_at_crossing).
+
+    Scale: one window pass + one groupBy, both keyed on conv_id — the
+    engine's universal partitioning; no joins.
+    """
+    n_tok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = tr.select(
+        "conv_id", "turn_idx", n_tok.alias("tok")
+    ).withColumn("cum", F.sum("tok").over(w))
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("tok").alias("total_tokens"),
+        F.min(
+            F.when(F.col("cum") >= budget_tokens, F.col("turn_idx"))
+        ).alias("crossing_turn"),
+        F.min(
+            F.when(F.col("cum") >= budget_tokens, F.col("cum"))
+        ).alias("tokens_at_crossing"),
+    )
+
+
+def tool_usage(tr: DataFrame) -> DataFrame:
+    """Tool-call usage audit over a transcript table (conv_id, tool, text,
+    ts — the BASELINE input shape): per non-null tool, invocation count,
+    distinct conversations using it, total tokens its result turns
+    carried, and the first/last invocation time. The inventory question
+    of an agent fleet ("which tools, how often, how chatty"), straight
+    off the transcript store in exact integers.
+
+    Scale: the distinct-conv count reduces through a (tool, conv_id)
+    pre-aggregation (map-side combinable, state bounded by tools x
+    convs-per-tool), then one tiny groupBy on tool; no window, no join.
+    """
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    n_tok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    base = tr.where(F.col("tool").isNotNull()).select(
+        "tool", "conv_id", n_tok.alias("tok"), ms.alias("ts_ms")
+    )
+    per_conv = base.groupBy("tool", "conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tok").alias("tok"),
+        F.min("ts_ms").alias("lo"),
+        F.max("ts_ms").alias("hi"),
+    )
+    return per_conv.groupBy("tool").agg(
+        F.sum("n").alias("n_calls"),
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("tok").alias("total_tokens"),
+        F.min("lo").alias("first_ts_ms"),
+        F.max("hi").alias("last_ts_ms"),
+    )

@@ -1514,6 +1514,28 @@ def q_interarrival(spark, sf_dir):
     return interarrival_stats(_hourly_points(spark, sf_dir), unit_ms=HOUR_MS)
 
 
+def q_context_growth(spark, sf_dir):
+    """Context-window token accounting (operators/textstats.py
+    context_growth) over the deterministic BASELINE-shaped transcript
+    table: per conversation, total turns/tokens and the exact first
+    budget-crossing turn + cumulative tokens there. The oracle replays
+    the identical transcript construction, whitespace token count,
+    running sum, and crossing picks."""
+    from modelardb_dynamic_spark.operators.textstats import context_growth
+
+    return context_growth(_events_as_transcripts(spark, sf_dir), 512)
+
+
+def q_tool_usage(spark, sf_dir):
+    """Tool-call usage audit (operators/textstats.py tool_usage) over the
+    deterministic transcript table: per tool, invocation count, distinct
+    conversations, result-turn tokens, first/last call time — all exact
+    integers replayed by the oracle."""
+    from modelardb_dynamic_spark.operators.textstats import tool_usage
+
+    return tool_usage(_events_as_transcripts(spark, sf_dir))
+
+
 def q_twa(spark, sf_dir):
     """Time-weighted average turn-rate per series over the full range
     (operators/analytics.py time_weighted_avg — the TimescaleDB
@@ -1625,6 +1647,8 @@ QUERIES = {
     "burst_episodes": q_burst_episodes,
     "interarrival": q_interarrival,
     "twa": q_twa,
+    "context_growth": q_context_growth,
+    "tool_usage": q_tool_usage,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
@@ -3117,6 +3141,65 @@ ORACLES["twa"] = f"""
            CAST(twice_integral AS DOUBLE) /
            CAST(2 * (last_ts - first_ts) AS DOUBLE) AS twa
     FROM agg WHERE n_pts >= 2
+"""
+
+# BASELINE-shaped transcript replay (the _events_as_transcripts twin):
+# turn_idx from the stable (ts, event_id) order, role/tool from
+# turn_idx % 3, text from the deterministic repeat construction.
+_TR_FULL = """
+    SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)
+               AS turn_idx,
+           event_type,
+           event_type || ' ' ||
+           repeat(event_type || ' ', CAST(event_id % 5 AS INT) + 1) ||
+           event_type AS text,
+           epoch_ms(ts) AS ts_ms
+    FROM events
+"""
+
+ORACLES["context_growth"] = f"""
+    WITH tr AS ({_TR_FULL}),
+    t AS (
+        SELECT conv_id, turn_idx,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok
+        FROM tr
+    ),
+    c AS (
+        SELECT conv_id, turn_idx, tok,
+               sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           min(CASE WHEN cum >= 512 THEN turn_idx END) AS crossing_turn,
+           CAST(min(CASE WHEN cum >= 512 THEN cum END) AS BIGINT)
+               AS tokens_at_crossing
+    FROM c GROUP BY conv_id
+"""
+
+ORACLES["tool_usage"] = f"""
+    WITH tr AS ({_TR_FULL}),
+    tl AS (
+        SELECT CASE WHEN turn_idx % 3 = 2 THEN event_type END AS tool,
+               conv_id,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok,
+               ts_ms
+        FROM tr
+    ),
+    pc AS (
+        SELECT tool, conv_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(tok) AS BIGINT) AS tok,
+               min(ts_ms) AS lo, max(ts_ms) AS hi
+        FROM tl WHERE tool IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT tool, CAST(sum(n) AS BIGINT) AS n_calls,
+           CAST(count(*) AS BIGINT) AS n_convs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           min(lo) AS first_ts_ms, max(hi) AS last_ts_ms
+    FROM pc GROUP BY tool
 """
 
 SAX_WORD_MS = 8 * HOUR_MS

@@ -840,3 +840,61 @@ def test_reply_latency_duplicate_gaps_cumulative_pick(spark):
     assert (a["n"], a["p50_ms"], a["p90_ms"], a["p99_ms"], a["max_ms"]) == (
         10, 1000, 1000, 2000, 2000,
     )
+
+
+def test_context_growth_hand_computed(spark):
+    from modelardb_dynamic_spark.operators.textstats import context_growth
+
+    rows = [
+        # c1 token counts: 3, 4, 5 -> cums 3, 7, 12; budget 7 crosses at
+        # turn 1 with cum 7
+        ("c1", 0, "a b c"),
+        ("c1", 1, "d e f g"),
+        ("c1", 2, "h i j k l"),
+        # c2 never crosses
+        ("c2", 0, "x y"),
+    ]
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r["conv_id"]: r.asDict()
+           for r in context_growth(tr, 7).collect()}
+    c1 = got["c1"]
+    assert (c1["n_turns"], c1["total_tokens"]) == (3, 12)
+    assert (c1["crossing_turn"], c1["tokens_at_crossing"]) == (1, 7)
+    c2 = got["c2"]
+    assert (c2["n_turns"], c2["total_tokens"]) == (1, 2)
+    assert c2["crossing_turn"] is None and c2["tokens_at_crossing"] is None
+
+
+def test_tool_usage_hand_computed(spark):
+    from datetime import datetime, timezone
+
+    from modelardb_dynamic_spark.operators.textstats import tool_usage
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def ts(sec):
+        return datetime.fromtimestamp(
+            t0.timestamp() + sec, tz=timezone.utc
+        )
+
+    rows = [
+        ("c1", 0, None, "hi there", ts(0)),
+        ("c1", 1, "search", "r1 r2", ts(10)),
+        ("c1", 2, "search", "r3", ts(20)),
+        ("c2", 0, "search", "r4 r5 r6", ts(30)),
+        ("c2", 1, "calc", "42", ts(40)),
+    ]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, tool string, text string, "
+        "ts timestamp",
+    )
+    got = {r["tool"]: r.asDict() for r in tool_usage(tr).collect()}
+    s = got["search"]
+    assert (s["n_calls"], s["n_convs"], s["total_tokens"]) == (3, 2, 6)
+    assert (s["first_ts_ms"], s["last_ts_ms"]) == (
+        int(t0.timestamp() * 1000) + 10_000,
+        int(t0.timestamp() * 1000) + 30_000,
+    )
+    c = got["calc"]
+    assert (c["n_calls"], c["n_convs"], c["total_tokens"]) == (1, 1, 1)

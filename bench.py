@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "interarrival",
     "bloom_members",
     "twa",
+    "sliding_24h",
     "context_growth",
     "tool_usage",
 ]

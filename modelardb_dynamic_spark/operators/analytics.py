@@ -669,3 +669,41 @@ def time_weighted_avg(
         "CAST(twice_integral AS DOUBLE) / "
         "CAST(2 * (last_ts - first_ts) AS DOUBLE) AS twa",
     )
+
+
+def sliding_agg(
+    tier: DataFrame, bucket_ms: int, window_buckets: int
+) -> DataFrame:
+    """Trailing-window (hopping) continuous aggregate FROM a tier table:
+    at every existing bucket, the sum/count/min/max over the trailing
+    `window_buckets` buckets (inclusive) — "activity in the last 24h,
+    updated hourly" straight off the 1h tier, the window shape the
+    tumbling tier covers (plans/planner.py) cannot express because its
+    windows overlap.
+
+    Input: (sid, bucket_ts, cnt, vsum, ...) tier rows (rollup output).
+    A RANGE frame over the integer bucket index makes the trailing
+    window TIME-defined, not row-defined: missing buckets contribute
+    nothing but also don't stretch the window (gap semantics — a
+    rows-frame would silently widen across gaps). All exact integer
+    algebra when vsum carries count-valued sums.
+
+    Returns (sid, bucket_ts, w_cnt, w_sum, w_min, w_max).
+
+    Scale: ONE window pass partitioned by sid, frame state bounded by
+    window_buckets; no joins, no re-shuffle of raw points (the tier is
+    already hundreds of times smaller).
+    """
+    w = (
+        Window.partitionBy("sid")
+        .orderBy(F.expr(f"bucket_ts DIV {bucket_ms}"))
+        .rangeBetween(-(window_buckets - 1), 0)
+    )
+    return tier.select(
+        "sid",
+        "bucket_ts",
+        F.sum("cnt").over(w).alias("w_cnt"),
+        F.sum("vsum").over(w).alias("w_sum"),
+        F.min("vmin").over(w).alias("w_min"),
+        F.max("vmax").over(w).alias("w_max"),
+    )

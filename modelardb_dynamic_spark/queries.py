@@ -1514,6 +1514,26 @@ def q_interarrival(spark, sf_dir):
     return interarrival_stats(_hourly_points(spark, sf_dir), unit_ms=HOUR_MS)
 
 
+def q_sliding_24h(spark, sf_dir):
+    """Trailing-24h continuous aggregate at hourly cadence
+    (operators/analytics.py sliding_agg) FROM the engine's 1h tier:
+    time-defined RANGE frame over the bucket index (gaps neither
+    contribute nor stretch the window). vsum is cast to long before the
+    window (eb0 count sums are exact ints) so every column value-gates;
+    the oracle replays the identical hourly rebucket + RANGE frame."""
+    from modelardb_dynamic_spark.operators.analytics import sliding_agg
+    from modelardb_dynamic_spark.operators.rollup import rollup
+
+    segs = _event_segments(spark, sf_dir)
+    tier = rollup(segs, HOUR_MS).select(
+        "sid", "bucket_ts", "cnt",
+        F.col("vsum").cast("long").alias("vsum"),
+        F.col("vmin").cast("long").alias("vmin"),
+        F.col("vmax").cast("long").alias("vmax"),
+    )
+    return sliding_agg(tier, HOUR_MS, 24)
+
+
 def q_context_growth(spark, sf_dir):
     """Context-window token accounting (operators/textstats.py
     context_growth) over the deterministic BASELINE-shaped transcript
@@ -1647,6 +1667,7 @@ QUERIES = {
     "burst_episodes": q_burst_episodes,
     "interarrival": q_interarrival,
     "twa": q_twa,
+    "sliding_24h": q_sliding_24h,
     "context_growth": q_context_growth,
     "tool_usage": q_tool_usage,
     "hist_quantile": q_hist_quantile,
@@ -3200,6 +3221,26 @@ ORACLES["tool_usage"] = f"""
            CAST(sum(tok) AS BIGINT) AS total_tokens,
            min(lo) AS first_ts_ms, max(hi) AS last_ts_ms
     FROM pc GROUP BY tool
+"""
+
+ORACLES["sliding_24h"] = f"""
+    WITH b AS ({_MINUTE_BUCKETS}),
+    h AS (
+        SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS bucket_ts,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(v) AS BIGINT) AS vsum,
+               CAST(min(v) AS BIGINT) AS vmin,
+               CAST(max(v) AS BIGINT) AS vmax
+        FROM b GROUP BY 1, 2
+    )
+    SELECT sid, bucket_ts,
+           CAST(sum(cnt) OVER w AS BIGINT) AS w_cnt,
+           CAST(sum(vsum) OVER w AS BIGINT) AS w_sum,
+           min(vmin) OVER w AS w_min,
+           max(vmax) OVER w AS w_max
+    FROM h WINDOW w AS (
+        PARTITION BY sid ORDER BY bucket_ts // {HOUR_MS}
+        RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
 """
 
 SAX_WORD_MS = 8 * HOUR_MS

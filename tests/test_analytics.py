@@ -469,3 +469,29 @@ def test_time_weighted_avg_vs_plain_avg_overweighting(spark):
     # integral: 100*100 (burst) + 50*10000 (ramp to 0) = 510000 over 10100
     assert r["twa"] == 510_000 / 10_100
     assert r["twa"] < plain / 1.5
+
+
+def test_sliding_agg_gap_semantics(spark):
+    """The RANGE frame is TIME-defined: a gap neither contributes nor
+    stretches the window (a ROWS frame would silently widen)."""
+    from modelardb_dynamic_spark.operators.analytics import sliding_agg
+
+    H = 3_600_000
+    # hourly tier rows at hours 0,1,5 (gap of 3); window = 3 buckets
+    rows = [
+        ("s", 0 * H, 2, 10, 1, 9),
+        ("s", 1 * H, 3, 20, 2, 8),
+        ("s", 5 * H, 1, 5, 5, 5),
+    ]
+    tier = spark.createDataFrame(
+        rows,
+        "sid string, bucket_ts long, cnt long, vsum long, vmin long, "
+        "vmax long",
+    )
+    got = {
+        r["bucket_ts"]: (r["w_cnt"], r["w_sum"], r["w_min"], r["w_max"])
+        for r in sliding_agg(tier, H, 3).collect()
+    }
+    assert got[0] == (2, 10, 1, 9)
+    assert got[1 * H] == (5, 30, 1, 9)       # hours 0+1 in range
+    assert got[5 * H] == (1, 5, 5, 5)        # hours 3-5: only hour 5 exists

@@ -638,6 +638,49 @@ def q_stream_tier_5m(spark, sf_dir):
     )
 
 
+def q_stream_hopping(spark, sf_dir):
+    """Streaming HOPPING-window aggregate under the value gate
+    (streaming/rollup.py hopping_aggregate): trailing 15-minute windows
+    sliding every 5, per conversation, replayed as an arriving file
+    stream with far-future sentinels pushing the watermark past every
+    real window — the append-mode output must equal the batch hopping
+    assignment, which the oracle computes by expanding each turn into
+    its 3 covering epoch-aligned windows."""
+    import shutil
+    import uuid
+
+    tr = _events_as_transcripts(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hi = tr.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    stream, d = _replay_stream(
+        spark, tr, [hi + 100 * SI_MS, hi + 200 * SI_MS], "mdbs_stream_hop_"
+    )
+    try:
+        from modelardb_dynamic_spark.streaming.rollup import hopping_aggregate
+
+        hop = hopping_aggregate(
+            stream, 15 * SI_MS, 5 * SI_MS, watermark_delay="2 minutes"
+        )
+        name = "stream_hop_" + uuid.uuid4().hex[:8]
+        q = (
+            hop.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.table(name)
+        .where("conv_id != '__sentinel__'")
+        .localCheckpoint()
+    )
+
+
 def q_grouped_tiers(spark, sf_dir):
     """End-to-end grouped compression under the value-level oracle: each
     user's event-count series is paired with an exact duplicate in a
@@ -1639,6 +1682,7 @@ QUERIES = {
     "pack_documents": q_pack_documents,
     "transcript_tiers": q_transcript_tiers,
     "stream_tier_5m": q_stream_tier_5m,
+    "stream_hopping": q_stream_hopping,
     "grouped_tiers": q_grouped_tiers,
     "corr_grouped_tiers": q_corr_grouped_tiers,
     "dod_times": q_dod_times,
@@ -3241,6 +3285,27 @@ ORACLES["sliding_24h"] = f"""
     FROM h WINDOW w AS (
         PARTITION BY sid ORDER BY bucket_ts // {HOUR_MS}
         RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""
+
+# stream_hopping: each turn belongs to exactly window/slide = 3 covering
+# epoch-aligned hopping windows; the availableNow sentinel replay emits
+# every real window exactly once, so append output == this expansion.
+ORACLES["stream_hopping"] = f"""
+    WITH tr AS ({_TR_FULL}),
+    e AS (
+        SELECT conv_id,
+               unnest(range(
+                   (ts_ms // {5 * SI_MS}) * {5 * SI_MS} - {10 * SI_MS},
+                   (ts_ms // {5 * SI_MS}) * {5 * SI_MS} + 1,
+                   {5 * SI_MS})) AS window_start,
+               CAST(len(text) // 4 AS BIGINT) AS tok
+        FROM tr
+    )
+    SELECT conv_id, window_start,
+           window_start + {15 * SI_MS} AS window_end,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(tok) AS BIGINT) AS tokens
+    FROM e GROUP BY 1, 2
 """
 
 SAX_WORD_MS = 8 * HOUR_MS

@@ -156,3 +156,45 @@ def session_aggregate(
             "tokens",
         )
     )
+
+
+def hopping_aggregate(
+    turns: DataFrame,
+    window_ms: int,
+    slide_ms: int,
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Streaming HOPPING-window aggregate: per conversation, turn count
+    and token sum over a `window_ms` window sliding every `slide_ms` —
+    "activity in the trailing 15 minutes, updated every 5" as an
+    append-only stream (each overlapping window emitted exactly once
+    when the watermark passes its end). The overlapping-window shape the
+    tumbling continuous_aggregate cannot express; the streaming twin of
+    analytics.sliding_agg's batch RANGE frame.
+
+    Spark's native window(ts, window, slide) assigns each turn to its
+    window_ms/slide_ms covering windows (epoch-aligned), with stateful
+    partial aggregation per (window, conv) — state bounded by open
+    windows only. Output: (conv_id, window_start ms, window_end ms,
+    n_turns, tokens), all exact integers.
+    """
+    if window_ms % slide_ms:
+        raise ValueError(f"window {window_ms} not a multiple of slide {slide_ms}")
+    w = turns.withWatermark("ts", watermark_delay)
+    return (
+        w.groupBy(
+            F.window("ts", _secs(window_ms), _secs(slide_ms)).alias("hw"),
+            F.col("conv_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.floor(F.length("text") / 4)).cast("long").alias("tokens"),
+        )
+        .select(
+            "conv_id",
+            F.unix_millis("hw.start").alias("window_start"),
+            F.unix_millis("hw.end").alias("window_end"),
+            "n_turns",
+            "tokens",
+        )
+    )

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash_pairs",
     "ngram_jaccard",
+    "dup_spans",
     "token_stats",
     "lang_id",
     "fingerprint",

@@ -498,3 +498,102 @@ def dup_clusters(
         F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
         (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("keep"),
     )
+
+
+# -- exact substring duplication (ExactSubstr audit) ---------------------------
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-duplication audit — the ExactSubstr rule of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., ACL 2022) as a relational plan: every maximal token span whose
+    EVERY min_len-token window occurs >= 2 times anywhere in the corpus
+    (other documents or a repeat inside the same one), merged per
+    document, reported as doc-level duplication stats.
+
+    Shape (never a pairwise doc join):
+      1. one shingle row per token position: (id, p, h60(window)) —
+         O(total_tokens) compact rows;
+      2. occurrence count per shingle hash — map-side-combinable groupBy
+         whose output is bounded by DISTINCT shingles;
+      3. seeds = positions whose shingle count >= 2, recovered with one
+         hash join back on the 60-bit key;
+      4. maximal spans = gaps-and-islands over seed positions per doc
+         (one id-partitioned window; two seeds merge when their windows
+         overlap or touch, p2 - p1 <= min_len), then per-doc totals.
+
+    Only documents with at least one duplicated span are returned:
+    (doc_id, total_tokens, n_spans, dup_tokens, dup_frac). All counts are
+    exact integers; the single division is one shared IEEE expression.
+
+    The 60-bit shingle hash makes a false seed possible at ~10^9 distinct
+    shingles (birthday bound) — the identical h60 is replayed by the
+    DuckDB oracle, so the gate pins the rule, not a stringly ideal.
+    Reference has no counterpart (text corpus curation, SURVEY beyond-§2).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = docs.select(
+        F.col(id_col).alias("id"), words.alias("w"), F.size(words).alias("n")
+    ).where(F.col("n") >= min_len)
+    sh = toks.select(
+        "id",
+        "n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - min_len),
+                lambda p: spark_h60(
+                    F.array_join(F.slice("w", p + 1, min_len), " ")
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    sh = _materialize(sh)  # shingling feeds both the count and the join
+    cnt = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    seeds = sh.join(cnt.where(F.col("c") >= 2).select("h"), "h").select(
+        "id", "n", "p"
+    )
+    from pyspark.sql import Window
+
+    byp = Window.partitionBy("id").orderBy("p")
+    flagged = seeds.select(
+        "id",
+        "n",
+        "p",
+        F.when(
+            F.lag("p").over(byp).isNull()
+            | ((F.col("p") - F.lag("p").over(byp)) > min_len),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    isl = flagged.select(
+        "id",
+        "n",
+        "p",
+        F.sum("new_span")
+        .over(byp.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("g"),
+    )
+    spans = isl.groupBy("id", "g").agg(
+        F.first("n").alias("n"),
+        (F.max("p") + min_len - F.min("p")).alias("span_tokens"),
+    )
+    return (
+        spans.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.first("n").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("dup_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+        )
+    )

@@ -316,6 +316,19 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+DUP_SPAN_LEN = 8  # min duplicated window, tokens; mirrored in the oracle
+
+
+def q_dup_spans(spark, sf_dir):
+    """ExactSubstr duplication audit (Lee et al. ACL 2022): maximal token
+    spans whose every DUP_SPAN_LEN-token window repeats in the corpus,
+    merged per doc; doc-level dup stats. Value oracle replays the identical
+    h60 shingles, seed rule and island merge."""
+    return dedup.duplicated_spans(
+        _t(spark, sf_dir, "documents"), min_len=DUP_SPAN_LEN
+    ).orderBy("doc_id")
+
+
 def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
@@ -1662,6 +1675,7 @@ QUERIES = {
     "asof_purchase": q_asof_purchase,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "dup_spans": q_dup_spans,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
@@ -3330,6 +3344,51 @@ ORACLES["sax_words"] = f"""
            string_agg(substring('abcdefgh', sym + 1, 1), ''
                       ORDER BY h) AS word
     FROM s GROUP BY 1, 2
+"""
+
+ORACLES["dup_spans"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, words, len(words) AS n FROM w
+             WHERE len(words) >= {DUP_SPAN_LEN}),
+    sh AS (
+        SELECT doc_id, n, p,
+               {duck_h60(f"array_to_string(list_slice(words, p + 1, p + {DUP_SPAN_LEN}), ' ')")} AS h
+        FROM (SELECT doc_id, n, words,
+                     unnest(range(0, n - {DUP_SPAN_LEN} + 1)) AS p
+              FROM toks)
+    ),
+    cnt AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+    seeds AS (SELECT sh.doc_id, sh.n, sh.p
+              FROM sh JOIN cnt USING (h) WHERE c >= 2),
+    flagged AS (
+        SELECT doc_id, n, p,
+               CASE WHEN pp IS NULL OR p - pp > {DUP_SPAN_LEN}
+                    THEN 1 ELSE 0 END AS new_span
+        FROM (SELECT doc_id, n, p,
+                     lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+              FROM seeds)
+    ),
+    isl AS (
+        SELECT doc_id, n, p,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, any_value(n) AS n,
+               max(p) + {DUP_SPAN_LEN} - min(p) AS span_tokens
+        FROM isl GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(any_value(n) AS BIGINT) AS total_tokens,
+           count(*) AS n_spans,
+           CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+           CAST(sum(span_tokens) AS DOUBLE) / CAST(any_value(n) AS DOUBLE)
+               AS dup_frac
+    FROM spans GROUP BY doc_id ORDER BY doc_id
 """
 
 ORACLES["reply_latency"] = """

@@ -898,3 +898,56 @@ def test_tool_usage_hand_computed(spark):
     )
     c = got["calc"]
     assert (c["n_calls"], c["n_convs"], c["total_tokens"]) == (1, 1, 1)
+
+
+def test_duplicated_spans_hand_computed(spark):
+    """ExactSubstr semantics on a constructed corpus: cross-doc duplication,
+    within-doc repetition, island merging, and the min-length floor."""
+    a = "a b c d e f g h i j k l"           # 12 tokens
+    b = "x y a b c d e f g h i j q r s t"   # tokens 2..11 duplicate a[0..9]
+    c = "p q r s t u v w"                   # 8 unique tokens, no dup
+    d = "m m m m m m m m m m"               # 10 tokens: self-repetition
+    rows = [(1, a), (2, b), (3, c), (4, d)]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.duplicated_spans(docs, min_len=5).collect()
+    }
+    # doc 1: windows at p=0..5 over "a..j" are shared with doc 2 ->
+    # seeds p=0..5 merge into one span [0, 10): 10 dup tokens of 12.
+    assert out[1]["total_tokens"] == 12
+    assert out[1]["n_spans"] == 1
+    assert out[1]["dup_tokens"] == 10
+    assert abs(out[1]["dup_frac"] - 10 / 12) < 1e-12
+    # doc 2: same shared run at p=2..7 -> one span of 10 of its 16 tokens.
+    assert out[2]["n_spans"] == 1
+    assert out[2]["dup_tokens"] == 10
+    assert out[2]["total_tokens"] == 16
+    # doc 3: nothing repeated anywhere -> absent from the result.
+    assert 3 not in out
+    # doc 4: "m m m m m" occurs at 6 positions WITHIN the doc -> the
+    # whole doc is one duplicated span.
+    assert out[4]["n_spans"] == 1
+    assert out[4]["dup_tokens"] == 10
+    assert out[4]["dup_frac"] == 1.0
+
+
+def test_duplicated_spans_disjoint_islands(spark):
+    """Two duplicated runs separated by more than min_len unique tokens
+    stay two spans; the gap tokens are not counted."""
+    shared1 = "alpha beta gamma delta epsilon"
+    shared2 = "one two three four five"
+    gap = "u1 u2 u3 u4 u5 u6 u7"
+    rows = [
+        (1, f"{shared1} {gap} {shared2}"),
+        (2, f"left pad {shared1} middle words here {shared2} end"),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.duplicated_spans(docs, min_len=5).collect()
+    }
+    assert out[1]["n_spans"] == 2
+    assert out[1]["dup_tokens"] == 10
+    assert out[2]["n_spans"] == 2
+    assert out[2]["dup_tokens"] == 10

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "ngram_jaccard",
     "dup_spans",
+    "bpe_merges",
     "token_stats",
     "lang_id",
     "fingerprint",

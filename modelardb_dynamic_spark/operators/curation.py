@@ -130,3 +130,156 @@ def pack_documents(
             (start + n_tok - 1) / window_tokens
         ).cast("long").alias("end_bin_id"),
     )
+
+
+# -- BPE vocabulary induction ---------------------------------------------------
+
+# Java/RE2/Python share this explicit ASCII whitespace class (Python's \s
+# would also match unicode spaces the JVM split does not).
+_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def _bpe_apply_merge(sym: list[str], left: str, right: str) -> list[str]:
+    """One greedy left-to-right merge pass over a symbol sequence — the
+    classic BPE application rule ("aaa" + (a,a) -> [aa, a]). Shared by the
+    Spark operator (inside the Arrow batch) and the pure-Python oracle twin
+    so the rule has ONE home."""
+    out: list[str] = []
+    i, n = 0, len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def bpe_vocabulary(
+    docs: DataFrame,
+    n_merges: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al., ACL 2016):
+    learn the first n_merges byte-pair merges of the corpus, returned as
+    (merge_rank, lhs, rhs, merged, pair_count).
+
+    Industrial shape: the ONLY corpus-scale pass is the word count (one
+    map-side-combinable shuffle). The merge loop then runs over the
+    DISTINCT-word table — sublinear in corpus size by Heaps' law, and the
+    part every published BPE trainer iterates on. Each iteration:
+      1. adjacent symbol pairs exploded per distinct word, weighted by
+         word count — map-side-combinable groupBy;
+      2. the argmax pair via orderBy(...).limit(1) (TakeOrdered, no full
+         sort) with a total tie order (count DESC, lhs ASC, rhs ASC) so
+         induction is deterministic across partitionings and reruns;
+      3. the merge applied to the symbol arrays in one Arrow-batched pass
+         over distinct words (mapInPandas), localCheckpoint truncating the
+         M-iteration lineage.
+    The driver holds exactly one merge row per iteration, never data.
+
+    Pair counting includes overlapping occurrences ("aaa" has two (a,a)
+    pairs), matching the reference implementation; the oracle replays the
+    identical algorithm in pure Python over the same parquet.
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
+    words = F.split(F.trim(F.col(text_col)), _WS)
+    wc = (
+        docs.select(F.explode(words).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # split(w, '') yields chars; drop any engine-version trailing ''
+        .select(
+            F.filter(F.split("w", ""), lambda c: c != "").alias("sym"),
+            "cnt",
+        )
+    )
+    cur = wc.localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            cur.where(F.size("sym") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("sym") - 2),
+                        lambda i: F.struct(
+                            F.col("sym")[i].alias("lhs"),
+                            F.col("sym")[i + 1].alias("rhs"),
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = pairs.orderBy(
+            F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+        ).limit(1).collect()
+        if not top:
+            break
+        lhs, rhs, pc = top[0]["lhs"], top[0]["rhs"], int(top[0]["pair_count"])
+        merges.append((rank, lhs, rhs, lhs + rhs, pc))
+
+        def _apply(batches, _l=lhs, _r=rhs):
+            for pdf in batches:
+                pdf["sym"] = [
+                    _bpe_apply_merge(list(s), _l, _r) for s in pdf["sym"]
+                ]
+                yield pdf
+
+        cur = cur.mapInPandas(_apply, schema=cur.schema).localCheckpoint(
+            eager=True
+        )
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            merges,
+            columns=["merge_rank", "lhs", "rhs", "merged", "pair_count"],
+        ).astype({"merge_rank": "int64", "pair_count": "int64"})
+        if merges
+        else pd.DataFrame(
+            columns=["merge_rank", "lhs", "rhs", "merged", "pair_count"]
+        ),
+        schema="merge_rank long, lhs string, rhs string, merged string, "
+        "pair_count long",
+    )
+
+
+def bpe_reference(texts: list[str], n_merges: int = 12):
+    """Pure-Python BPE twin of bpe_vocabulary — the oracle's independent
+    replay (collections.Counter over the same whitespace split, identical
+    overlap counting, tie order, and _bpe_apply_merge rule)."""
+    import re
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in re.split(_WS, t.strip()):
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        for w, sym in vocab.items():
+            c = wc[w]
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        (lhs, rhs), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lhs, rhs, lhs + rhs, int(cnt)))
+        vocab = {
+            w: _bpe_apply_merge(sym, lhs, rhs) for w, sym in vocab.items()
+        }
+    return merges

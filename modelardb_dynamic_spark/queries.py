@@ -329,6 +329,22 @@ def q_dup_spans(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+BPE_MERGES = 16  # merges learned by the bpe_merges query; oracle mirrors
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary induction (Sennrich ACL 2016): the first
+    BPE_MERGES merges learned from the documents corpus. One corpus-scale
+    word count, then the merge loop over the distinct-word table. Oracle is
+    the independent pure-Python twin (curation.bpe_reference) replayed over
+    the same parquet and embedded as VALUES literals."""
+    from modelardb_dynamic_spark.operators import curation
+
+    return curation.bpe_vocabulary(
+        _t(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+    ).orderBy("merge_rank")
+
+
 def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
@@ -1676,6 +1692,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_spans": q_dup_spans,
+    "bpe_merges": q_bpe_merges,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
@@ -3448,6 +3465,44 @@ ORACLES["reply_latency"] = """
 """
 
 
+def _bpe_oracle_sql() -> str:
+    """Generated oracle for bpe_merges: runs the pure-Python BPE twin
+    (curation.bpe_reference — an independent implementation sharing only
+    the merge-application rule) over the same parquet and embeds the
+    expected merge table as VALUES literals."""
+    import os
+
+    import duckdb
+
+    from modelardb_dynamic_spark.operators.curation import bpe_reference
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    rows = bpe_reference(texts, n_merges=BPE_MERGES)
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",\n            ".join(
+        f"({rk}, {lit(l)}, {lit(r)}, {lit(m)}, {c})"
+        for rk, l, r, m, c in rows
+    )
+    return f"""
+        SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, merged,
+               CAST(pair_count AS BIGINT) AS pair_count
+        FROM (VALUES {values})
+             AS t(merge_rank, lhs, rhs, merged, pair_count)
+        ORDER BY merge_rank
+    """
+
+
 def build_oracles() -> dict[str, str]:
     """The static ORACLES plus entries generated from the data itself
     (kmeans centroid literals). __spark_entry__.oracle_sql() calls this so
@@ -3457,4 +3512,8 @@ def build_oracles() -> dict[str, str]:
         out["ann_ivf_kmeans"] = _kmeans_oracle_sql()
     except Exception:
         pass  # embeddings parquet unavailable -> rows-only fallback
+    try:
+        out["bpe_merges"] = _bpe_oracle_sql()
+    except Exception:
+        pass  # documents parquet unavailable -> rows-only fallback
     return out

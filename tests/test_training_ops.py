@@ -951,3 +951,43 @@ def test_duplicated_spans_disjoint_islands(spark):
     assert out[1]["dup_tokens"] == 10
     assert out[2]["n_spans"] == 2
     assert out[2]["dup_tokens"] == 10
+
+
+def test_bpe_vocabulary_matches_reference(spark):
+    """Spark BPE induction == the pure-Python reference twin on a corpus
+    exercising overlap counting ("ababab"), ties, and repeated words."""
+    from modelardb_dynamic_spark.operators.curation import (
+        bpe_reference,
+        bpe_vocabulary,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new wider wide wide",
+        "the the the thin then than",
+        "aaa aab aba abab ababab",
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], DOC_SCHEMA
+    )
+    got = [
+        tuple(r)
+        for r in bpe_vocabulary(corpus, n_merges=10)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == bpe_reference(texts, n_merges=10)
+    # overlap counting pinned: "ababab" contributes (ab,ab) twice after
+    # merge 0, so (ab, ab) wins merge 5 with count 3 (abab + ababab x2... )
+    assert got[0] == (0, "a", "b", "ab", 7)
+    assert got[5] == (5, "ab", "ab", "abab", 3)
+
+
+def test_bpe_exhausts_when_words_fully_merged(spark):
+    """Asking for more merges than exist stops early (single-symbol words
+    produce no pairs) instead of looping or erroring."""
+    from modelardb_dynamic_spark.operators.curation import bpe_vocabulary
+
+    corpus = spark.createDataFrame([(1, "ab ab cd")], DOC_SCHEMA)
+    out = bpe_vocabulary(corpus, n_merges=50).collect()
+    assert len(out) == 2  # (a,b) then (c,d); nothing left to merge

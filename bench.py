@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "sax_words",
     "reply_latency",
     "burst_episodes",
+    "cusum_shifts",
     "interarrival",
     "bloom_members",
     "twa",

@@ -1575,6 +1575,19 @@ def q_burst_episodes(spark, sf_dir):
     )
 
 
+def q_cusum_shifts(spark, sf_dir):
+    """Two-sided CUSUM level-shift detection (operators/analytics.py
+    cusum_changepoints) on the compressed store: the max(0, s+d)
+    recursion in closed relational form (running cumsum minus running
+    extremum), exact integer algebra end to end, one summary row per
+    series. The oracle replays the identical window identity."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(_hourly_points(spark, sf_dir), h_mult=2)
+
+
 def q_interarrival(spark, sf_dir):
     """Inter-arrival burstiness (operators/analytics.py
     interarrival_stats) on the compressed store: per series, exact gap
@@ -1740,6 +1753,7 @@ QUERIES = {
     "sax_words": q_sax_words,
     "reply_latency": q_reply_latency,
     "burst_episodes": q_burst_episodes,
+    "cusum_shifts": q_cusum_shifts,
     "interarrival": q_interarrival,
     "twa": q_twa,
     "sliding_24h": q_sliding_24h,
@@ -3197,6 +3211,49 @@ ORACLES["burst_episodes"] = f"""
            max(v) AS peak_v, CAST(sum(v) AS BIGINT) AS total_v
     FROM hot GROUP BY sid, island
     HAVING count(*) >= 2
+"""
+
+ORACLES["cusum_shifts"] = f"""
+    WITH b AS ({_HOURLY_POINTS}),
+    base AS (
+        SELECT sid, hm AS ts_ms, v,
+               count(*) OVER (PARTITION BY sid) AS n,
+               sum(v) OVER (PARTITION BY sid) AS s
+        FROM b
+    ),
+    c AS (
+        SELECT *, sum(n * v - s) OVER (PARTITION BY sid ORDER BY ts_ms
+                       ROWS UNBOUNDED PRECEDING) AS c
+        FROM base
+    ),
+    ud AS (
+        SELECT sid, ts_ms, n, s,
+               c - least(0, min(c) OVER (PARTITION BY sid ORDER BY ts_ms
+                       ROWS UNBOUNDED PRECEDING)) AS up,
+               greatest(0, max(c) OVER (PARTITION BY sid ORDER BY ts_ms
+                       ROWS UNBOUNDED PRECEDING)) - c AS dn
+        FROM c
+    ),
+    a AS (SELECT *, up > s * 2 AS up_a, dn > s * 2 AS dn_a FROM ud),
+    st AS (
+        SELECT *,
+               up_a AND NOT coalesce(lag(up_a) OVER (PARTITION BY sid
+                   ORDER BY ts_ms), FALSE) AS up_start,
+               dn_a AND NOT coalesce(lag(dn_a) OVER (PARTITION BY sid
+                   ORDER BY ts_ms), FALSE) AS dn_start
+        FROM a
+    )
+    SELECT sid, CAST(any_value(n) AS BIGINT) AS n_buckets,
+           CAST(any_value(s) AS BIGINT) AS vsum,
+           CAST(max(up) AS BIGINT) AS max_up,
+           CAST(max(dn) AS BIGINT) AS max_dn,
+           CAST(sum(CASE WHEN up_start THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up_shifts,
+           CAST(sum(CASE WHEN dn_start THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dn_shifts,
+           min(CASE WHEN up_a THEN ts_ms END) AS first_up_ts,
+           min(CASE WHEN dn_a THEN ts_ms END) AS first_dn_ts
+    FROM st GROUP BY sid
 """
 
 ORACLES["interarrival"] = f"""

@@ -495,3 +495,59 @@ def test_sliding_agg_gap_semantics(spark):
     assert got[0] == (2, 10, 1, 9)
     assert got[1 * H] == (5, 30, 1, 9)       # hours 0+1 in range
     assert got[5 * H] == (1, 5, 5, 5)        # hours 3-5: only hour 5 exists
+
+
+def test_cusum_identity_matches_sequential_recursion(spark):
+    """The closed relational form (cumsum minus running extremum) equals
+    the textbook max(0, s + d) recursion on a seeded random series, and a
+    constructed level shift is detected upward."""
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import (
+        cusum_changepoints,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 6, size=80).tolist()
+    vals += (rng.integers(0, 6, size=40) + 12).tolist()  # level shift up
+    rows = [(1, i * 1000, int(v)) for i, v in enumerate(vals)]
+    pts = spark.createDataFrame(rows, "sid long, ts_ms long, v long")
+    got = cusum_changepoints(pts, h_mult=2).collect()[0].asDict()
+
+    n, s = len(vals), sum(vals)
+    up = dn = max_up = max_dn = 0
+    up_a_prev = dn_a_prev = False
+    n_up = n_dn = 0
+    first_up = first_dn = None
+    for i, v in enumerate(vals):
+        d = n * v - s
+        up = max(0, up + d)
+        dn = max(0, dn - d)
+        max_up, max_dn = max(max_up, up), max(max_dn, dn)
+        up_a, dn_a = up > 2 * s, dn > 2 * s
+        if up_a and not up_a_prev:
+            n_up += 1
+        if dn_a and not dn_a_prev:
+            n_dn += 1
+        if up_a and first_up is None:
+            first_up = i * 1000
+        if dn_a and first_dn is None:
+            first_dn = i * 1000
+        up_a_prev, dn_a_prev = up_a, dn_a
+    assert got["max_up"] == max_up and got["max_dn"] == max_dn
+    assert got["n_up_shifts"] == n_up and got["n_dn_shifts"] == n_dn
+    assert got["first_up_ts"] == first_up and got["first_dn_ts"] == first_dn
+    assert got["n_up_shifts"] >= 1  # the injected shift is found
+    assert got["vsum"] == s and got["n_buckets"] == n
+
+
+def test_cusum_constant_series_never_alarms(spark):
+    from modelardb_dynamic_spark.operators.analytics import (
+        cusum_changepoints,
+    )
+
+    rows = [(1, i * 1000, 5) for i in range(50)]
+    pts = spark.createDataFrame(rows, "sid long, ts_ms long, v long")
+    got = cusum_changepoints(pts, h_mult=2).collect()[0].asDict()
+    assert got["max_up"] == 0 and got["max_dn"] == 0
+    assert got["n_up_shifts"] == 0 and got["first_up_ts"] is None

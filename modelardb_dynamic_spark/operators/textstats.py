@@ -708,3 +708,96 @@ def tool_usage(tr: DataFrame) -> DataFrame:
         F.min("lo").alias("first_ts_ms"),
         F.max("hi").alias("last_ts_ms"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance ranking (Robertson/Okapi) of the corpus against a
+    term query, as two passes:
+
+      1. a statistics pass — N, total token count, and per-term document
+         frequency (the only driver-side data: len(query_terms) df rows,
+         probe-literal sized like the ANN query vectors);
+      2. the scoring pass — per doc, tf of each query term (map-side
+         filter against the broadcast term list, so corpus rows never
+         carry non-query terms), doc length, and the BM25 sum.
+
+    The idf weights are computed DRIVER-SIDE from the exact df integers
+    and injected as double literals: neither engine evaluates a
+    transcendental, so the score is a shared IEEE mul/add/div tree over
+    exact tf/dl integers and identical literals — value-replayable by the
+    DuckDB oracle bit for bit (the ln lives in Python, one home).
+
+    Ties broken by id: deterministic across partitionings. Scale: both
+    passes are map-side-combinable aggregations; the only shuffle keys
+    are (doc) and the tiny (term) — no joins over corpus rows beyond the
+    broadcast term list.
+    """
+    import math
+
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"), words.alias("ws")
+    ).select("id", F.size("ws").alias("dl"), "ws")
+
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("n_toks")
+    ).collect()[0]
+    n_docs, n_toks = int(stats["n_docs"]), int(stats["n_toks"])
+    terms = sorted(set(query_terms))
+    df_rows = (
+        toks.select(
+            "id",
+            F.explode(
+                F.filter(
+                    F.array_distinct("ws"), lambda w: w.isin(list(terms))
+                )
+            ).alias("t"),
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    df = {r["t"]: int(r["df"]) for r in df_rows}
+    # Lucene-style lower-bounded idf; exact df ints -> one double literal
+    idf = {
+        t: math.log(1.0 + (n_docs - df.get(t, 0) + 0.5) / (df.get(t, 0) + 0.5))
+        for t in terms
+    }
+    avgdl = F.lit(float(n_toks)) / F.lit(float(n_docs))
+
+    tf_cols = [
+        F.size(F.filter("ws", lambda w: w == F.lit(t))).alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    scored = toks.select("id", "dl", *tf_cols)
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    score = None
+    for i, t in enumerate(terms):
+        tf = F.col(f"tf_{i}").cast("double")
+        part = F.lit(idf[t]) * (
+            tf * F.lit(k1 + 1.0) / (tf + norm)
+        )
+        score = part if score is None else score + part
+    out = scored.select(
+        F.col("id").alias(id_col),
+        F.col("dl").cast("long").alias("doc_len"),
+        score.alias("score"),
+    ).where(F.col("score") > 0.0)
+    # top-k via orderBy().limit() = TakeOrdered (per-partition partial
+    # top-k merged on the driver) — never a global single-task window
+    top = out.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -345,6 +345,20 @@ def q_bpe_merges(spark, sf_dir):
     ).orderBy("merge_rank")
 
 
+BM25_TERMS = ["hash", "join", "merge", "scan"]  # demo query; oracle mirrors
+BM25_K = 20
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 relevance top-k (operators/textstats.py bm25_topk) of the
+    documents corpus against a fixed term query. idf weights are computed
+    driver-side from exact df integers and injected as shared double
+    literals, so both engines evaluate the identical IEEE tree."""
+    return textstats.bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_TERMS, top_k=BM25_K
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
@@ -1706,6 +1720,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dup_spans": q_dup_spans,
     "bpe_merges": q_bpe_merges,
+    "bm25_search": q_bm25_search,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
@@ -3560,6 +3575,83 @@ def _bpe_oracle_sql() -> str:
     """
 
 
+def _bm25_oracle_sql() -> str:
+    """Generated oracle for bm25_search: computes N / total tokens /
+    per-term df over the same parquet with DuckDB, derives the identical
+    idf double literals in the SAME Python math.log call the Spark query
+    uses, and replays the scoring tree term by term in sorted order."""
+    import math
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW d AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    ws = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+          " w -> w != '')")
+    n_docs, n_toks = con.sql(
+        f"SELECT count(*), CAST(sum(len({ws})) AS BIGINT) FROM d"
+    ).fetchone()
+    terms = sorted(set(BM25_TERMS))
+    tlits = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    dfr = dict(
+        con.sql(
+            f"""SELECT t, count(*) FROM (
+                  SELECT doc_id, unnest(list_filter(list_distinct({ws}),
+                         w -> w IN ({tlits}))) AS t FROM d)
+                GROUP BY t"""
+        ).fetchall()
+    )
+    k1, b = 1.2, 0.75
+    idf = {
+        t: math.log(
+            1.0 + (n_docs - dfr.get(t, 0) + 0.5) / (dfr.get(t, 0) + 0.5)
+        )
+        for t in terms
+    }
+    def dlit(x: float) -> str:
+        # string-cast: DuckDB parses bare decimal literals as DECIMAL
+        # and DECIMAL->DOUBLE can be a ULP off; string->double is
+        # correctly rounded
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    avgdl = f"({dlit(n_toks)} / {dlit(n_docs)})"
+    norm = (
+        f"({dlit(k1)} * ({dlit(1.0 - b)} "
+        f"+ {dlit(b)} * (CAST(dl AS DOUBLE) / {avgdl})))"
+    )
+
+    def tf(t: str) -> str:
+        q = t.replace("'", "''")
+        return f"CAST(len(list_filter(ws, w -> w = '{q}')) AS DOUBLE)"
+
+    parts = " + ".join(
+        f"({dlit(idf[t])} * ({tf(t)} * {dlit(k1 + 1.0)} "
+        f"/ ({tf(t)} + {norm})))"
+        for t in terms
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {ws} AS ws, len({ws}) AS dl FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+                   {parts} AS score
+            FROM toks
+        )
+        SELECT doc_id, doc_len, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INT) AS rank
+        FROM scored WHERE score > 0.0
+        ORDER BY score DESC, doc_id LIMIT {BM25_K}
+    """
+
+
 def build_oracles() -> dict[str, str]:
     """The static ORACLES plus entries generated from the data itself
     (kmeans centroid literals). __spark_entry__.oracle_sql() calls this so
@@ -3571,6 +3663,10 @@ def build_oracles() -> dict[str, str]:
         pass  # embeddings parquet unavailable -> rows-only fallback
     try:
         out["bpe_merges"] = _bpe_oracle_sql()
+    except Exception:
+        pass  # documents parquet unavailable -> rows-only fallback
+    try:
+        out["bm25_search"] = _bm25_oracle_sql()
     except Exception:
         pass  # documents parquet unavailable -> rows-only fallback
     return out

@@ -991,3 +991,37 @@ def test_bpe_exhausts_when_words_fully_merged(spark):
     corpus = spark.createDataFrame([(1, "ab ab cd")], DOC_SCHEMA)
     out = bpe_vocabulary(corpus, n_merges=50).collect()
     assert len(out) == 2  # (a,b) then (c,d); nothing left to merge
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 ranks the doc with more query-term mass higher; documents with
+    no query term are excluded; rank is dense from 1 with id tiebreak."""
+    from modelardb_dynamic_spark.operators.textstats import bm25_topk
+
+    rows = [
+        (1, "hash join hash join hash join"),   # heavy on both terms
+        (2, "hash and some other words here padding the length out"),
+        (3, "completely unrelated text about swing filters"),
+        (4, "join join"),                        # short doc, high tf ratio
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = bm25_topk(docs, ["hash", "join"], top_k=10).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    ids = [r["doc_id"] for r in by_rank]
+    assert 3 not in ids  # no query term -> no row
+    assert ids[0] == 1  # both terms, highest tf
+    assert [r["rank"] for r in by_rank] == list(range(1, len(ids) + 1))
+    assert all(
+        a["score"] >= b["score"] for a, b in zip(by_rank, by_rank[1:])
+    )
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, longer doc -> lower score (the b-term at work)."""
+    from modelardb_dynamic_spark.operators.textstats import bm25_topk
+
+    pad = " ".join(f"w{i}" for i in range(60))
+    rows = [(1, "hash hash"), (2, f"hash hash {pad}")]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["hash"]).collect()}
+    assert out[1] > out[2]

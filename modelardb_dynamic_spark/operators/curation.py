@@ -283,3 +283,105 @@ def bpe_reference(texts: list[str], n_merges: int = 12):
             w: _bpe_apply_merge(sym, lhs, rhs) for w, sym in vocab.items()
         }
     return merges
+
+
+# Symbol-boundary separator for the closed-form BPE encoder. A word's
+# symbol sequence is serialized as SEP s1 SEP SEP s2 SEP SEP ... sN SEP
+# (single SEP at the ends, double between symbols) so that one greedy
+# left-to-right merge pass == one literal string replace of
+# SEP+lhs+SEP+SEP+rhs+SEP with SEP+lhs+rhs+SEP: every symbol start is
+# preceded by a SEP the pattern consumes, which (a) blocks false matches
+# across symbol boundaries ("ba","aa" never matches merge (a,aa)) and
+# (b) lets adjacent merges share the boundary pair ("a a a a" -> "aa aa",
+# exactly _bpe_apply_merge's non-overlapping scan; property-fuzzed in
+# tests). \x1f (ASCII unit separator) cannot appear inside a word: words
+# come from a whitespace split of text, and any text that did contain it
+# would corrupt the framing — bpe_encode filters such words out loudly.
+_BPE_SEP = "\x1f"
+
+
+def bpe_merge_replace_steps(merges: list[tuple]) -> list[tuple[str, str]]:
+    """The learned merge table as (search, replace) literal pairs over the
+    _BPE_SEP framing, in rank order — the ONE home of the closed form,
+    shared by the Spark encoder and the DuckDB oracle so both engines run
+    the identical replace chain. merges rows are (rank, lhs, rhs, ...)
+    from bpe_vocabulary / bpe_reference, or plain (lhs, rhs) pairs."""
+    s = _BPE_SEP
+    out = []
+    for m in merges:
+        lhs, rhs = (m[1], m[2]) if len(m) >= 3 else (m[0], m[1])
+        out.append((s + lhs + s + s + rhs + s, s + lhs + rhs + s))
+    return out
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus and report per-doc
+    token accounting: (id, n_words, n_chars, n_bpe_tokens,
+    chars_per_token). Docs with no words (empty/whitespace text) are
+    dropped — there is nothing to encode.
+
+    Two scale decisions:
+    1. The merge loop is CLOSED-FORM JVM SQL, not Python: the symbol
+       sequence rides as a _BPE_SEP-framed string and each merge is one
+       literal F.replace (see bpe_merge_replace_steps) — whole-stage
+       codegen end to end, zero Python in the encode, and the identical
+       chain replays in the DuckDB oracle.
+    2. The distinct-word cache: encoding is a pure function of the word,
+       so the replace chain runs once per DISTINCT word (sublinear in
+       corpus size by Heaps' law) and corpus rows are charged through a
+       broadcast join of the (word -> n_tokens) map — the corpus itself
+       is touched by one explode and one map-side-combinable groupBy.
+
+    merges: rows from bpe_vocabulary (merge_rank, lhs, rhs, ...) or plain
+    (lhs, rhs) tuples, applied in the given order.
+    """
+    s = _BPE_SEP
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), _WS),
+        lambda w: (w != "") & ~w.contains(s),
+    )
+    doc_words = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+            words.alias("ws"),
+        )
+        .where(F.size("ws") > 0)
+        .select(
+            "id",
+            "n_chars",
+            F.size("ws").cast("long").alias("n_words"),
+            F.explode("ws").alias("w"),
+        )
+    )
+    seq = F.concat(
+        F.lit(s),
+        F.array_join(
+            F.filter(F.split("w", ""), lambda c: c != ""), s + s
+        ),
+        F.lit(s),
+    )
+    for search, repl in bpe_merge_replace_steps(merges):
+        seq = F.replace(seq, F.lit(search), F.lit(repl))
+    encoded = doc_words.select("w").distinct().select(
+        "w", F.size(F.split(seq, s + s, -1)).cast("long").alias("w_toks")
+    )
+    return (
+        doc_words.join(F.broadcast(encoded), "w")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.first("n_words").alias("n_words"),
+            F.first("n_chars").alias("n_chars"),
+            F.sum("w_toks").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.col("n_chars").cast("double")
+            / F.col("n_bpe_tokens").cast("double"),
+        )
+    )

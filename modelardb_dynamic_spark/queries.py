@@ -345,6 +345,27 @@ def q_bpe_merges(spark, sf_dir):
     ).orderBy("merge_rank")
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the learned BPE table (curation.bpe_encode):
+    per-doc word/char/BPE-token counts and compression rate. The merge
+    table is induced distributed (bpe_vocabulary, BPE_MERGES rows collected
+    driver-side — bounded by the merge count, never data) and the encode
+    itself is a closed-form JVM replace chain over the distinct-word cache.
+    Oracle learns merges with the independent pure-Python twin and replays
+    the identical replace chain in DuckDB."""
+    from modelardb_dynamic_spark.operators import curation
+
+    merges = [
+        (r["merge_rank"], r["lhs"], r["rhs"])
+        for r in curation.bpe_vocabulary(
+            _t(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+        ).collect()
+    ]
+    return curation.bpe_encode(
+        _t(spark, sf_dir, "documents"), sorted(merges)
+    ).orderBy("doc_id")
+
+
 BM25_TERMS = ["hash", "join", "merge", "scan"]  # demo query; oracle mirrors
 BM25_K = 20
 
@@ -1720,6 +1741,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dup_spans": q_dup_spans,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "bm25_search": q_bm25_search,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -3575,6 +3597,72 @@ def _bpe_oracle_sql() -> str:
     """
 
 
+def _bpe_encode_oracle_sql() -> str:
+    """Generated oracle for bpe_encode: learns the merge table with the
+    independent pure-Python twin (curation.bpe_reference) over the same
+    parquet, then replays the IDENTICAL closed-form replace chain
+    (curation.bpe_merge_replace_steps — one home for the framing) in
+    DuckDB over the distinct-word table."""
+    import os
+
+    import duckdb
+
+    from modelardb_dynamic_spark.operators.curation import (
+        _BPE_SEP,
+        bpe_merge_replace_steps,
+        bpe_reference,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    merges = bpe_reference(texts, n_merges=BPE_MERGES)
+
+    def lit(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    s = _BPE_SEP
+    chain = (
+        f"{lit(s)} || array_to_string(list_filter(string_split(w, ''),"
+        f" c -> c != ''), {lit(s + s)}) || {lit(s)}"
+    )
+    for search, repl in bpe_merge_replace_steps(merges):
+        chain = f"replace({chain}, {lit(search)}, {lit(repl)})"
+    return f"""
+        WITH dw AS (
+            SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(ws) AS BIGINT) AS n_words, unnest(ws) AS w
+            FROM (SELECT doc_id, text,
+                         list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x != ''
+                                          AND NOT contains(x, {lit(s)})) AS ws
+                  FROM documents)
+            WHERE len(ws) > 0
+        ),
+        enc AS (
+            SELECT w, CAST(len(string_split({chain}, {lit(s + s)}))
+                           AS BIGINT) AS w_toks
+            FROM (SELECT DISTINCT w FROM dw)
+        )
+        SELECT dw.id AS doc_id,
+               min(n_words) AS n_words,
+               min(n_chars) AS n_chars,
+               CAST(sum(w_toks) AS BIGINT) AS n_bpe_tokens,
+               CAST(min(n_chars) AS DOUBLE)
+                   / CAST(CAST(sum(w_toks) AS BIGINT) AS DOUBLE)
+                   AS chars_per_token
+        FROM dw JOIN enc USING (w)
+        GROUP BY dw.id
+        ORDER BY doc_id
+    """
+
+
 def _bm25_oracle_sql() -> str:
     """Generated oracle for bm25_search: computes N / total tokens /
     per-term df over the same parquet with DuckDB, derives the identical
@@ -3667,6 +3755,10 @@ def build_oracles() -> dict[str, str]:
         pass  # documents parquet unavailable -> rows-only fallback
     try:
         out["bm25_search"] = _bm25_oracle_sql()
+    except Exception:
+        pass  # documents parquet unavailable -> rows-only fallback
+    try:
+        out["bpe_encode"] = _bpe_encode_oracle_sql()
     except Exception:
         pass  # documents parquet unavailable -> rows-only fallback
     return out

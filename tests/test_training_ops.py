@@ -1025,3 +1025,57 @@ def test_bm25_length_normalization(spark):
     docs = spark.createDataFrame(rows, DOC_SCHEMA)
     out = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["hash"]).collect()}
     assert out[1] > out[2]
+
+
+def test_bpe_encode_matches_symbolic_reference(spark):
+    """bpe_encode's closed-form replace chain == applying the learned
+    merges word-by-word with _bpe_apply_merge (the independent symbolic
+    twin), on a corpus exercising overlapping merges ("ababab"), merge
+    chains (a,b)->(ab,ab), repeated words, and multi-space whitespace."""
+    from modelardb_dynamic_spark.operators.curation import (
+        _bpe_apply_merge,
+        bpe_encode,
+        bpe_reference,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "aaa aab aba abab ababab",
+        "  the   thin then  ",
+        "x ababab abab ab",
+    ]
+    merges = bpe_reference(texts, n_merges=8)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], DOC_SCHEMA
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+
+    def n_toks(word: str) -> int:
+        sym = list(word)
+        for _, lhs, rhs, _, _ in merges:
+            sym = _bpe_apply_merge(sym, lhs, rhs)
+        return len(sym)
+
+    for i, t in enumerate(texts):
+        ws = t.split()
+        assert got[i] == (len(ws), len(t), sum(n_toks(w) for w in ws))
+
+
+def test_bpe_encode_drops_empty_and_sep_words(spark):
+    """Empty/whitespace docs are dropped; a word containing the \\x1f
+    framing byte is filtered out of the word list, not mis-encoded."""
+    from modelardb_dynamic_spark.operators.curation import bpe_encode
+
+    rows = [(1, "ab ab"), (2, "   "), (3, "ab a\x1fb")]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in bpe_encode(docs, [("a", "b")]).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["n_bpe_tokens"] == 2  # "ab" -> one token each
+    assert out[3]["n_words"] == 1  # the framed word is excluded up front
+    assert out[3]["n_bpe_tokens"] == 1  # only "ab" is encoded

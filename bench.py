@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "dup_spans",
     "bpe_merges",
+    "bpe_encode",
     "bm25_search",
     "token_stats",
     "lang_id",

@@ -561,7 +561,7 @@ def q_pack_documents(spark, sf_dir):
     return curation.pack_documents(_t(spark, sf_dir, "documents"), 512)
 
 
-# --- transcript pipeline (rows-only smoke at driver scale) ----------------------
+# --- transcript pipeline (value-gated end to end) -------------------------------
 
 
 def _events_as_transcripts(spark, sf_dir):

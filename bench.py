@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "interarrival",
     "bloom_members",
     "twa",
+    "trend_ols",
     "sliding_24h",
     "context_growth",
     "tool_usage",

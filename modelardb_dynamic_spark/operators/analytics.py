@@ -802,3 +802,86 @@ def cusum_changepoints(points: DataFrame, h_mult: int = 2) -> DataFrame:
         F.min(F.when(F.col("up_a"), F.col("ts_ms"))).alias("first_up_ts"),
         F.min(F.when(F.col("dn_a"), F.col("ts_ms"))).alias("first_dn_ts"),
     )
+
+
+_TREND_DET = "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+_TREND_SLOPE = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (" + _TREND_DET + ")"
+)
+_TREND_ICEPT = (
+    "(CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) / (" + _TREND_DET + ")"
+)
+_TREND_R2 = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " / ((" + _TREND_DET + ")"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+def trend_ols(points: DataFrame, unit_ms: int) -> DataFrame:
+    """Per-series OLS linear trend (drift detection): slope, intercept,
+    and R^2 of v ~ time for every series, with time measured in exact
+    integer `unit_ms` steps from the series' own first observation.
+
+    Exactness discipline (the _ACF_EXPR / _PEARSON_EXPR house rule): the
+    five moments n, Sx, Sy, Sxx, Sxy, Syy are exact int64 sums — x is
+    (ts_ms - first_ts) / unit_ms, an exact integer on any tier grid whose
+    step divides unit_ms — and slope/intercept/R^2 are each ONE shared
+    IEEE-754 expression tree over those moments, so DuckDB replays them
+    bit-identically. Rebasing x at the series' first observation keeps
+    the int64 budget honest: with B = span/unit_ms buckets and vmax the
+    peak value, Sxx <= B^3 and Sxy <= B^2 * vmax — at 5e5 buckets and
+    1e7 peak that is 1.25e17 and 2.5e18, both < 2^63 (absolute epoch
+    timestamps would overflow Sxx ~ n * 3e24 immediately).
+
+    Constant series (n*Syy == Sy^2, exact integer predicate) and series
+    with < 3 observations are excluded: their R^2 is 0/0 and a 2-point
+    "trend" is noise. Degenerate-x (all same bucket) cannot survive the
+    n >= 3 filter on a grid.
+
+    Returns (sid, n, first_ts, last_ts, slope, intercept, r2) — slope in
+    value units per unit_ms, intercept the fitted value at first_ts.
+
+    Scale: one map-side-combinable groupBy for first_ts, one equi-join
+    back on sid (both sides already partitioned by the engine's
+    universal key), one final groupBy. No windows over data rows.
+    """
+    first = points.groupBy("sid").agg(
+        F.min("ts_ms").alias("first_ts")
+    )
+    p = points.join(first, "sid").select(
+        "sid",
+        "first_ts",
+        "ts_ms",
+        ((F.col("ts_ms") - F.col("first_ts")) / F.lit(unit_ms))
+        .cast("long")
+        .alias("x"),
+        F.col("v").cast("long").alias("y"),
+    )
+    agg = p.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("first_ts").alias("first_ts"),
+        F.max("ts_ms").alias("last_ts"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return agg.where(
+        (F.col("n") >= 3) & F.expr("n * syy != sy * sy")
+    ).selectExpr(
+        "sid",
+        "n",
+        "first_ts",
+        "last_ts",
+        f"{_TREND_SLOPE} AS slope",
+        f"{_TREND_ICEPT} AS intercept",
+        f"{_TREND_R2} AS r2",
+    )

@@ -1694,6 +1694,29 @@ def q_twa(spark, sf_dir):
     return time_weighted_avg(pts)
 
 
+def q_trend_ols(spark, sf_dir):
+    """Per-series OLS linear trend of the HOURLY turn rate — drift
+    detection off the rollup tier, not raw points (operators/analytics.py
+    trend_ols): slope / intercept / R^2 from exact int64 moments with x
+    rebased to the series' first hour in grid units, each output ONE
+    shared IEEE expression tree. The oracle replays the identical hourly
+    aggregation, moments, and trees over the raw buckets."""
+    from modelardb_dynamic_spark.operators.analytics import trend_ols
+
+    segs = _event_segments(spark, sf_dir)
+    hourly = (
+        datapoint_view(segs)
+        .groupBy(
+            "sid",
+            ((F.col("ts_ms") / HOUR_MS).cast("long") * HOUR_MS).alias(
+                "ts_ms"
+            ),
+        )
+        .agg(F.sum(F.col("value").cast("long")).alias("v"))
+    )
+    return trend_ols(hourly, HOUR_MS)
+
+
 def q_reply_latency(spark, sf_dir):
     """Per-role reply-latency distribution (operators/textstats.py
     reply_latency) over the deterministic transcript table: count, exact
@@ -1793,6 +1816,7 @@ QUERIES = {
     "cusum_shifts": q_cusum_shifts,
     "interarrival": q_interarrival,
     "twa": q_twa,
+    "trend_ols": q_trend_ols,
     "sliding_24h": q_sliding_24h,
     "context_growth": q_context_growth,
     "tool_usage": q_tool_usage,
@@ -3312,6 +3336,44 @@ ORACLES["interarrival"] = f"""
                AS cv,
            {_BURSTINESS_EXPR} AS burstiness
     FROM mo WHERE n >= 2 AND n * qq != ss * ss
+"""
+
+from modelardb_dynamic_spark.operators.analytics import (  # noqa: E402
+    _TREND_ICEPT,
+    _TREND_R2,
+    _TREND_SLOPE,
+)
+
+# the shared IEEE trees from analytics.py, replayed verbatim by DuckDB
+ORACLES["trend_ols"] = f"""
+    WITH b AS ({_MINUTE_BUCKETS}),
+    h AS (
+        SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS ts_ms,
+               CAST(sum(v) AS BIGINT) AS v
+        FROM b GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT sid, ts_ms, v,
+               (ts_ms - min(ts_ms) OVER (PARTITION BY sid))
+                   // {HOUR_MS} AS x,
+               min(ts_ms) OVER (PARTITION BY sid) AS first_ts
+        FROM h
+    ),
+    agg AS (
+        SELECT sid, CAST(count(*) AS BIGINT) AS n,
+               min(first_ts) AS first_ts, max(ts_ms) AS last_ts,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(v) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * v) AS BIGINT) AS sxy,
+               CAST(sum(v * v) AS BIGINT) AS syy
+        FROM p GROUP BY sid
+    )
+    SELECT sid, n, first_ts, last_ts,
+           {_TREND_SLOPE} AS slope,
+           {_TREND_ICEPT} AS intercept,
+           {_TREND_R2} AS r2
+    FROM agg WHERE n >= 3 AND n * syy != sy * sy
 """
 
 ORACLES["twa"] = f"""

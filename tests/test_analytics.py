@@ -551,3 +551,42 @@ def test_cusum_constant_series_never_alarms(spark):
     got = cusum_changepoints(pts, h_mult=2).collect()[0].asDict()
     assert got["max_up"] == 0 and got["max_dn"] == 0
     assert got["n_up_shifts"] == 0 and got["first_up_ts"] is None
+
+
+def test_trend_ols_matches_numpy(spark):
+    from modelardb_dynamic_spark.operators.analytics import trend_ols
+
+    SI = 60_000
+    rng = np.random.default_rng(11)
+    # sid a: clean upward trend + noise over an irregular (gappy) grid
+    xs = sorted(int(x) for x in rng.choice(200, size=50, replace=False))
+    ys = [int(3 * x + 7 + rng.integers(-5, 6)) for x in xs]
+    rows = [("a", 1_000_000 + x * SI, y) for x, y in zip(xs, ys)]
+    # sid const: excluded by the exact integer predicate
+    rows += [("const", i * SI, 4) for i in range(10)]
+    # sid two: n < 3 -> excluded
+    rows += [("two", 0, 1), ("two", SI, 9)]
+    out = {
+        r["sid"]: r.asDict()
+        for r in trend_ols(_points(spark, rows), unit_ms=SI).collect()
+    }
+    assert set(out) == {"a"}
+    a = out["a"]
+    x0 = np.array(xs, dtype=float) - xs[0]
+    slope, icept = np.polyfit(x0, np.array(ys, dtype=float), 1)
+    r = np.corrcoef(x0, ys)[0, 1]
+    assert a["n"] == 50
+    assert a["first_ts"] == 1_000_000 + xs[0] * SI
+    assert a["last_ts"] == 1_000_000 + xs[-1] * SI
+    assert abs(a["slope"] - slope) < 1e-9
+    assert abs(a["intercept"] - icept) < 1e-9
+    assert abs(a["r2"] - r * r) < 1e-12
+
+
+def test_trend_ols_exact_two_point_line_through_three(spark):
+    from modelardb_dynamic_spark.operators.analytics import trend_ols
+
+    # perfectly linear integer series: slope/intercept exact, r2 == 1.0
+    rows = [("a", i * 10, 5 * i + 2) for i in range(8)]
+    a = trend_ols(_points(spark, rows), unit_ms=10).collect()[0]
+    assert (a["slope"], a["intercept"], a["r2"]) == (5.0, 2.0, 1.0)

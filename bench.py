@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "bloom_members",
     "twa",
     "trend_ols",
+    "seasonal_anom",
     "sliding_24h",
     "context_growth",
     "tool_usage",

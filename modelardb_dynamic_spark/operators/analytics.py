@@ -885,3 +885,66 @@ def trend_ols(points: DataFrame, unit_ms: int) -> DataFrame:
         f"{_TREND_ICEPT} AS intercept",
         f"{_TREND_R2} AS r2",
     )
+
+
+def seasonal_anomaly(
+    points: DataFrame,
+    bucket_ms: int,
+    period_buckets: int,
+    min_periods: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Seasonal-profile anomaly detection: each bucket is scored against
+    the OTHER observations at the same phase of the cycle (e.g. the same
+    hour-of-week across all weeks, bucket_ms=3600_000 and
+    period_buckets=168) — "is this Tuesday 9am unusual for a Tuesday
+    9am", the shape rolling_zscore's trailing window cannot see because a
+    weekly rhythm IS the trailing baseline.
+
+    Leak-free leave-one-out: the phase profile (n, s, q exact int64 sums
+    per (sid, phase)) is computed once, then each bucket's own
+    contribution is subtracted exactly (n-1, s-v, q-v*v), so a gross
+    outlier never inflates its own baseline. z = (n'v - s') /
+    sqrt(n'q' - s'^2) — the single shared IEEE tree (sqrt is
+    correctly-rounded by IEEE 754, the _Z_EXPR precedent), and the
+    anomaly flag (n'v - s')^2 > k^2 (n'q' - s'^2) is a PURE INTEGER
+    predicate. Same int64 value bound as rolling_zscore: |v| <= ~3e7 at
+    k=3; pre-scale larger-magnitude series.
+
+    Only anomalous buckets are returned: (sid, ts_ms, phase, v, n_p,
+    s_p, q_p, z) with n_p/s_p/q_p the leave-one-out profile — result
+    rows are rare by construction, the corpus is touched by one groupBy
+    and one (sid, phase) equi-join, both map-side-combinable /
+    co-partitioned. Phases with < min_periods+1 observations or zero
+    leave-one-out variance produce no rows.
+    """
+    p = points.select(
+        "sid",
+        "ts_ms",
+        F.col("v").cast("long").alias("v"),
+        ((F.col("ts_ms") / F.lit(bucket_ms)).cast("long")
+         % F.lit(period_buckets)).alias("phase"),
+    )
+    prof = p.groupBy("sid", "phase").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("v").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).alias("q_g"),
+    )
+    j = p.join(prof, ["sid", "phase"]).selectExpr(
+        "sid", "ts_ms", "phase", "v",
+        "n_g - 1 AS n_p",
+        "s_g - v AS s_p",
+        "q_g - v * v AS q_p",
+    )
+    flagged = j.where(
+        F.expr(
+            f"n_p >= {min_periods} AND n_p * q_p - s_p * s_p > 0 "
+            f"AND (n_p * v - s_p) * (n_p * v - s_p) > "
+            f"{k * k} * (n_p * q_p - s_p * s_p)"
+        )
+    )
+    return flagged.selectExpr(
+        "sid", "ts_ms", "phase", "v", "n_p", "s_p", "q_p",
+        "CAST(n_p * v - s_p AS DOUBLE) / "
+        "sqrt(CAST(n_p * q_p - s_p * s_p AS DOUBLE)) AS z",
+    )

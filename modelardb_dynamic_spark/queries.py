@@ -1717,6 +1717,35 @@ def q_trend_ols(spark, sf_dir):
     return trend_ols(hourly, HOUR_MS)
 
 
+def q_seasonal_anom(spark, sf_dir):
+    """Hour-of-day seasonal anomalies in per-event-type hourly activity
+    (operators/analytics.py seasonal_anomaly): each hourly bucket scored
+    against the OTHER observations at the same phase (leak-free
+    leave-one-out profile, exact int64 sums), integer anomaly predicate,
+    z as the shared sqrt tree. The oracle replays the identical hourly
+    series, profile subtraction, predicate, and tree."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        seasonal_anomaly,
+    )
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("sid"),
+            (
+                (
+                    F.unix_millis(F.col("ts").cast("timestamp")) / HOUR_MS
+                ).cast("long")
+                * HOUR_MS
+            ).alias("ts_ms"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return seasonal_anomaly(
+        hourly, bucket_ms=HOUR_MS, period_buckets=24
+    ).orderBy("sid", "ts_ms")
+
+
 def q_reply_latency(spark, sf_dir):
     """Per-role reply-latency distribution (operators/textstats.py
     reply_latency) over the deterministic transcript table: count, exact
@@ -1817,6 +1846,7 @@ QUERIES = {
     "interarrival": q_interarrival,
     "twa": q_twa,
     "trend_ols": q_trend_ols,
+    "seasonal_anom": q_seasonal_anom,
     "sliding_24h": q_sliding_24h,
     "context_growth": q_context_growth,
     "tool_usage": q_tool_usage,
@@ -3374,6 +3404,37 @@ ORACLES["trend_ols"] = f"""
            {_TREND_ICEPT} AS intercept,
            {_TREND_R2} AS r2
     FROM agg WHERE n >= 3 AND n * syy != sy * sy
+"""
+
+ORACLES["seasonal_anom"] = f"""
+    WITH h AS (
+        SELECT event_type AS sid,
+               (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS ts_ms,
+               CAST(count(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT sid, ts_ms, v, (ts_ms // {HOUR_MS}) % 24 AS phase FROM h
+    ),
+    prof AS (
+        SELECT sid, phase, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(v) AS BIGINT) AS s_g,
+               CAST(sum(v * v) AS BIGINT) AS q_g
+        FROM p GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT p.sid, ts_ms, p.phase, v,
+               n_g - 1 AS n_p, s_g - v AS s_p, q_g - v * v AS q_p
+        FROM p JOIN prof USING (sid, phase)
+    )
+    SELECT sid, ts_ms, phase, v, n_p, s_p, q_p,
+           CAST(n_p * v - s_p AS DOUBLE) /
+           sqrt(CAST(n_p * q_p - s_p * s_p AS DOUBLE)) AS z
+    FROM j
+    WHERE n_p >= 4 AND n_p * q_p - s_p * s_p > 0
+      AND (n_p * v - s_p) * (n_p * v - s_p) >
+          9 * (n_p * q_p - s_p * s_p)
+    ORDER BY sid, ts_ms
 """
 
 ORACLES["twa"] = f"""

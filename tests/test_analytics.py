@@ -590,3 +590,50 @@ def test_trend_ols_exact_two_point_line_through_three(spark):
     rows = [("a", i * 10, 5 * i + 2) for i in range(8)]
     a = trend_ols(_points(spark, rows), unit_ms=10).collect()[0]
     assert (a["slope"], a["intercept"], a["r2"]) == (5.0, 2.0, 1.0)
+
+
+def test_seasonal_anomaly_leave_one_out(spark):
+    from modelardb_dynamic_spark.operators.analytics import (
+        seasonal_anomaly,
+    )
+
+    H = 3_600_000
+    # phase 0 over 7 cycles: six quiet observations and one spike.
+    # phase 1: perfectly constant -> zero LOO variance -> never flagged.
+    vals0 = [10, 11, 9, 10, 300, 10, 11]
+    rows = [("a", d * 24 * H, v) for d, v in enumerate(vals0)]
+    rows += [("a", d * 24 * H + H, 5) for d in range(7)]
+    out = seasonal_anomaly(
+        _points(spark, rows), bucket_ms=H, period_buckets=24
+    ).collect()
+    # only the spike: its own value is excluded from its baseline, so the
+    # quiet buckets score against a profile NOT inflated by the spike
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert (r["sid"], r["ts_ms"], r["phase"], r["v"]) == (
+        "a", 4 * 24 * H, 0, 300,
+    )
+    n_p, s_p = 6, sum(vals0) - 300
+    q_p = sum(v * v for v in vals0) - 300 * 300
+    assert (r["n_p"], r["s_p"], r["q_p"]) == (n_p, s_p, q_p)
+    import math
+
+    assert abs(
+        r["z"]
+        - (n_p * 300 - s_p) / math.sqrt(n_p * q_p - s_p * s_p)
+    ) < 1e-12
+    assert r["z"] > 3
+
+
+def test_seasonal_anomaly_min_periods_excludes_thin_phases(spark):
+    from modelardb_dynamic_spark.operators.analytics import (
+        seasonal_anomaly,
+    )
+
+    H = 3_600_000
+    # 4 observations -> LOO n_p = 3 < min_periods=4 -> nothing flagged
+    rows = [("a", d * 24 * H, v) for d, v in enumerate([1, 1, 1, 500])]
+    out = seasonal_anomaly(
+        _points(spark, rows), bucket_ms=H, period_buckets=24
+    ).collect()
+    assert out == []

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "ngram_jaccard",
     "dup_spans",
+    "novelty",
     "bpe_merges",
     "bpe_encode",
     "bm25_search",

@@ -597,3 +597,51 @@ def duplicated_spans(
             / F.col("total_tokens").cast("double"),
         )
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temporal novelty audit over the corpus in id order: what fraction
+    of each document's distinct word n-gram shingles appears here for the
+    FIRST time (no earlier doc — smaller id — contains them)? The
+    complement of a duplication score with a direction: a crawl/stream
+    whose novel_frac trends toward 0 has stopped adding information,
+    regardless of whether any single pair crosses a near-dup threshold.
+
+    First occurrence is a pure relational notion: min(id) per shingle
+    hash (shared 60-bit md5 prefix — the corpus-wide shingle table
+    already bounded by DISTINCT shingles), joined back on the 60-bit
+    key. A shingle repeated inside one doc counts once (distinct
+    shingles), and the doc where it first appears scores it as novel.
+
+    Returns (doc_id, n_shingles, n_novel, novel_frac) for docs with at
+    least one shingle; counts exact, one shared IEEE division.
+
+    Scale: one explode + one map-side-combinable groupBy(min) + one hash
+    join on the shingle key — the ngram_jaccard shuffle shape without
+    the pair stage; nothing quadratic, no windows over corpus rows.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(text_col, n)).alias("s"),
+    ).select("id", spark_h60("s").alias("h"))
+    first = sh.groupBy("h").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(first, "h")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("id") == F.col("first_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novel_frac",
+            F.col("n_novel").cast("double")
+            / F.col("n_shingles").cast("double"),
+        )
+    )

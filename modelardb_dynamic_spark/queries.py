@@ -316,6 +316,17 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_novelty(spark, sf_dir):
+    """Temporal novelty audit (operators/dedup.py novelty_scores): per
+    doc, the fraction of its distinct 3-gram shingles appearing for the
+    first time in id order — first occurrence = min(id) per shared
+    60-bit shingle hash. Oracle replays the identical shingling, hash,
+    and min-id join."""
+    return dedup.novelty_scores(
+        _t(spark, sf_dir, "documents"), n=3
+    ).orderBy("doc_id")
+
+
 DUP_SPAN_LEN = 8  # min duplicated window, tokens; mirrored in the oracle
 
 
@@ -1791,6 +1802,7 @@ QUERIES = {
     "asof_purchase": q_asof_purchase,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "novelty": q_novelty,
     "dup_spans": q_dup_spans,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -2157,6 +2169,22 @@ ORACLES = {
         FROM s
     """,
     "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "novelty": f"""
+        WITH shd AS ({_SHINGLES3_SQL}),
+        hh AS (
+            SELECT id, {duck_h60('s')} AS h
+            FROM (SELECT id, unnest(sh) AS s FROM shd)
+        ),
+        fst AS (SELECT h, min(id) AS first_id FROM hh GROUP BY h)
+        SELECT hh.id AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN hh.id = first_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN hh.id = first_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novel_frac
+        FROM hh JOIN fst USING (h)
+        GROUP BY hh.id ORDER BY doc_id
+    """,
     "minhash_pairs": f"""
         WITH shd AS ({_SHINGLES3_SQL}),
         hs AS (

@@ -1079,3 +1079,30 @@ def test_bpe_encode_drops_empty_and_sep_words(spark):
     assert out[1]["n_bpe_tokens"] == 2  # "ab" -> one token each
     assert out[3]["n_words"] == 1  # the framed word is excluded up front
     assert out[3]["n_bpe_tokens"] == 1  # only "ab" is encoded
+
+
+def test_novelty_scores_first_occurrence_semantics(spark):
+    """Novelty is directional in id order: doc 1 scores everything novel,
+    an exact copy later scores 0, a half-overlap scores its new half;
+    intra-doc repeats count once and credit the first doc."""
+    a = "w1 w2 w3 w4 w5"  # shingles: 123 234 345
+    rows = [
+        (1, a),
+        (2, a),  # exact copy -> 0 novel
+        (3, "w3 w4 w5 x1 x2"),  # 345 (seen), 45x1 4x1x2 (new) -> 2/3
+        (4, f"{a} {a}"),  # overlaps doc1 + its own seam shingles
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    from modelardb_dynamic_spark.operators import dedup as D
+
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in D.novelty_scores(docs, n=3).collect()
+    }
+    assert (out[1]["n_shingles"], out[1]["n_novel"]) == (3, 3)
+    assert (out[2]["n_shingles"], out[2]["n_novel"]) == (3, 0)
+    assert (out[3]["n_shingles"], out[3]["n_novel"]) == (3, 2)
+    assert out[3]["novel_frac"] == 2.0 / 3.0
+    # doc 4 = a+a: distinct shingles are doc1's 3 plus the seam
+    # (w4 w5 w1), (w5 w1 w2) -> 5 distinct, 2 novel
+    assert (out[4]["n_shingles"], out[4]["n_novel"]) == (5, 2)

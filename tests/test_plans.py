@@ -250,3 +250,60 @@ def test_cms_probe_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_new_analytics_ops_stay_jvm_side(spark):
+    """trend_ols / seasonal_anomaly / novelty_scores plans: zero Python
+    evaluation nodes (pure column algebra end to end) and no cartesian
+    products; novelty's shingle->min-id join is a plain hash join."""
+    import pandas as pd
+
+    from modelardb_dynamic_spark.operators.analytics import (
+        seasonal_anomaly,
+        trend_ols,
+    )
+    from modelardb_dynamic_spark.operators.dedup import novelty_scores
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sid": ["a"] * 8,
+                "ts_ms": [i * 3_600_000 for i in range(8)],
+                "v": [1, 2, 3, 4, 5, 6, 7, 100],
+            }
+        )
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e", "c d e f g"]})
+    )
+    for df in (
+        trend_ols(pts, unit_ms=3_600_000),
+        seasonal_anomaly(pts, bucket_ms=3_600_000, period_buckets=4),
+        novelty_scores(docs, n=3),
+    ):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, plan[:1200]
+        assert "ArrowEvalPython" not in plan, plan[:1200]
+        assert "CartesianProduct" not in plan, plan[:1200]
+
+
+def test_bpe_encode_broadcasts_word_map(spark):
+    """bpe_encode charges corpus rows through a BROADCAST join of the
+    distinct-word token map (never a shuffled join of corpus vs cache),
+    and the replace chain stays JVM-side (no Python eval nodes)."""
+    import pandas as pd
+
+    from modelardb_dynamic_spark.operators.curation import bpe_encode
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["low lower low", "lowest low"]}
+        )
+    )
+    out = bpe_encode(docs, [("l", "o"), ("lo", "w")])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -756,6 +756,55 @@ def q_stream_hopping(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once ingestion under the value gate
+    (streaming/rollup.py dedup_turns): the transcript table is replayed
+    WITH every 7th turn redelivered (exact duplicate rows in the same
+    arriving chunk — the at-least-once-source failure mode), deduped by
+    natural key (conv_id, turn_idx) with dropDuplicatesWithinWatermark,
+    run to completion with availableNow. The deduped stream must equal
+    the original table row for row — which is exactly what the oracle
+    returns."""
+    import shutil
+    import uuid
+
+    tr = _events_as_transcripts(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dirty = tr.unionByName(tr.where(F.col("turn_idx") % 7 == 0))
+    hi = tr.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    stream, d = _replay_stream(
+        spark, dirty, [hi + 100 * SI_MS], "mdbs_stream_dedup_"
+    )
+    try:
+        from modelardb_dynamic_spark.streaming.rollup import dedup_turns
+
+        clean = dedup_turns(stream).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+        name = "stream_dedup_" + uuid.uuid4().hex[:8]
+        q = (
+            clean.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.table(name)
+        .where("conv_id != '__sentinel__'")
+        .localCheckpoint()
+    )
+
+
 def q_grouped_tiers(spark, sf_dir):
     """End-to-end grouped compression under the value-level oracle: each
     user's event-count series is paired with an exact duplicate in a
@@ -1828,6 +1877,7 @@ QUERIES = {
     "transcript_tiers": q_transcript_tiers,
     "stream_tier_5m": q_stream_tier_5m,
     "stream_hopping": q_stream_hopping,
+    "stream_dedup": q_stream_dedup,
     "grouped_tiers": q_grouped_tiers,
     "corr_grouped_tiers": q_corr_grouped_tiers,
     "dod_times": q_dod_times,
@@ -3566,6 +3616,16 @@ ORACLES["sliding_24h"] = f"""
 # stream_hopping: each turn belongs to exactly window/slide = 3 covering
 # epoch-aligned hopping windows; the availableNow sentinel replay emits
 # every real window exactly once, so append output == this expansion.
+# the deduped stream must equal the original transcript table exactly
+ORACLES["stream_dedup"] = f"""
+    WITH tr AS ({_TR_FULL})
+    SELECT conv_id, turn_idx,
+           CASE turn_idx % 3 WHEN 0 THEN 'user'
+                WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+           text, ts_ms
+    FROM tr
+"""
+
 ORACLES["stream_hopping"] = f"""
     WITH tr AS ({_TR_FULL}),
     e AS (

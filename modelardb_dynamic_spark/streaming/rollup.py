@@ -198,3 +198,30 @@ def hopping_aggregate(
             "tokens",
         )
     )
+
+
+def dedup_turns(
+    turns: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once turn ingestion over an at-least-once source: drop
+    redelivered turns by their natural key (conv_id, turn_idx) with
+    dropDuplicatesWithinWatermark — the stream-side guard every Kafka /
+    at-least-once file source needs in front of the ingest pipeline
+    (batch twin: TierPipeline.append's keyed raw upsert).
+
+    Why WithinWatermark and not plain dropDuplicates: the state store
+    keeps one entry per key FOREVER under plain dropDuplicates (unbounded
+    on a 10^12-turn stream); the watermark variant expires a key's state
+    once the event-time watermark passes ts + delay, bounding state to
+    the redelivery horizon while still deduplicating any duplicate that
+    arrives within it — redelivery windows are minutes, not months.
+
+    Rows pass through unchanged (first arrival wins; with exact
+    redelivery the survivor is value-identical by construction), so the
+    whole ingest chain (continuous_series -> continuous_tier, or
+    foreachBatch -> TierPipeline.append) composes downstream unchanged.
+    """
+    return turns.withWatermark("ts", watermark_delay) \
+        .dropDuplicatesWithinWatermark(list(keys))

@@ -144,3 +144,59 @@ def test_streamed_tier_matches_segment_path_and_downsamples(spark, streamed_tier
         downsample(streamed, HOUR).select(*streamed.columns),
         downsample(batch_tier, HOUR).select(*streamed.columns),
     )
+
+
+def test_dedup_turns_cross_batch_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics pinned: a redelivery in a
+    LATER micro-batch (same key, inside the watermark horizon) is
+    dropped; distinct keys all pass; the survivor is the row itself."""
+    from modelardb_dynamic_spark.streaming.rollup import dedup_turns
+
+    d = str(tmp_path / "in")
+    SCHEMA = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string"
+    )
+    base = 1_700_000_000_000
+
+    def chunk(i, rows):
+        (
+            spark.createDataFrame(rows, SCHEMA)
+            .withColumn(
+                "ts",
+                F.timestamp_millis(
+                    F.lit(base) + F.col("turn_idx").cast("long") * 60_000
+                ),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, f"chunk={i}"))
+        )
+
+    # batch 0: three turns, one of them duplicated in-batch
+    chunk(0, [("c1", 0, "user", "a", None), ("c1", 1, "assistant", "b", None),
+              ("c1", 1, "assistant", "b", None)])
+    # batch 1: redelivery of turn 0 (old ts, within the 1h watermark
+    # horizon) + one genuinely new turn
+    chunk(1, [("c1", 0, "user", "a", None), ("c1", 2, "tool", "c", "t")])
+    schema = spark.read.parquet(os.path.join(d, "chunk=0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "chunk=*"))
+    )
+    out = dedup_turns(stream, watermark_delay="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in spark.table("dedup_t").collect()
+    )
+    assert got == [("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "c")]

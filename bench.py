@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "cms_heavy",
     "tiered_cms_range",
     "ewma_backtest",
+    "holt_backtest",
     "cohort_retention",
     "funnel_daily",
     "m4_downsample",

@@ -948,3 +948,80 @@ def seasonal_anomaly(
         "CAST(n_p * v - s_p AS DOUBLE) / "
         "sqrt(CAST(n_p * q_p - s_p * s_p AS DOUBLE)) AS z",
     )
+
+
+def holt_levels(
+    points: DataFrame,
+    bucket_ms: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing + one-step forecast
+    backtest — the trend-aware upgrade of ewma_levels: within each
+    (sid, bucket) the values fold IN TIMESTAMP ORDER through
+
+        l' = alpha*v + (1-alpha)*(l + b)
+        b' = beta*(l' - l) + (1-beta)*b        (seeded l=first value, b=0)
+
+    and the previous bucket's (level + trend) is the next bucket's
+    forecast — a drifting series that EWMA perpetually lags is tracked
+    by the trend term (forecast extrapolates the drift).
+
+    Determinism (the ewma_levels discipline, extended to TWO-state
+    folds): the fold is a fixed sequence of IEEE double ops over a
+    sort_array-ordered list, carried as a struct('l','b') accumulator in
+    Spark and a [l, b] list accumulator in DuckDB's list_reduce — the
+    arithmetic expression trees are written identically on both sides
+    (l' recomputed inside b' from the same subexpression), so the replay
+    is bit-identical. Mean and abs_err are single shared expressions.
+
+    Returns (sid, bucket_ts, n, level, trend, forecast, abs_err) with
+    forecast/abs_err NULL on each series' first bucket.
+
+    Scale notes: one groupBy collecting each bucket's values (bounded by
+    points-per-bucket) + one lag window over bucket rows; the fold is
+    JVM-side higher-order SQL, no Python.
+    """
+    a = repr(float(alpha))
+    one_a = repr(1.0 - float(alpha))
+    b = repr(float(beta))
+    one_b = repr(1.0 - float(beta))
+    g = points.groupBy(
+        "sid",
+        F.expr(f"((ts_ms) DIV {bucket_ms}) * {bucket_ms}").alias(
+            "bucket_ts"
+        ),
+    ).agg(
+        F.expr("sort_array(collect_list(struct(ts_ms, v)))").alias("pts"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+    )
+    newl = (
+        f"(CAST({a} AS DOUBLE) * CAST(x.v AS DOUBLE) + "
+        f"CAST({one_a} AS DOUBLE) * (acc.l + acc.b))"
+    )
+    fold = (
+        f"aggregate(slice(pts, 2, size(pts) - 1), "
+        f"named_struct('l', CAST(pts[0].v AS DOUBLE), "
+        f"'b', CAST(0.0 AS DOUBLE)), "
+        f"(acc, x) -> named_struct("
+        f"'l', {newl}, "
+        f"'b', CAST({b} AS DOUBLE) * ({newl} - acc.l) + "
+        f"CAST({one_b} AS DOUBLE) * acc.b))"
+    )
+    w = Window.partitionBy("sid").orderBy("bucket_ts")
+    return (
+        g.selectExpr("sid", "bucket_ts", "n", "s", f"{fold} AS hb")
+        .selectExpr(
+            "sid", "bucket_ts", "n", "s",
+            "hb.l AS level", "hb.b AS trend",
+        )
+        .withColumn(
+            "forecast", F.lag(F.col("level") + F.col("trend")).over(w)
+        )
+        .selectExpr(
+            "sid", "bucket_ts", "n", "level", "trend", "forecast",
+            "CASE WHEN forecast IS NULL THEN NULL "
+            "ELSE abs(CAST(s AS DOUBLE) / n - forecast) END AS abs_err",
+        )
+    )

@@ -1806,6 +1806,22 @@ def q_seasonal_anom(spark, sf_dir):
     ).orderBy("sid", "ts_ms")
 
 
+def q_holt_backtest(spark, sf_dir):
+    """Per-hour Holt's linear (level + trend) smoothing + one-step
+    forecast backtest on the compressed store (operators/analytics.py
+    holt_levels): the two-state fold is a fixed IEEE double sequence
+    over timestamp-ordered values, replayed bit-identically by DuckDB's
+    list_reduce over a [l, b] list accumulator, so level/trend/forecast/
+    abs_err are all hash-gated."""
+    from modelardb_dynamic_spark.operators.analytics import holt_levels
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return holt_levels(pts, bucket_ms=HOUR_MS, alpha=0.3, beta=0.1)
+
+
 def q_reply_latency(spark, sf_dir):
     """Per-role reply-latency distribution (operators/textstats.py
     reply_latency) over the deterministic transcript table: count, exact
@@ -1920,6 +1936,7 @@ QUERIES = {
     "bloom_members": q_bloom_members,
     "tiered_cms_range": q_tiered_cms_range,
     "ewma_backtest": q_ewma_backtest,
+    "holt_backtest": q_holt_backtest,
     "stream_sessions": q_stream_sessions,
 }
 
@@ -3206,6 +3223,44 @@ ORACLES["tiered_cms_range"] = duck_cms_estimates_sql(
     ),
 )
 
+
+# Holt two-state fold: [l, b] list accumulator seeded [v1, 0], each
+# element wrapped as [x, 0] so acc and e share a type; expression trees
+# written identically to the Spark named_struct fold (analytics.holt_levels)
+ORACLES["holt_backtest"] = f"""
+    WITH m AS ({_MINUTE_BUCKETS}),
+    g AS (
+        SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS bucket_ts,
+               list(CAST(v AS DOUBLE) ORDER BY m) AS vs,
+               count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+        FROM m GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT sid, bucket_ts, n, s,
+               list_reduce(
+                   [[vs[1], CAST(0.0 AS DOUBLE)]] ||
+                   [[x, CAST(0.0 AS DOUBLE)] FOR x IN vs[2:]],
+                   (acc, e) -> [
+                       CAST(0.3 AS DOUBLE) * e[1] +
+                       CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+                       CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * e[1] +
+                           CAST(0.7 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+                       + CAST(0.9 AS DOUBLE) * acc[2]
+                   ]) AS hb
+        FROM g
+    ),
+    w AS (
+        SELECT sid, bucket_ts, n, s,
+               hb[1] AS level, hb[2] AS trend,
+               lag(hb[1] + hb[2]) OVER (
+                   PARTITION BY sid ORDER BY bucket_ts) AS forecast
+        FROM l
+    )
+    SELECT sid, bucket_ts, n, level, trend, forecast,
+           CASE WHEN forecast IS NULL THEN NULL
+                ELSE abs(CAST(s AS DOUBLE) / n - forecast) END AS abs_err
+    FROM w
+"""
 
 ORACLES["ewma_backtest"] = f"""
     WITH m AS ({_MINUTE_BUCKETS}),

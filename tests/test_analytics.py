@@ -637,3 +637,67 @@ def test_seasonal_anomaly_min_periods_excludes_thin_phases(spark):
         _points(spark, rows), bucket_ms=H, period_buckets=24
     ).collect()
     assert out == []
+
+
+def test_holt_levels_matches_python(spark):
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import holt_levels
+
+    rng = np.random.default_rng(13)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "sid": "s",
+            "ts_ms": np.arange(n, dtype="int64") * 60_000,
+            "v": rng.integers(0, 100, n).astype("int64"),
+        }
+    )
+    out = {
+        r["bucket_ts"]: (r["level"], r["trend"], r["forecast"], r["abs_err"])
+        for r in holt_levels(
+            spark.createDataFrame(pdf),
+            bucket_ms=3_600_000,
+            alpha=0.3,
+            beta=0.1,
+        ).collect()
+    }
+    prev = None
+    for b, grp in pdf.groupby(pdf.ts_ms // 3_600_000 * 3_600_000):
+        vs = grp.sort_values("ts_ms").v.tolist()
+        level, trend = float(vs[0]), 0.0
+        for x in vs[1:]:
+            nl = 0.3 * float(x) + 0.7 * (level + trend)
+            trend = 0.1 * (nl - level) + 0.9 * trend
+            level = nl
+        lv, tr, fc, err = out[b]
+        assert lv == level and tr == trend  # bit-exact fold
+        if prev is None:
+            assert fc is None and err is None
+        else:
+            assert fc == prev
+            assert abs(err - abs(sum(vs) / len(vs) - fc)) < 1e-12
+        prev = level + trend
+
+
+def test_holt_learns_in_bucket_trend_ewma_cannot(spark):
+    """On a linear ramp sampled every minute, the within-bucket fold's
+    trend state converges to the per-point slope (EWMA has no such
+    state) and the level+trend forecast strictly beats the EWMA
+    forecast on every mature bucket."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        ewma_levels,
+        holt_levels,
+    )
+
+    H, M = 3_600_000, 60_000
+    rows = [("s", i * M, i) for i in range(48 * 60)]  # slope 1 per minute
+    pts = _points(spark, rows)
+    hrows = {r["bucket_ts"]: r for r in
+             holt_levels(pts, bucket_ms=H).collect()}
+    e = {r["bucket_ts"]: r["abs_err"] for r in
+         ewma_levels(pts, bucket_ms=H).collect()}
+    late = [k for k in sorted(hrows) if k >= 8 * H]
+    for k in late:
+        assert 0.9 < hrows[k]["trend"] < 1.1  # learned the slope
+        assert hrows[k]["abs_err"] < e[k]  # trend-aware forecast wins

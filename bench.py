@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "sliding_24h",
     "context_growth",
     "tool_usage",
+    "agent_loops",
+    "tool_latency",
 ]
 
 

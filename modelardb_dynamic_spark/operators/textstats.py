@@ -801,3 +801,85 @@ def bm25_topk(
     top = out.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def agent_loops(tr: DataFrame, min_len: int = 4) -> DataFrame:
+    """Runaway-agent audit over a transcript table: maximal runs of
+    consecutive NON-USER turns (assistant/tool churning without a human
+    in the loop) per conversation, reported when the longest run reaches
+    min_len. The operational question behind agent-loop guards: which
+    conversations spun, for how many turns, burning how many tool calls
+    and tokens, starting where.
+
+    Gaps-and-islands in exact integer algebra (the burst_episodes
+    discipline applied to turn indices): among a conversation's non-user
+    turns ordered by turn_idx, island id = turn_idx - row_number() is
+    constant exactly while the turns are CONSECUTIVE (any interleaved
+    user turn breaks the arithmetic progression). One filtered window
+    pass + two map-side-combinable groupBys; no joins, no Python.
+
+    Returns one row per conversation with any qualifying run:
+    (conv_id, n_runs, longest_run, loop_turns, loop_tool_calls,
+    loop_tokens, first_loop_turn) — all exact integers, run totals over
+    qualifying runs only.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nu = tr.where(F.col("role") != "user").select(
+        "conv_id",
+        "turn_idx",
+        (F.col("role") == "tool").cast("long").alias("is_tool"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("tok"),
+    )
+    runs = (
+        nu.withColumn(
+            "isl", F.col("turn_idx") - F.row_number().over(w)
+        )
+        .groupBy("conv_id", "isl")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.sum("is_tool").alias("tools"),
+            F.sum("tok").alias("toks"),
+            F.min("turn_idx").alias("start_turn"),
+        )
+        .where(F.col("run_len") >= min_len)
+    )
+    return runs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+        F.sum("run_len").alias("loop_turns"),
+        F.sum("tools").alias("loop_tool_calls"),
+        F.sum("toks").alias("loop_tokens"),
+        F.min("start_turn").alias("first_loop_turn"),
+    )
+
+
+def tool_latency(tr: DataFrame) -> DataFrame:
+    """Per-tool latency attribution: for every tool turn, the gap to the
+    conversation's NEXT turn (the time the agent sat on that tool's
+    result before acting) — aggregated per tool as exact count/sum/
+    min/max milliseconds with mean as one shared division. Tool turns
+    that end their conversation have no next turn and are excluded
+    (counted separately as open_calls).
+
+    Scale: one conv_id-partitioned lead() window + one map-side-
+    combinable groupBy on the tiny tool key; no joins.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    g = (
+        tr.select("conv_id", "turn_idx", "tool", ms.alias("ts_ms"))
+        .withColumn("next_ms", F.lead("ts_ms").over(w))
+        .where(F.col("tool").isNotNull())
+        .withColumn("gap", F.col("next_ms") - F.col("ts_ms"))
+    )
+    return g.groupBy("tool").agg(
+        F.sum(F.col("gap").isNotNull().cast("long")).alias("n_calls"),
+        F.sum(F.col("gap").isNull().cast("long")).alias("open_calls"),
+        F.sum("gap").alias("gap_sum_ms"),
+        F.min("gap").alias("min_ms"),
+        F.max("gap").alias("max_ms"),
+    ).withColumn(
+        "mean_ms",
+        F.col("gap_sum_ms").cast("double")
+        / F.col("n_calls").cast("double"),
+    )

@@ -1822,6 +1822,56 @@ def q_holt_backtest(spark, sf_dir):
     return holt_levels(pts, bucket_ms=HOUR_MS, alpha=0.3, beta=0.1)
 
 
+def q_agent_loops(spark, sf_dir):
+    """Runaway-agent audit (operators/textstats.py agent_loops): maximal
+    consecutive non-user turn runs per conversation via exact
+    gaps-and-islands on turn indices. Role here is event_id-derived
+    (1-in-5 user, 1-in-3-of-rest tool) so run lengths actually vary —
+    the standard round-robin transcript mapping would make every run
+    exactly 2 turns long. The oracle replays the identical transcript
+    construction and island algebra."""
+    from modelardb_dynamic_spark.operators.textstats import agent_loops
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn_idx = (F.row_number().over(w) - 1).cast("int")
+    role = (
+        F.when(F.pmod(F.col("event_id"), F.lit(5)) == 0, F.lit("user"))
+        .when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit("tool"))
+        .otherwise(F.lit("assistant"))
+    )
+    tr = ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias(
+            "conv_id"
+        ),
+        turn_idx.alias("turn_idx"),
+        role.alias("role"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(" "),
+            F.repeat(
+                F.concat(F.col("event_type"), F.lit(" ")),
+                F.pmod(F.col("event_id"), F.lit(5)).cast("int") + 1,
+            ),
+            F.col("event_type"),
+        ).alias("text"),
+    )
+    return agent_loops(tr, min_len=4).orderBy("conv_id")
+
+
+def q_tool_latency(spark, sf_dir):
+    """Per-tool latency attribution (operators/textstats.py
+    tool_latency): gap from each tool turn to the conversation's next
+    turn, exact ms sums/extremes per tool, mean as one shared division.
+    The oracle replays the identical transcript, lead() window, and
+    aggregation."""
+    from modelardb_dynamic_spark.operators.textstats import tool_latency
+
+    return tool_latency(_events_as_transcripts(spark, sf_dir)).orderBy(
+        "tool"
+    )
+
+
 def q_reply_latency(spark, sf_dir):
     """Per-role reply-latency distribution (operators/textstats.py
     reply_latency) over the deterministic transcript table: count, exact
@@ -1928,6 +1978,8 @@ QUERIES = {
     "sliding_24h": q_sliding_24h,
     "context_growth": q_context_growth,
     "tool_usage": q_tool_usage,
+    "agent_loops": q_agent_loops,
+    "tool_latency": q_tool_latency,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
@@ -3624,6 +3676,70 @@ ORACLES["context_growth"] = f"""
            CAST(min(CASE WHEN cum >= 512 THEN cum END) AS BIGINT)
                AS tokens_at_crossing
     FROM c GROUP BY conv_id
+"""
+
+ORACLES["agent_loops"] = """
+    WITH tr AS (
+        SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) - 1
+                   AS INT) AS turn_idx,
+               CASE WHEN event_id % 5 = 0 THEN 'user'
+                    WHEN event_id % 3 = 0 THEN 'tool'
+                    ELSE 'assistant' END AS role,
+               event_type || ' ' ||
+               repeat(event_type || ' ', CAST(event_id % 5 AS INT) + 1) ||
+               event_type AS text
+        FROM events
+    ),
+    nu AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS is_tool,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok,
+               turn_idx - row_number() OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx) AS isl
+        FROM tr WHERE role != 'user'
+    ),
+    runs AS (
+        SELECT conv_id, isl, CAST(count(*) AS BIGINT) AS run_len,
+               CAST(sum(is_tool) AS BIGINT) AS tools,
+               CAST(sum(tok) AS BIGINT) AS toks,
+               min(turn_idx) AS start_turn
+        FROM nu GROUP BY 1, 2 HAVING count(*) >= 4
+    )
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_runs,
+           max(run_len) AS longest_run,
+           CAST(sum(run_len) AS BIGINT) AS loop_turns,
+           CAST(sum(tools) AS BIGINT) AS loop_tool_calls,
+           CAST(sum(toks) AS BIGINT) AS loop_tokens,
+           min(start_turn) AS first_loop_turn
+    FROM runs GROUP BY conv_id ORDER BY conv_id
+"""
+
+ORACLES["tool_latency"] = f"""
+    WITH tr AS ({_TR_FULL}),
+    t AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN turn_idx % 3 = 2 THEN event_type END AS tool,
+               ts_ms,
+               lead(ts_ms) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx) AS next_ms
+        FROM tr
+    ),
+    g AS (
+        SELECT tool, next_ms - ts_ms AS gap FROM t WHERE tool IS NOT NULL
+    )
+    SELECT tool,
+           CAST(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_calls,
+           CAST(sum(CASE WHEN gap IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS open_calls,
+           CAST(sum(gap) AS BIGINT) AS gap_sum_ms,
+           min(gap) AS min_ms, max(gap) AS max_ms,
+           CAST(sum(gap) AS DOUBLE) /
+           CAST(CAST(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS DOUBLE) AS mean_ms
+    FROM g GROUP BY tool ORDER BY tool
 """
 
 ORACLES["tool_usage"] = f"""

@@ -1106,3 +1106,75 @@ def test_novelty_scores_first_occurrence_semantics(spark):
     # doc 4 = a+a: distinct shingles are doc1's 3 plus the seam
     # (w4 w5 w1), (w5 w1 w2) -> 5 distinct, 2 novel
     assert (out[4]["n_shingles"], out[4]["n_novel"]) == (5, 2)
+
+
+TR_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp_ntz"
+)
+
+
+def _tr(spark, rows):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    full = [
+        (c, i, r, t, tool, base + datetime.timedelta(minutes=i))
+        for (c, i, r, t, tool) in rows
+    ]
+    return spark.createDataFrame(full, TR_SCHEMA)
+
+
+def test_agent_loops_islands(spark):
+    """Runs split exactly at user turns; only runs >= min_len count;
+    per-conv totals aggregate qualifying runs only."""
+    from modelardb_dynamic_spark.operators.textstats import agent_loops
+
+    rows = [
+        # conv A: run of 5 (turns 1-5), user, run of 2 (ignored at min 4)
+        ("A", 0, "user", "q", None),
+        ("A", 1, "assistant", "a b", None),
+        ("A", 2, "tool", "r", "search"),
+        ("A", 3, "assistant", "a", None),
+        ("A", 4, "tool", "r r", "search"),
+        ("A", 5, "assistant", "done", None),
+        ("A", 6, "user", "ok", None),
+        ("A", 7, "assistant", "x", None),
+        ("A", 8, "tool", "y", "calc"),
+        # conv B: all user -> no rows
+        ("B", 0, "user", "hi", None),
+        ("B", 1, "user", "there", None),
+    ]
+    out = {r["conv_id"]: r.asDict()
+           for r in agent_loops(_tr(spark, rows), min_len=4).collect()}
+    assert set(out) == {"A"}
+    a = out["A"]
+    assert (a["n_runs"], a["longest_run"], a["loop_turns"]) == (1, 5, 5)
+    assert a["loop_tool_calls"] == 2
+    assert a["loop_tokens"] == 2 + 1 + 1 + 2 + 1
+    assert a["first_loop_turn"] == 1
+
+
+def test_tool_latency_gaps_and_open_calls(spark):
+    from modelardb_dynamic_spark.operators.textstats import tool_latency
+
+    rows = [
+        ("A", 0, "user", "q", None),
+        ("A", 1, "tool", "r", "search"),   # gap 1 min to turn 2
+        ("A", 2, "assistant", "a", None),
+        ("A", 3, "tool", "r", "search"),   # ends conv -> open call
+        ("B", 0, "tool", "r", "calc"),     # gap 1 min
+        ("B", 1, "assistant", "a", None),
+    ]
+    out = {r["tool"]: r.asDict()
+           for r in tool_latency(_tr(spark, rows)).collect()}
+    s = out["search"]
+    assert (s["n_calls"], s["open_calls"]) == (1, 1)
+    assert s["gap_sum_ms"] == 60_000
+    assert (s["min_ms"], s["max_ms"], s["mean_ms"]) == (
+        60_000, 60_000, 60_000.0,
+    )
+    c = out["calc"]
+    assert (c["n_calls"], c["open_calls"], c["gap_sum_ms"]) == (
+        1, 0, 60_000,
+    )

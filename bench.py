@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "tool_usage",
     "agent_loops",
     "tool_latency",
+    "turn_echo",
 ]
 
 

@@ -883,3 +883,58 @@ def tool_latency(tr: DataFrame) -> DataFrame:
         F.col("gap_sum_ms").cast("double")
         / F.col("n_calls").cast("double"),
     )
+
+
+def turn_echo(
+    tr: DataFrame, theta_num: int = 1, theta_den: int = 2
+) -> DataFrame:
+    """Adjacent-turn self-similarity audit — is the conversation going
+    anywhere, or is the agent echoing itself? For every adjacent turn
+    pair in a conversation, the Jaccard similarity of the two turns'
+    DISTINCT token sets; a pair is an "echo" when jaccard >= theta
+    (theta_num/theta_den), evaluated as the EXACT integer predicate
+    theta_den * |inter| >= theta_num * |union| — no float threshold.
+
+    Per conversation: n_pairs, n_echo, exact intersection/union token
+    sums, echo_frac and the ratio-of-sums similarity (each ONE shared
+    division — a mean of per-pair ratios would sum doubles in
+    partition order, which is not replayable), and max_jaccard (max of
+    per-pair divisions; max is order-independent, so it gates).
+
+    Scale: one conv_id-partitioned lead() window + one groupBy; token
+    sets ride as array columns inside the row, never exploded.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    toks = F.array_distinct(F.split(F.col("text"), r"\s+"))
+    p = (
+        tr.select("conv_id", "turn_idx", toks.alias("t"))
+        .withColumn("nt", F.lead("t").over(w))
+        .where(F.col("nt").isNotNull())
+        .select(
+            "conv_id",
+            F.size(F.array_intersect("t", "nt")).cast("long").alias("i"),
+            F.size(F.array_union("t", "nt")).cast("long").alias("u"),
+        )
+        .where(F.col("u") > 0)
+    )
+    agg = p.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (
+                F.lit(theta_den) * F.col("i")
+                >= F.lit(theta_num) * F.col("u")
+            ).cast("long")
+        ).alias("n_echo"),
+        F.sum("i").alias("sum_inter"),
+        F.sum("u").alias("sum_union"),
+        F.max(
+            F.col("i").cast("double") / F.col("u").cast("double")
+        ).alias("max_jaccard"),
+    )
+    return agg.selectExpr(
+        "conv_id", "n_pairs", "n_echo", "sum_inter", "sum_union",
+        "CAST(n_echo AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS echo_frac",
+        "CAST(sum_inter AS DOUBLE) / CAST(sum_union AS DOUBLE)"
+        " AS sim_of_sums",
+        "max_jaccard",
+    )

@@ -1872,6 +1872,19 @@ def q_tool_latency(spark, sf_dir):
     )
 
 
+def q_turn_echo(spark, sf_dir):
+    """Adjacent-turn echo audit (operators/textstats.py turn_echo):
+    distinct-token Jaccard between each turn and the next, exact integer
+    echo predicate at theta=1/2, ratio-of-sums similarity. The oracle
+    replays the identical token sets, lead pairing, predicate, and
+    shared divisions."""
+    from modelardb_dynamic_spark.operators.textstats import turn_echo
+
+    return turn_echo(_events_as_transcripts(spark, sf_dir)).orderBy(
+        "conv_id"
+    )
+
+
 def q_reply_latency(spark, sf_dir):
     """Per-role reply-latency distribution (operators/textstats.py
     reply_latency) over the deterministic transcript table: count, exact
@@ -1980,6 +1993,7 @@ QUERIES = {
     "tool_usage": q_tool_usage,
     "agent_loops": q_agent_loops,
     "tool_latency": q_tool_latency,
+    "turn_echo": q_turn_echo,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
@@ -3740,6 +3754,42 @@ ORACLES["tool_latency"] = f"""
            CAST(CAST(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS DOUBLE) AS mean_ms
     FROM g GROUP BY tool ORDER BY tool
+"""
+
+ORACLES["turn_echo"] = f"""
+    WITH tr AS ({_TR_FULL}),
+    t AS (
+        SELECT conv_id, turn_idx,
+               list_distinct(string_split_regex(text, '\\s+')) AS tk
+        FROM tr
+    ),
+    p0 AS (
+        SELECT conv_id, tk,
+               lead(tk) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx) AS nt
+        FROM t
+    ),
+    p AS (
+        SELECT conv_id,
+               CAST(len(list_intersect(tk, nt)) AS BIGINT) AS i,
+               CAST(len(list_distinct(tk || nt)) AS BIGINT) AS u
+        FROM p0 WHERE nt IS NOT NULL
+    ),
+    a AS (
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN 2 * i >= u THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_echo,
+               CAST(sum(i) AS BIGINT) AS sum_inter,
+               CAST(sum(u) AS BIGINT) AS sum_union,
+               max(CAST(i AS DOUBLE) / CAST(u AS DOUBLE)) AS max_jaccard
+        FROM p WHERE u > 0 GROUP BY conv_id
+    )
+    SELECT conv_id, n_pairs, n_echo, sum_inter, sum_union,
+           CAST(n_echo AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS echo_frac,
+           CAST(sum_inter AS DOUBLE) / CAST(sum_union AS DOUBLE)
+               AS sim_of_sums,
+           max_jaccard
+    FROM a ORDER BY conv_id
 """
 
 ORACLES["tool_usage"] = f"""

@@ -1178,3 +1178,26 @@ def test_tool_latency_gaps_and_open_calls(spark):
     assert (c["n_calls"], c["open_calls"], c["gap_sum_ms"]) == (
         1, 0, 60_000,
     )
+
+
+def test_turn_echo_semantics(spark):
+    """Jaccard over DISTINCT token sets, echo at >= 1/2 as an integer
+    predicate, exact sums + shared divisions, max over pair ratios."""
+    from modelardb_dynamic_spark.operators.textstats import turn_echo
+
+    rows = [
+        ("A", 0, "user", "a b c", None),
+        ("A", 1, "assistant", "a b c", None),   # jac 1 -> echo
+        ("A", 2, "assistant", "a b x y", None),  # i=2 u=5 -> 0.4 no echo
+        ("A", 3, "tool", "z z z", "t"),          # distinct {z}: i=0 u=5
+        ("B", 0, "user", "solo", None),          # no pair -> no row
+    ]
+    out = {r["conv_id"]: r.asDict()
+           for r in turn_echo(_tr(spark, rows)).collect()}
+    assert set(out) == {"A"}
+    a = out["A"]
+    assert (a["n_pairs"], a["n_echo"]) == (3, 1)
+    assert (a["sum_inter"], a["sum_union"]) == (3 + 2 + 0, 3 + 5 + 5)
+    assert a["echo_frac"] == 1.0 / 3.0
+    assert a["sim_of_sums"] == 5.0 / 13.0
+    assert a["max_jaccard"] == 1.0

@@ -701,3 +701,50 @@ def test_holt_learns_in_bucket_trend_ewma_cannot(spark):
     for k in late:
         assert 0.9 < hrows[k]["trend"] < 1.1  # learned the slope
         assert hrows[k]["abs_err"] < e[k]  # trend-aware forecast wins
+
+
+def test_seasonal_anomaly_matches_pandas_fuzz(spark):
+    """Seeded random series (gaps, spikes) vs an independent pandas twin
+    of the leave-one-out phase z-score — flags AND z values agree."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        seasonal_anomaly,
+    )
+
+    H, PERIOD, K, MINP = 3_600_000, 24, 3, 4
+    rng = np.random.default_rng(42)
+    rows = []
+    for sid in ("a", "b", "c"):
+        buckets = sorted(
+            int(x) for x in rng.choice(24 * 40, size=500, replace=False)
+        )
+        for g in buckets:
+            v = int(rng.integers(5, 30))
+            if rng.random() < 0.01:
+                v *= 20  # injected spikes
+            rows.append((sid, g * H, v))
+    got = {
+        (r["sid"], r["ts_ms"]): r["z"]
+        for r in seasonal_anomaly(
+            _points(spark, rows), bucket_ms=H, period_buckets=PERIOD,
+            min_periods=MINP, k=K,
+        ).collect()
+    }
+
+    want = {}
+    df = pd.DataFrame(rows, columns=["sid", "ts_ms", "v"])
+    df["phase"] = (df.ts_ms // H) % PERIOD
+    for (_, _), g in df.groupby(["sid", "phase"]):
+        n, s, q = len(g), g.v.sum(), (g.v * g.v).sum()
+        for _, r in g.iterrows():
+            np_, sp, qp = n - 1, s - r.v, q - r.v * r.v
+            var_num = np_ * qp - sp * sp
+            if np_ >= MINP and var_num > 0 and (
+                (np_ * r.v - sp) ** 2 > K * K * var_num
+            ):
+                want[(r.sid, r.ts_ms)] = (np_ * r.v - sp) / math.sqrt(
+                    var_num
+                )
+    assert set(got) == set(want)
+    assert len(got) >= 3  # the injected spikes are actually caught
+    for key in got:
+        assert abs(got[key] - want[key]) < 1e-9

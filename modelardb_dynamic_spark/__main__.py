@@ -68,6 +68,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="after a --sketches build, estimate the "
                          "active-conversation-set overlap between two "
                          "days (ms epochs) from the kmv_1d sketch tier")
+    ap.add_argument("--status", action="store_true",
+                    help="print the warehouse's lineage/retention status "
+                         "as JSON and exit — pure filesystem inspection, "
+                         "no Spark session, no job run")
     ap.add_argument("--active-convs", default=None,
                     metavar="DAY_MS:CONV,CONV,...",
                     help="after a --sketches build, probe whether each "
@@ -75,6 +79,12 @@ def main(argv: list[str] | None = None) -> None:
                          "membership from the bloom_1d tier; exact raw "
                          "fallback for unsealed days)")
     args = ap.parse_args(argv)
+
+    if args.status:
+        from modelardb_dynamic_spark.plans.pipeline import warehouse_status
+
+        print(json.dumps(warehouse_status(args.warehouse)))
+        return
 
     from modelardb_dynamic_spark.config import EngineConfig
     from modelardb_dynamic_spark.plans.checkpoint import Lineage

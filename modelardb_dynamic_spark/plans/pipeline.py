@@ -1006,3 +1006,44 @@ class TierPipeline:
             bucket_ms = dict(TIERS)[name]
             df = gap_fill(df.drop("sbucket"), bucket_ms)
         return df
+
+
+def warehouse_status(root: str) -> dict:
+    """Operational status of a warehouse from its lineage manifests and
+    retention markers ALONE — pure filesystem, no SparkSession, so an
+    operator (or the scheduler deciding whether to resume) can inspect a
+    10^12-turn warehouse in milliseconds: per table, committed buckets,
+    row totals, cumulative build wall time, event-time high water,
+    first/last commit wall-clock, stage name, and the retention horizon
+    if one is recorded. The north rule's "per-partition lineage +
+    metrics" as a queryable surface (CLI: --status).
+    """
+    import json as _json
+
+    from modelardb_dynamic_spark.plans.checkpoint import Lineage
+
+    tables = {}
+    for name in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        tdir = os.path.join(root, name)
+        ldir = os.path.join(tdir, "_lineage")
+        if not os.path.isdir(ldir):
+            continue
+        lin = Lineage(tdir)
+        ms = [lin.get(b) for b in lin.completed_buckets()]
+        ms = [m for m in ms if m]
+        entry = dict(lin.metrics())
+        entry["stage"] = ms[0].stage if ms else None
+        entry["first_commit_utc"] = (
+            min(m.committed_utc for m in ms) if ms else None
+        )
+        entry["last_commit_utc"] = (
+            max(m.committed_utc for m in ms) if ms else None
+        )
+        marker = os.path.join(tdir, "_retention.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                entry["retention_horizon_ms"] = int(
+                    _json.load(f)["horizon_ms"]
+                )
+        tables[name] = entry
+    return {"warehouse": root, "tables": tables}

@@ -858,3 +858,35 @@ def test_active_convs_bloom_membership(spark, transcripts, tmp_path):
         for c in some:
             assert got_u[c]["exact"]
             assert got_u[c]["member"] == (c in active_u)
+
+
+def test_warehouse_status_surfaces_lineage_and_retention(
+    spark, transcripts, tmp_path
+):
+    """--status (plans/pipeline.warehouse_status): pure-filesystem
+    lineage/retention report after a build — every stage table present
+    with its bucket count, row total, high water, and stage name; a
+    retention marker surfaces as retention_horizon_ms; rows match the
+    run's own lineage metrics."""
+    from modelardb_dynamic_spark.plans.pipeline import warehouse_status
+
+    wh = Warehouse(str(tmp_path / "st"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG0, chunk_buckets=4, salt_span_points=None)
+    p.run(transcripts)
+    hw = p.retention_horizon  # marker write below
+    lo = wh.read(spark, "tier_1m").agg({"bucket_ts": "min"}).collect()[0][0]
+    p.retain("series", int(lo) + 1)
+    st = warehouse_status(wh.root)
+    tables = st["tables"]
+    for stage in ("raw", "series", "segments", "tier_1m", "tier_1h",
+                  "tier_1d"):
+        assert tables[stage]["buckets"] == 4
+        assert tables[stage]["rows"] > 0
+        assert tables[stage]["stage"] == stage
+        assert tables[stage]["high_water_ts"] is not None
+        assert tables[stage]["last_commit_utc"] >= tables[stage][
+            "first_commit_utc"
+        ]
+    assert tables["series"]["retention_horizon_ms"] == int(lo) + 1
+    assert "retention_horizon_ms" not in tables["raw"]
+    assert hw("series") == int(lo) + 1

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "dod_times",
     "tiered_agg",
     "dup_clusters",
+    "leak_splits",
     "hll_distinct",
     "kmv_distinct",
     "kmv_overlap",

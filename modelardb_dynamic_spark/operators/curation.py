@@ -385,3 +385,61 @@ def bpe_encode(
             / F.col("n_bpe_tokens").cast("double"),
         )
     )
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    id_col: str = "doc_id",
+    a_col: str = "ida",
+    b_col: str = "idb",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: near-duplicate documents
+    MUST land in the same split (a test doc whose near-copy sits in
+    train is contamination, the failure mode decontaminate() guards
+    against for external benchmarks — this is the same guard applied to
+    the corpus's own eval splits). Pairwise LSH output is closed
+    transitively (dedup.connected_components), every document is keyed
+    by its CLUSTER id (its own id if unpaired), and the split is chosen
+    by the shared 60-bit md5 hash of the cluster id modulo 100:
+
+        bucket < test_pct            -> test
+        bucket < test_pct + val_pct  -> val
+        else                         -> train
+
+    Deterministic across reruns, retries, partitionings, and corpus
+    GROWTH (a new doc joining an existing cluster inherits that
+    cluster's split; unrelated docs never move) — the property random
+    splits lack. Zero cross-split near-dup pairs BY CONSTRUCTION (both
+    endpoints share a cluster id, hence a bucket).
+
+    Returns (id_col, cluster_id, bucket, split). Scale: the components
+    closure + one broadcast-eligible join; the hash/bucket is one
+    map-side expression.
+    """
+    from modelardb_dynamic_spark.operators.dedup import (
+        connected_components,
+        spark_h60,
+    )
+
+    cc = connected_components(pairs, a_col, b_col)
+    keyed = docs.select(id_col).join(
+        cc.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+    )
+    bucket = F.pmod(
+        spark_h60(F.col("cluster_id").cast("string")), F.lit(100)
+    ).cast("int")
+    return keyed.select(
+        id_col,
+        "cluster_id",
+        bucket.alias("bucket"),
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

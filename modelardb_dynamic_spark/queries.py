@@ -1091,6 +1091,21 @@ def q_dup_clusters(spark, sf_dir):
     return dedup.dup_clusters(docs, pairs)
 
 
+def q_leak_splits(spark, sf_dir):
+    """Leakage-safe train/val/test assignment (operators/curation.py
+    leakage_safe_splits): simhash near-dup pairs closed transitively,
+    split chosen by h60(cluster_id) % 100 so near-duplicates land in the
+    same split by construction. The oracle replays the identical pair
+    SQL, recursive closure, hash, and bucketing."""
+    from modelardb_dynamic_spark.operators.curation import (
+        leakage_safe_splits,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=8)
+    return leakage_safe_splits(docs, pairs).orderBy("doc_id")
+
+
 def q_hll_distinct(spark, sf_dir):
     """Mergeable distinct-count sketch tier (operators/sketches.py):
     HLL-256 over the shared 60-bit md5 hash, distinct event_id per
@@ -1970,6 +1985,7 @@ QUERIES = {
     "retention_tiers": q_retention_tiers,
     "tiered_agg": q_tiered_agg,
     "dup_clusters": q_dup_clusters,
+    "leak_splits": q_leak_splits,
     "hll_distinct": q_hll_distinct,
     "kmv_distinct": q_kmv_distinct,
     "kmv_overlap": q_kmv_overlap,
@@ -2944,6 +2960,37 @@ ORACLES["tiered_agg"] = f"""
 # transitive closure of the simhash pair relation; cluster label = min id
 # reachable (incl. self). The pair CTE is the simhash_pairs oracle verbatim,
 # so any divergence is the clustering, not the pairs.
+ORACLES["leak_splits"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["simhash_pairs"]}),
+    sym AS (
+        SELECT ida AS a, idb AS b FROM pairs
+        UNION
+        SELECT idb, ida FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    keyed AS (
+        SELECT d.doc_id AS doc_id,
+               least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    b AS (
+        SELECT doc_id, cluster_id,
+               CAST({duck_h60("CAST(cluster_id AS VARCHAR)")} % 100
+                    AS INT) AS bucket
+        FROM keyed
+    )
+    SELECT doc_id, cluster_id, bucket,
+           CASE WHEN bucket < 10 THEN 'test'
+                WHEN bucket < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM b ORDER BY doc_id
+"""
+
 ORACLES["dup_clusters"] = f"""
     WITH RECURSIVE pairs AS ({ORACLES["simhash_pairs"]}),
     sym AS (

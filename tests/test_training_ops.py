@@ -1201,3 +1201,53 @@ def test_turn_echo_semantics(spark):
     assert a["echo_frac"] == 1.0 / 3.0
     assert a["sim_of_sums"] == 5.0 / 13.0
     assert a["max_jaccard"] == 1.0
+
+
+def test_leakage_safe_splits_cluster_coherence(spark):
+    """Near-dup pairs (even transitively connected ones) always share a
+    split; percentages bound the bucket ranges; unpaired docs are their
+    own cluster; assignment is stable under corpus growth."""
+    from modelardb_dynamic_spark.operators.curation import (
+        leakage_safe_splits,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], DOC_SCHEMA
+    )
+    # chain 1-2-3 (transitive), pair 5-6; 4 and 7 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "ida long, idb long"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in leakage_safe_splits(docs, pairs).collect()
+    }
+    assert len(out) == 7
+    assert (
+        out[1]["split"] == out[2]["split"] == out[3]["split"]
+    ) and out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[5]["split"] == out[6]["split"]
+    assert out[4]["cluster_id"] == 4 and out[7]["cluster_id"] == 7
+    for r in out.values():
+        lo = 0 if r["split"] == "test" else (
+            10 if r["split"] == "val" else 20
+        )
+        hi = 10 if r["split"] == "test" else (
+            20 if r["split"] == "val" else 100
+        )
+        assert lo <= r["bucket"] < hi
+    # growth stability: adding doc 8 paired into cluster 1 leaves every
+    # existing assignment unchanged and gives 8 cluster 1's split
+    docs2 = docs.union(
+        spark.createDataFrame([(8, "doc 8")], DOC_SCHEMA)
+    )
+    pairs2 = pairs.union(
+        spark.createDataFrame([(3, 8)], "ida long, idb long")
+    )
+    out2 = {
+        r["doc_id"]: r.asDict()
+        for r in leakage_safe_splits(docs2, pairs2).collect()
+    }
+    for i in range(1, 8):
+        assert out2[i] == out[i]
+    assert out2[8]["split"] == out[1]["split"]

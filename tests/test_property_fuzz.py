@@ -392,3 +392,44 @@ def test_duck_kmv_oracle_matches_python_model(rows, k):
     sql = duck_kmv_summary_sql("t", "''", "k", "b", k=k)
     got = {r[1]: (r[2], r[3], r[4]) for r in con.execute(sql).fetchall()}
     assert got == want, (sorted(got.items())[:4], sorted(want.items())[:4])
+
+
+# ---------------------------------------------------------------------------
+# BPE closed-form encode == symbolic merge application (pure Python: the
+# Spark encode is chained literal F.replace, whose semantics are exactly
+# str.replace — non-overlapping left-to-right — over the same framing)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=10),
+)
+def test_bpe_replace_chain_matches_symbolic_fuzz(words, n_merges):
+    """For ANY corpus over a tiny alphabet (maximizing overlap/adjacency
+    pathology like 'aaaa') and any learned merge table, the \\x1f-framed
+    string-replace chain tokenizes every word to exactly the symbol
+    count _bpe_apply_merge produces."""
+    from modelardb_dynamic_spark.operators.curation import (
+        _BPE_SEP,
+        _bpe_apply_merge,
+        bpe_merge_replace_steps,
+        bpe_reference,
+    )
+
+    merges = bpe_reference([" ".join(words)], n_merges=n_merges)
+    steps = bpe_merge_replace_steps(merges)
+    s = _BPE_SEP
+    for w in set(words):
+        framed = s + (s + s).join(list(w)) + s
+        for search, repl in steps:
+            framed = framed.replace(search, repl)
+        got = len(framed.split(s + s))
+        sym = list(w)
+        for _, lhs, rhs, _, _ in merges:
+            sym = _bpe_apply_merge(sym, lhs, rhs)
+        assert got == len(sym), (w, merges)

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "agent_loops",
     "tool_latency",
     "turn_echo",
+    "trending_terms",
 ]
 
 

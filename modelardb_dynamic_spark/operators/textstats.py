@@ -938,3 +938,39 @@ def turn_echo(
         " AS sim_of_sums",
         "max_jaccard",
     )
+
+
+def trending_terms(
+    tr: DataFrame, top_k: int = 5, day_ms: int = 86_400_000
+) -> DataFrame:
+    """Top-k tokens per day across the transcript stream — the trending
+    view a corpus monitor tails. Token counts reduce map-side to one
+    (day, token) row before any ranking, so the window ranks the
+    distinct-vocabulary table (Heaps-law sized), never turn rows; rank
+    is dense with a total tie order (count DESC, token ASC), so the
+    result is deterministic across partitionings.
+
+    Returns (day_ts, rank, token, n) with rank <= top_k, all exact.
+    """
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    day = ((ms / F.lit(day_ms)).cast("long") * day_ms).alias("day_ts")
+    toks = tr.select(
+        day,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("day_ts", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("day_ts").orderBy(
+        F.desc("n"), F.asc("token")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("day_ts", "rank", "token", "n")
+    )

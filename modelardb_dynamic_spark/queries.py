@@ -1887,6 +1887,20 @@ def q_tool_latency(spark, sf_dir):
     )
 
 
+def q_trending_terms(spark, sf_dir):
+    """Top-5 tokens per day (operators/textstats.py trending_terms):
+    map-side (day, token) reduction, dense deterministic rank (count
+    DESC, token ASC). The oracle replays the identical transcript,
+    tokenization, and rank."""
+    from modelardb_dynamic_spark.operators.textstats import (
+        trending_terms,
+    )
+
+    return trending_terms(
+        _events_as_transcripts(spark, sf_dir), top_k=5
+    ).orderBy("day_ts", "rank")
+
+
 def q_turn_echo(spark, sf_dir):
     """Adjacent-turn echo audit (operators/textstats.py turn_echo):
     distinct-token Jaccard between each turn and the next, exact integer
@@ -2010,6 +2024,7 @@ QUERIES = {
     "agent_loops": q_agent_loops,
     "tool_latency": q_tool_latency,
     "turn_echo": q_turn_echo,
+    "trending_terms": q_trending_terms,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
     "counter_rate": q_counter_rate,
@@ -3801,6 +3816,30 @@ ORACLES["tool_latency"] = f"""
            CAST(CAST(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS DOUBLE) AS mean_ms
     FROM g GROUP BY tool ORDER BY tool
+"""
+
+ORACLES["trending_terms"] = f"""
+    WITH tr AS ({_TR_FULL}),
+    tok AS (
+        SELECT (ts_ms // 86400000) * 86400000 AS day_ts,
+               unnest(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'),
+                   x -> x != '')) AS token
+        FROM tr
+    ),
+    c AS (
+        SELECT day_ts, token, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT day_ts, token, n,
+               CAST(row_number() OVER (
+                   PARTITION BY day_ts ORDER BY n DESC, token ASC)
+                   AS INT) AS rank
+        FROM c
+    )
+    SELECT day_ts, rank, token, n FROM r WHERE rank <= 5
+    ORDER BY day_ts, rank
 """
 
 ORACLES["turn_echo"] = f"""

@@ -1251,3 +1251,32 @@ def test_leakage_safe_splits_cluster_coherence(spark):
     for i in range(1, 8):
         assert out2[i] == out[i]
     assert out2[8]["split"] == out[1]["split"]
+
+
+def test_trending_terms_rank_and_ties(spark):
+    from modelardb_dynamic_spark.operators.textstats import trending_terms
+
+    rows = [
+        ("A", 0, "user", "x x x y y z", None),
+        ("A", 1, "assistant", "y w", None),  # same day: x3 y3 w1 z1
+        ("B", 2, "user", "only day two", None),
+    ]
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    full = [
+        (c, i, r, t, tool,
+         base + datetime.timedelta(days=(1 if c == "B" else 0)))
+        for (c, i, r, t, tool) in rows
+    ]
+    tr = spark.createDataFrame(full, TR_SCHEMA)
+    out = [
+        (r["rank"], r["token"], r["n"])
+        for r in trending_terms(tr, top_k=3)
+        .orderBy("day_ts", "rank")
+        .collect()
+    ]
+    # day 1: x(3) then y(3) — tie broken token ASC — then w/z tie -> w
+    assert out[:3] == [(1, "x", 3), (2, "y", 3), (3, "w", 1)]
+    # day 2: three singleton tokens, alphabetical
+    assert out[3:] == [(1, "day", 1), (2, "only", 1), (3, "two", 1)]

@@ -908,8 +908,11 @@ def seasonal_anomaly(
     sqrt(n'q' - s'^2) — the single shared IEEE tree (sqrt is
     correctly-rounded by IEEE 754, the _Z_EXPR precedent), and the
     anomaly flag (n'v - s')^2 > k^2 (n'q' - s'^2) is a PURE INTEGER
-    predicate. Same int64 value bound as rolling_zscore: |v| <= ~3e7 at
-    k=3; pre-scale larger-magnitude series.
+    predicate. int64 budget (the rolling_zscore discipline, with n the
+    per-phase observation count instead of the window width): the flag
+    products need k^2 * n^2 * max|v|^2 < 2^63, i.e. |v| <= ~1e9/n at
+    k=3 — 3e7 at n~24 weekly cycles, 1e6 at n~1000; pre-scale
+    larger-magnitude series (v DIV 1000 — z is scale-invariant).
 
     Only anomalous buckets are returned: (sid, ts_ms, phase, v, n_p,
     s_p, q_p, z) with n_p/s_p/q_p the leave-one-out profile — result

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "tool_usage",
     "agent_loops",
     "tool_latency",
+    "tool_latency_pct",
     "turn_echo",
     "trending_terms",
 ]

@@ -610,18 +610,28 @@ def reply_latency(tr: DataFrame) -> DataFrame:
         .where(F.col("prev_ts").isNotNull())
         .select("role", (F.col("ts_ms") - F.col("prev_ts")).alias("gap_ms"))
     )
-    counts = g.groupBy("role", "gap_ms").agg(F.count(F.lit(1)).alias("c"))
-    wr = Window.partitionBy("role").orderBy("gap_ms")
+    return gap_percentiles(g, "role")
+
+
+def gap_percentiles(g: DataFrame, key: str) -> DataFrame:
+    """The distributed-selection core shared by reply_latency and
+    tool_latency_pct: g is (key, gap_ms) rows; returns per key the exact
+    count/sum/mean/min/max and ceil-index p50/p90/p99 computed over the
+    (key, gap_ms, occurrences) value-count table (see reply_latency's
+    docstring for why this shape, and not a per-key sort of raw rows,
+    is the 10^12-turn design)."""
+    counts = g.groupBy(key, "gap_ms").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy(key).orderBy("gap_ms")
     cum = counts.withColumn("cum", F.sum("c").over(wr))
-    stats = counts.groupBy("role").agg(
+    stats = counts.groupBy(key).agg(
         F.sum("c").alias("n"),
         F.sum(F.col("c") * F.col("gap_ms")).alias("gap_sum_ms"),
         F.min("gap_ms").alias("min_ms"),
         F.max("gap_ms").alias("max_ms"),
     )
-    j = cum.join(F.broadcast(stats), "role")
+    j = cum.join(F.broadcast(stats), key)
     # ceil(p*n) in pure integer arithmetic: ceil(a*n/b) = (a*n + b - 1) DIV b
-    picks = j.groupBy("role").agg(
+    picks = j.groupBy(key).agg(
         F.min(F.expr("CASE WHEN cum >= (n + 1) DIV 2 THEN gap_ms END"))
         .alias("p50_ms"),
         F.min(F.expr("CASE WHEN cum >= (9 * n + 9) DIV 10 THEN gap_ms END"))
@@ -629,11 +639,30 @@ def reply_latency(tr: DataFrame) -> DataFrame:
         F.min(F.expr("CASE WHEN cum >= (99 * n + 99) DIV 100 THEN gap_ms END"))
         .alias("p99_ms"),
     )
-    return stats.join(picks, "role").selectExpr(
-        "role", "n", "gap_sum_ms",
+    return stats.join(picks, key).selectExpr(
+        key, "n", "gap_sum_ms",
         "CAST(gap_sum_ms AS DOUBLE) / CAST(n AS DOUBLE) AS avg_gap_ms",
         "min_ms", "p50_ms", "p90_ms", "p99_ms", "max_ms",
     )
+
+
+def tool_latency_pct(tr: DataFrame) -> DataFrame:
+    """Per-tool latency DISTRIBUTION — the order-statistics companion of
+    tool_latency's sums: gap from each tool turn to the conversation's
+    next turn, reduced through the shared gap_percentiles selection core
+    (count/sum/mean/min/max + exact ceil-index p50/p90/p99 per tool,
+    never a per-tool sort of raw rows). Conversation-ending tool turns
+    have no gap and are excluded (tool_latency reports them as
+    open_calls)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    g = (
+        tr.select("conv_id", "turn_idx", "tool", ms.alias("ts_ms"))
+        .withColumn("next_ms", F.lead("ts_ms").over(w))
+        .where(F.col("tool").isNotNull() & F.col("next_ms").isNotNull())
+        .select("tool", (F.col("next_ms") - F.col("ts_ms")).alias("gap_ms"))
+    )
+    return gap_percentiles(g, "tool")
 
 
 def context_growth(tr: DataFrame, budget_tokens: int) -> DataFrame:

@@ -1901,6 +1901,22 @@ def q_trending_terms(spark, sf_dir):
     ).orderBy("day_ts", "rank")
 
 
+def q_tool_latency_pct(spark, sf_dir):
+    """Per-tool latency DISTRIBUTION (operators/textstats.py
+    tool_latency_pct): the same tool-to-next-turn gaps as tool_latency,
+    pushed through the shared distributed-selection core — exact
+    count/sum/min/max and ceil-index p50/p90/p99 per tool, never a
+    per-tool sort of raw rows. The oracle replays the identical value-
+    count selection."""
+    from modelardb_dynamic_spark.operators.textstats import (
+        tool_latency_pct,
+    )
+
+    return tool_latency_pct(
+        _events_as_transcripts(spark, sf_dir)
+    ).orderBy("tool")
+
+
 def q_turn_echo(spark, sf_dir):
     """Adjacent-turn echo audit (operators/textstats.py turn_echo):
     distinct-token Jaccard between each turn and the next, exact integer
@@ -2023,6 +2039,7 @@ QUERIES = {
     "tool_usage": q_tool_usage,
     "agent_loops": q_agent_loops,
     "tool_latency": q_tool_latency,
+    "tool_latency_pct": q_tool_latency_pct,
     "turn_echo": q_turn_echo,
     "trending_terms": q_trending_terms,
     "hist_quantile": q_hist_quantile,
@@ -3876,6 +3893,49 @@ ORACLES["turn_echo"] = f"""
                AS sim_of_sums,
            max_jaccard
     FROM a ORDER BY conv_id
+"""
+
+ORACLES["tool_latency_pct"] = f"""
+    WITH tr AS ({_TR_FULL}),
+    g AS (
+        SELECT tool, gap_ms FROM (
+            SELECT CASE WHEN turn_idx % 3 = 2 THEN event_type END AS tool,
+                   lead(ts_ms) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) - ts_ms
+                       AS gap_ms
+            FROM tr
+        ) WHERE tool IS NOT NULL AND gap_ms IS NOT NULL
+    ),
+    counts AS (
+        SELECT tool, gap_ms, CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT tool, gap_ms, c,
+               sum(c) OVER (PARTITION BY tool ORDER BY gap_ms) AS cum
+        FROM counts
+    ),
+    stats AS (
+        SELECT tool, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * gap_ms) AS BIGINT) AS gap_sum_ms,
+               min(gap_ms) AS min_ms, max(gap_ms) AS max_ms
+        FROM counts GROUP BY 1
+    ),
+    picks AS (
+        SELECT cum.tool,
+               min(CASE WHEN cum >= (n + 1) // 2 THEN gap_ms END)
+                   AS p50_ms,
+               min(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap_ms END)
+                   AS p90_ms,
+               min(CASE WHEN cum >= (99 * n + 99) // 100 THEN gap_ms END)
+                   AS p99_ms
+        FROM cum JOIN stats USING (tool) GROUP BY 1
+    )
+    SELECT stats.tool, n, gap_sum_ms,
+           CAST(gap_sum_ms AS DOUBLE) / CAST(n AS DOUBLE) AS avg_gap_ms,
+           min_ms, p50_ms, p90_ms, p99_ms, max_ms
+    FROM stats JOIN picks ON picks.tool = stats.tool
+    ORDER BY stats.tool
 """
 
 ORACLES["tool_usage"] = f"""

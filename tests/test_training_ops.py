@@ -1280,3 +1280,37 @@ def test_trending_terms_rank_and_ties(spark):
     assert out[:3] == [(1, "x", 3), (2, "y", 3), (3, "w", 1)]
     # day 2: three singleton tokens, alphabetical
     assert out[3:] == [(1, "day", 1), (2, "only", 1), (3, "two", 1)]
+
+
+def test_tool_latency_pct_selection(spark):
+    """Exact ceil-index percentile selection per tool over the
+    value-count table (multiplicities respected; open calls excluded)."""
+    from modelardb_dynamic_spark.operators.textstats import (
+        tool_latency_pct,
+    )
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    # tool 's' gaps (minutes): 1 x9 and 10 x1 -> n=10, p50=1, p90=1,
+    # p99 at k=ceil(9.9)=10 -> 10 min
+    full = []
+    for conv, gap_min in [("c%d" % i, 1) for i in range(9)] + [("cx", 10)]:
+        full.append((conv, 0, "tool", "r", "s", base))
+        full.append(
+            (conv, 1, "assistant", "a", None,
+             base + datetime.timedelta(minutes=gap_min))
+        )
+    # one open call: tool turn ends its conversation -> excluded
+    full.append(("open", 0, "tool", "r", "s", base))
+    out = tool_latency_pct(
+        spark.createDataFrame(full, TR_SCHEMA)
+    ).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    M = 60_000
+    assert (r["tool"], r["n"]) == ("s", 10)
+    assert r["gap_sum_ms"] == 9 * M + 10 * M
+    assert (r["min_ms"], r["p50_ms"], r["p90_ms"]) == (M, M, M)
+    assert (r["p99_ms"], r["max_ms"]) == (10 * M, 10 * M)
+    assert r["avg_gap_ms"] == (19 * M) / 10.0

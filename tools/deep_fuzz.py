@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""One-off DEEP differential fuzz vs the reference Java engine: the same
+generator/harness as tests/test_fuzz_java.py (one JVM batch + isolated
+re-match for the reference's own join-churn indeterminism) at several
+times the CI case count, under fresh seeds. Run occasionally to
+re-stress the bit-match contract; prints one JSON summary line.
+
+Usage: python tools/deep_fuzz.py [--grouped 300] [--single 100] [--seed 77]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import numpy as np  # noqa: E402
+
+from modelardb_dynamic_spark.config import EngineConfig  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grouped", type=int, default=300)
+    ap.add_argument("--single", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=77)
+    args = ap.parse_args()
+
+    import test_fuzz_java as FJ
+    from modelardb_dynamic_spark.models.grouped import compress_group
+    from modelardb_dynamic_spark.models.kernels import compress_series
+
+    out = {"seed": args.seed, "mismatches": 0, "isolated_rechecks": 0}
+    with tempfile.TemporaryDirectory(prefix="mdbs_deepfuzz_") as d:
+        tmp = Path(d)
+        for kind, n_cases in (("grouped", args.grouped),
+                              ("single", args.single)):
+            rng = np.random.default_rng(args.seed + (0 if kind == "grouped" else 1))
+            cases = [
+                FJ._gen_case(rng, force_g1=(kind == "single"))
+                for _ in range(n_cases)
+            ]
+            kdir = tmp / kind
+            kdir.mkdir()
+            expected = FJ._java_expected(cases, kdir)
+            for ci, (series, eb, sf) in enumerate(cases):
+                cfg = EngineConfig(
+                    error_bound=eb, length_bound=FJ.LB,
+                    sampling_interval_ms=FJ.SI,
+                )
+                if kind == "grouped":
+                    ts, V, _ = FJ._group_matrix(series)
+                    segs = compress_group(ts, V, cfg, split_fraction=sf)
+                    got = sorted(
+                        (s.start_ts, s.end_ts, s.mtid, s.cnt,
+                         s.model.hex(), s.gaps)
+                        for s in segs
+                    )
+                    if got != sorted(expected[ci]):
+                        out["isolated_rechecks"] += 1
+                        if not FJ._isolated_rematch(
+                            cases[ci], got, kdir, ci
+                        ):
+                            out["mismatches"] += 1
+                            out.setdefault("failing", []).append(
+                                {"kind": kind, "case": ci, "eb": eb,
+                                 "sf": sf, "G": len(series)}
+                            )
+                else:
+                    t, v = series[0]
+                    segs = compress_series(t, v, cfg)
+                    got = [
+                        (s.start_ts, s.end_ts, s.mtid, s.cnt,
+                         s.model.hex(), ())
+                        for s in segs
+                    ]
+                    if got != expected[ci]:
+                        out["mismatches"] += 1
+                        out.setdefault("failing", []).append(
+                            {"kind": kind, "case": ci, "eb": eb}
+                        )
+            out[f"{kind}_cases"] = n_cases
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

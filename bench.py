@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "tool_latency",
     "tool_latency_pct",
     "turn_echo",
+    "verbosity_latency",
     "trending_terms",
 ]
 

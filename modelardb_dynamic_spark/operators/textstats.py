@@ -1003,3 +1003,59 @@ def trending_terms(
         .where(F.col("rank") <= top_k)
         .select("day_ts", "rank", "token", "n")
     )
+
+
+def verbosity_latency(tr: DataFrame) -> DataFrame:
+    """Does a long turn take longer to answer? Per role: the exact
+    Pearson correlation between a turn's token count and the gap to the
+    conversation's NEXT turn (the reply latency that turn induced),
+    plus the exact moments behind it — "are verbose assistant turns
+    slower to get a reply" as one aggregate over the transcript store.
+
+    The _PEARSON_EXPR discipline (operators/analytics.py): five exact
+    int64 moments per role (x = token count, y = gap ms), the
+    correlation as ONE shared IEEE sqrt tree, NULL when either variable
+    is constant (exact integer predicate inside the CASE). int64 budget:
+    sxy <= n * tok_max * gap_max — at 10^10 turns/role, 10^3 tokens and
+    10^6 ms that is 10^19... pre-scale gaps to SECONDS (y = gap DIV
+    1000, done here) to keep 10^16, comfortably inside int64; the
+    correlation is scale-invariant so r is unchanged up to the
+    quantization.
+
+    Returns (role, n, sx, sy, sxx, syy, sxy, r). One lead() window +
+    one map-side-combinable groupBy on the tiny role key.
+    """
+    from modelardb_dynamic_spark.operators.analytics import _PEARSON_EXPR
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    g = (
+        tr.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("x"),
+            ms.alias("ts_ms"),
+        )
+        .withColumn("next_ms", F.lead("ts_ms").over(w))
+        .where(F.col("next_ms").isNotNull())
+        .select(
+            "role",
+            "x",
+            ((F.col("next_ms") - F.col("ts_ms")) / F.lit(1000))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    agg = g.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "role", "n", "sx", "sy", "sxx", "syy", "sxy",
+        f"{_PEARSON_EXPR} AS r",
+    )

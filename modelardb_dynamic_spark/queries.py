@@ -1917,6 +1917,21 @@ def q_tool_latency_pct(spark, sf_dir):
     ).orderBy("tool")
 
 
+def q_verbosity_latency(spark, sf_dir):
+    """Per-role Pearson correlation between a turn's token count and the
+    reply gap it induces (operators/textstats.py verbosity_latency):
+    exact int64 moments (gaps pre-scaled to whole seconds for the int64
+    budget), r as the shared sqrt tree. The oracle replays the identical
+    moments and tree."""
+    from modelardb_dynamic_spark.operators.textstats import (
+        verbosity_latency,
+    )
+
+    return verbosity_latency(
+        _events_as_transcripts(spark, sf_dir)
+    ).orderBy("role")
+
+
 def q_turn_echo(spark, sf_dir):
     """Adjacent-turn echo audit (operators/textstats.py turn_echo):
     distinct-token Jaccard between each turn and the next, exact integer
@@ -2041,6 +2056,7 @@ QUERIES = {
     "tool_latency": q_tool_latency,
     "tool_latency_pct": q_tool_latency_pct,
     "turn_echo": q_turn_echo,
+    "verbosity_latency": q_verbosity_latency,
     "trending_terms": q_trending_terms,
     "hist_quantile": q_hist_quantile,
     "rolling_zscore": q_rolling_zscore,
@@ -3857,6 +3873,38 @@ ORACLES["trending_terms"] = f"""
     )
     SELECT day_ts, rank, token, n FROM r WHERE rank <= 5
     ORDER BY day_ts, rank
+"""
+
+# _PEARSON_EXPR replayed verbatim (same tree as corr_pairs' oracle)
+ORACLES["verbosity_latency"] = f"""
+    WITH tr AS ({_TR_FULL}),
+    g AS (
+        SELECT role, x, (next_ms - ts_ms) // 1000 AS y FROM (
+            SELECT CASE turn_idx % 3 WHEN 0 THEN 'user'
+                        WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+                   CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                       AS x,
+                   ts_ms,
+                   lead(ts_ms) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS next_ms
+            FROM tr
+        ) WHERE next_ms IS NOT NULL
+    ),
+    agg AS (
+        SELECT role, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM g GROUP BY role
+    )
+    SELECT role, n, sx, sy, sxx, syy, sxy,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) *
+                CAST(n * syy - sy * sy AS DOUBLE) <= 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                CAST(n * syy - sy * sy AS DOUBLE)) END AS r
+    FROM agg ORDER BY role
 """
 
 ORACLES["turn_echo"] = f"""

@@ -1314,3 +1314,53 @@ def test_tool_latency_pct_selection(spark):
     assert (r["min_ms"], r["p50_ms"], r["p90_ms"]) == (M, M, M)
     assert (r["p99_ms"], r["max_ms"]) == (10 * M, 10 * M)
     assert r["avg_gap_ms"] == (19 * M) / 10.0
+
+
+def test_verbosity_latency_matches_numpy(spark):
+    import datetime
+
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.textstats import (
+        verbosity_latency,
+    )
+
+    rng = np.random.default_rng(6)
+    base = datetime.datetime(2024, 1, 1)
+    full, xs, ys = [], [], []
+    t = base
+    # one role, verbose turns induce longer gaps (+noise) -> r near 1
+    for i in range(60):
+        ntok = int(rng.integers(1, 30))
+        gap_s = ntok * 10 + int(rng.integers(0, 20))
+        full.append(("c", i, "assistant", " ".join(["w"] * ntok), None, t))
+        t += datetime.timedelta(seconds=gap_s)
+        if i < 59:  # last turn has no successor
+            xs.append(ntok)
+            ys.append(gap_s)
+    out = verbosity_latency(
+        spark.createDataFrame(full, TR_SCHEMA)
+    ).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n"] == 59
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r["r"] - want) < 1e-9
+    assert r["r"] > 0.9
+
+
+def test_verbosity_latency_constant_is_null(spark):
+    import datetime
+
+    from modelardb_dynamic_spark.operators.textstats import (
+        verbosity_latency,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    full = [
+        ("c", i, "user", "one two", None,
+         base + datetime.timedelta(minutes=i))
+        for i in range(5)
+    ]
+    out = verbosity_latency(spark.createDataFrame(full, TR_SCHEMA)).collect()
+    assert len(out) == 1 and out[0]["r"] is None  # constant x -> NULL

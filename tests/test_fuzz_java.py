@@ -278,3 +278,45 @@ def test_fuzz_latency_temporaries_match_java(tmp_path):
                 f"case {ci}: eb={eb} sf={sf} lat={lat} G={len(series)} — "
                 f"diverges from the reference in batch AND isolated JVM runs"
             )
+
+
+def test_split_at_prefetched_last_tick_keeps_data():
+    """Divergence-by-design, found by tools/deep_fuzz.py (seed 123,
+    grouped case 113): the REFERENCE loses the final grid tick for
+    members of a group that splits while that tick is prefetched —
+    TimeSeriesGroup's split constructor recomputes timeSeriesHasNext
+    from the underlying iterators (TimeSeriesGroup.java:72-89) while
+    the last point still sits unemitted in nextDataPoints, so the
+    child reports hasNext()==false and close() flushes without it.
+    OUR engine operates on materialized arrays and keeps the data.
+
+    This test pins our side: every input member-row is covered by
+    exactly one emitted segment (no loss, no duplication), and the two
+    post-split singleton finals cover through the true last tick.
+    deep_fuzz accepts the reference's dropped-tick stream for exactly
+    this pattern (reference_tail_drop_equivalent)."""
+    import numpy as np
+
+    from modelardb_dynamic_spark.models.grouped import compress_group
+
+    rng = np.random.default_rng(123)
+    cases = [_gen_case(rng, force_g1=False) for _ in range(114)]
+    series, eb, sf = cases[113]
+    assert len(series) == 4
+    cfg = EngineConfig(
+        error_bound=eb, length_bound=LB, sampling_interval_ms=SI
+    )
+    ts, V, _ = _group_matrix(series)
+    segs = compress_group(ts, V, cfg, split_fraction=sf)
+    total = sum(
+        (len(series) - len(s.gaps)) * s.cnt for s in segs
+    )
+    truth = sum(len(t) for t, _ in series)
+    assert total == truth  # every member-row covered exactly once
+    last_ts = max(int(t[-1]) for t, _ in series)
+    finals = [
+        s for s in segs if s.start_ts == last_ts - SI and len(s.gaps) == 3
+    ]
+    assert len(finals) == 2  # the two post-split singletons
+    for s in finals:
+        assert s.end_ts == last_ts and s.cnt == 2  # last tick KEPT

@@ -26,6 +26,45 @@ import numpy as np  # noqa: E402
 from modelardb_dynamic_spark.config import EngineConfig  # noqa: E402
 
 
+def reference_tail_drop_equivalent(got, exp, si: int) -> bool:
+    """True iff the ONLY divergence is the reference's known end-of-
+    stream split data loss (TimeSeriesGroup.java:72-89: the split
+    constructor recomputes timeSeriesHasNext from the underlying
+    iterators while the final prefetched tick still sits unemitted in
+    nextDataPoints, so a split landing with the last tick prefetched
+    makes the child report hasNext()==false and drop that tick).
+
+    Acceptance: every expected-only segment must pair with a got-only
+    segment that has the same start_ts/mtid-family membership (same
+    gaps), covers exactly ONE more data point, and ends exactly one
+    sampling interval later — i.e., ours is the reference segment plus
+    the tick the reference dropped. Everything else must match exactly.
+    """
+    sg, se = set(got), set(exp)
+    only_got = sorted(sg - se)
+    only_exp = sorted(se - sg)
+    if len(only_got) != len(only_exp) or not only_exp:
+        return False
+    unmatched = list(only_got)
+    for e in only_exp:
+        est, eet, _emtid, ecnt, _emodel, egaps = e
+        hit = None
+        for g in unmatched:
+            gst, get_, _gmtid, gcnt, _gmodel, ggaps = g
+            if (
+                gst == est
+                and ggaps == egaps
+                and gcnt == ecnt + 1
+                and get_ == eet + si
+            ):
+                hit = g
+                break
+        if hit is None:
+            return False
+        unmatched.remove(hit)
+    return not unmatched
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--grouped", type=int, default=300)
@@ -64,6 +103,13 @@ def main() -> None:
                         for s in segs
                     )
                     if got != sorted(expected[ci]):
+                        if reference_tail_drop_equivalent(
+                            got, expected[ci], FJ.SI
+                        ):
+                            out["ref_tail_drops"] = (
+                                out.get("ref_tail_drops", 0) + 1
+                            )
+                            continue
                         out["isolated_rechecks"] += 1
                         if not FJ._isolated_rematch(
                             cases[ci], got, kdir, ci

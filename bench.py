@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "tiered_agg",
     "dup_clusters",
     "leak_splits",
+    "curation_verdict",
     "hll_distinct",
     "kmv_distinct",
     "kmv_overlap",

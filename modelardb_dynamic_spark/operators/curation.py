@@ -443,3 +443,71 @@ def leakage_safe_splits(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def curation_verdict(
+    docs: DataFrame,
+    lang: str = "en",
+    min_words: int = 30,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The standard pre-training filter chain as ONE stage: per document
+    a keep/drop verdict with per-reason flags, composing the engine's
+    own operators — exact dedup (md5 canonical-survivor), near-dup
+    clustering (SimHash pairs closed transitively, min-id survivor),
+    language gate (marker-stopword lang_id), and Gopher document
+    quality (composite keep). A curation run is exactly this chain; the
+    reasons column set makes the drop auditable (every flag is itself
+    value-gated through its component's oracle).
+
+    Returns (doc_id, exact_dup_loser, near_dup_loser, lang_ok,
+    quality_ok, keep) — keep = no dup-loss AND lang AND quality.
+
+    Scale: each component keeps its own documented shuffle shape (hash
+    groupBy; LSH + log-round connected components; map-side language and
+    quality scoring); the verdict adds three doc_id equi-joins on
+    already-keyed results, nothing quadratic.
+    """
+    from modelardb_dynamic_spark.operators.dedup import (
+        dup_clusters,
+        simhash_pairs,
+    )
+    from modelardb_dynamic_spark.operators.textstats import (
+        gopher_quality,
+        lang_id,
+    )
+
+    ex = (
+        docs.select(F.col(id_col), F.md5(F.col("text")).alias("fp"))
+        .join(
+            docs.groupBy(F.md5(F.col("text")).alias("fp")).agg(
+                F.min(id_col).alias("keep_id")
+            ),
+            "fp",
+        )
+        .select(
+            id_col,
+            (F.col(id_col) != F.col("keep_id")).alias("exact_dup_loser"),
+        )
+    )
+    nd = dup_clusters(docs, simhash_pairs(docs, max_hamming=max_hamming))
+    nd = nd.select(id_col, (~F.col("keep")).alias("near_dup_loser"))
+    li = lang_id(docs).select(
+        id_col, (F.col("pred_lang") == lang).alias("lang_ok")
+    )
+    gq = gopher_quality(docs, min_words=min_words).select(
+        id_col, F.col("keep").alias("quality_ok")
+    )
+    return (
+        ex.join(nd, id_col)
+        .join(li, id_col)
+        .join(gq, id_col)
+        .withColumn(
+            "keep",
+            ~F.col("exact_dup_loser")
+            & ~F.col("near_dup_loser")
+            & F.col("lang_ok")
+            & F.col("quality_ok"),
+        )
+    )

@@ -1106,6 +1106,22 @@ def q_leak_splits(spark, sf_dir):
     return leakage_safe_splits(docs, pairs).orderBy("doc_id")
 
 
+def q_curation_verdict(spark, sf_dir):
+    """The standard pre-training filter chain as one auditable stage
+    (operators/curation.py curation_verdict): exact-dup survivor,
+    SimHash near-dup cluster survivor, language gate, Gopher quality —
+    per-doc keep/drop with per-reason flags. The oracle composes the
+    four components' own oracle SQL as CTEs, so the verdict is gated by
+    construction."""
+    from modelardb_dynamic_spark.operators.curation import (
+        curation_verdict,
+    )
+
+    return curation_verdict(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     """Mergeable distinct-count sketch tier (operators/sketches.py):
     HLL-256 over the shared 60-bit md5 hash, distinct event_id per
@@ -2031,6 +2047,7 @@ QUERIES = {
     "tiered_agg": q_tiered_agg,
     "dup_clusters": q_dup_clusters,
     "leak_splits": q_leak_splits,
+    "curation_verdict": q_curation_verdict,
     "hll_distinct": q_hll_distinct,
     "kmv_distinct": q_kmv_distinct,
     "kmv_overlap": q_kmv_overlap,
@@ -3056,6 +3073,34 @@ ORACLES["dup_clusters"] = f"""
            least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id AS keep
     FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
     GROUP BY d.doc_id
+"""
+
+# the filter chain composed from its components' own oracles (CTE bodies
+# may nest WITH RECURSIVE in DuckDB)
+ORACLES["curation_verdict"] = f"""
+    WITH nd AS ({ORACLES["dup_clusters"]}),
+    li AS ({ORACLES["lang_id"]}),
+    gq AS ({ORACLES["gopher_quality"]}),
+    ex AS (
+        SELECT md5(text) AS fp, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+    ),
+    exj AS (
+        SELECT d.doc_id, d.doc_id != ex.keep_id AS exact_dup_loser
+        FROM documents d JOIN ex ON md5(d.text) = ex.fp
+    )
+    SELECT exj.doc_id,
+           exact_dup_loser,
+           NOT nd.keep AS near_dup_loser,
+           li.pred_lang = 'en' AS lang_ok,
+           gq.keep AS quality_ok,
+           (NOT exact_dup_loser) AND nd.keep
+               AND li.pred_lang = 'en' AND gq.keep AS keep
+    FROM exj
+    JOIN nd ON nd.doc_id = exj.doc_id
+    JOIN li ON li.doc_id = exj.doc_id
+    JOIN gq ON gq.doc_id = exj.doc_id
+    ORDER BY exj.doc_id
 """
 
 

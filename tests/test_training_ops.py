@@ -1364,3 +1364,39 @@ def test_verbosity_latency_constant_is_null(spark):
     ]
     out = verbosity_latency(spark.createDataFrame(full, TR_SCHEMA)).collect()
     assert len(out) == 1 and out[0]["r"] is None  # constant x -> NULL
+
+
+def test_curation_verdict_reasons(spark):
+    """Keep/drop composes the four gates; each reason flag is
+    attributable; survivors of dup clusters keep, losers drop."""
+    from modelardb_dynamic_spark.operators.curation import (
+        curation_verdict,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the cat "
+        "sleeps while the sun is warm and the dog rests near the tree "
+        "with the birds of the field around them all day long"
+    )
+    rows = [
+        (1, good),
+        (2, good),                       # exact dup of 1 -> loser
+        (3, good.replace("warm", "hot")),  # near dup of 1 -> loser
+        (4, "el perro de la casa que ladra los martes " * 5),  # not en
+        (5, "zz " * 40),                 # en-fail + quality-fail
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in curation_verdict(
+            spark.createDataFrame(rows, DOC_SCHEMA), min_words=20
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["exact_dup_loser"] and out[2]["near_dup_loser"]
+    assert not out[2]["keep"]
+    assert out[3]["near_dup_loser"] and not out[3]["exact_dup_loser"]
+    assert not out[3]["keep"]
+    assert not out[4]["lang_ok"] and not out[4]["keep"]
+    assert not out[5]["keep"]
+    # reason flags are independent: doc 4 is no dup loser
+    assert not out[4]["exact_dup_loser"] and not out[4]["near_dup_loser"]

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "seasonal_anom",
     "sliding_24h",
     "context_growth",
+    "conv_summary",
     "tool_usage",
     "agent_loops",
     "tool_latency",

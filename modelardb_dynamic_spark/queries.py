@@ -1948,6 +1948,35 @@ def q_verbosity_latency(spark, sf_dir):
     ).orderBy("role")
 
 
+def q_conv_summary(spark, sf_dir):
+    """Per-conversation corpus summary — the describe-my-corpus query:
+    turn/role/tool counts, token totals, wall-clock span. One map-side-
+    combinable groupBy on conv_id, every column exact; the oracle
+    replays the identical aggregation."""
+    tr = _events_as_transcripts(spark, sf_dir)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    ntok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    return (
+        tr.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+            F.sum((F.col("role") == "assistant").cast("long")).alias(
+                "n_assistant"
+            ),
+            F.sum((F.col("role") == "tool").cast("long")).alias("n_tool"),
+            F.sum(ntok).alias("total_tokens"),
+            F.countDistinct("tool").alias("n_distinct_tools"),
+            F.min(ms).alias("first_ts_ms"),
+            F.max(ms).alias("last_ts_ms"),
+        )
+        .withColumn(
+            "duration_ms", F.col("last_ts_ms") - F.col("first_ts_ms")
+        )
+        .orderBy("conv_id")
+    )
+
+
 def q_turn_echo(spark, sf_dir):
     """Adjacent-turn echo audit (operators/textstats.py turn_echo):
     distinct-token Jaccard between each turn and the next, exact integer
@@ -2073,6 +2102,7 @@ QUERIES = {
     "tool_latency": q_tool_latency,
     "tool_latency_pct": q_tool_latency_pct,
     "turn_echo": q_turn_echo,
+    "conv_summary": q_conv_summary,
     "verbosity_latency": q_verbosity_latency,
     "trending_terms": q_trending_terms,
     "hist_quantile": q_hist_quantile,
@@ -3950,6 +3980,25 @@ ORACLES["verbosity_latency"] = f"""
                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
                 CAST(n * syy - sy * sy AS DOUBLE)) END AS r
     FROM agg ORDER BY role
+"""
+
+ORACLES["conv_summary"] = f"""
+    WITH tr AS ({_TR_FULL})
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN turn_idx % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_user,
+           CAST(sum(CASE WHEN turn_idx % 3 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_assistant,
+           CAST(sum(CASE WHEN turn_idx % 3 = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tool,
+           CAST(sum(len(string_split_regex(text, '\\s+')))
+                AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT CASE WHEN turn_idx % 3 = 2
+                THEN event_type END) AS BIGINT) AS n_distinct_tools,
+           min(ts_ms) AS first_ts_ms, max(ts_ms) AS last_ts_ms,
+           max(ts_ms) - min(ts_ms) AS duration_ms
+    FROM tr GROUP BY conv_id ORDER BY conv_id
 """
 
 ORACLES["turn_echo"] = f"""

@@ -1400,3 +1400,43 @@ def test_curation_verdict_reasons(spark):
     assert not out[5]["keep"]
     # reason flags are independent: doc 4 is no dup loser
     assert not out[4]["exact_dup_loser"] and not out[4]["near_dup_loser"]
+
+
+def test_conv_summary_exact(spark):
+    import datetime
+
+    import __spark_entry__  # noqa: F401  (queries module import path)
+    from modelardb_dynamic_spark import queries as Q
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("A", 0, "user", "hi there", None, base),
+        ("A", 1, "assistant", "hello", None,
+         base + datetime.timedelta(minutes=2)),
+        ("A", 2, "tool", "r r r", "search",
+         base + datetime.timedelta(minutes=3)),
+        ("B", 0, "user", "solo", None, base),
+    ]
+    tr = spark.createDataFrame(rows, TR_SCHEMA)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    ntok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    out = {
+        r["conv_id"]: r.asDict()
+        for r in tr.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("role") == "tool").cast("long")).alias("n_tool"),
+            F.sum(ntok).alias("total_tokens"),
+            F.countDistinct("tool").alias("n_distinct_tools"),
+            (F.max(ms) - F.min(ms)).alias("duration_ms"),
+        )
+        .collect()
+    }
+    a = out["A"]
+    assert (a["n_turns"], a["n_tool"], a["total_tokens"]) == (3, 1, 6)
+    assert a["n_distinct_tools"] == 1
+    assert a["duration_ms"] == 3 * 60_000
+    b = out["B"]
+    assert (b["n_turns"], b["duration_ms"], b["n_distinct_tools"]) == (
+        1, 0, 0,
+    )

@@ -65,7 +65,9 @@ def reference_tail_drop_equivalent(got, exp, si: int) -> bool:
     return not unmatched
 
 
-def reference_envelope_match(FJ, case, got, workdir, ci) -> bool:
+def reference_envelope_match(
+    FJ, case, got, workdir, ci, keep_kind=False
+) -> bool:
     """True iff the reference ITSELF produces our exact stream under a
     different JVM heap state. The reference drains its pending-join set
     via HashSet iteration over identity hashes
@@ -81,7 +83,9 @@ def reference_envelope_match(FJ, case, got, workdir, ci) -> bool:
     for k in range(1, 5):
         d = Path(workdir) / f"env{ci}_{k}"
         d.mkdir()
-        exp = FJ._java_expected([case] * k + [case], d)[-1]
+        exp = FJ._java_expected(
+            [case] * k + [case], d, keep_kind=keep_kind
+        )[-1]
         if sorted(exp) == got:
             return True
     return False
@@ -92,6 +96,9 @@ def main() -> None:
     ap.add_argument("--grouped", type=int, default=300)
     ap.add_argument("--single", type=int, default=100)
     ap.add_argument("--seed", type=int, default=77)
+    ap.add_argument("--latency", type=int, default=0,
+                    help="additionally run N maximum_latency cases "
+                         "(interleaved temporary + finalized streams)")
     args = ap.parse_args()
 
     import test_fuzz_java as FJ
@@ -157,6 +164,47 @@ def main() -> None:
                             {"kind": kind, "case": ci, "eb": eb}
                         )
             out[f"{kind}_cases"] = n_cases
+        if args.latency:
+            rng = np.random.default_rng(args.seed + 2)
+            lcases = [
+                FJ._gen_case(rng, force_g1=False)
+                + (int(rng.choice([17, 40, 100])),)
+                for _ in range(args.latency)
+            ]
+            ldir = tmp / "latency"
+            ldir.mkdir()
+            lexp = FJ._java_expected(lcases, ldir, keep_kind=True)
+            from modelardb_dynamic_spark.models.grouped import (
+                compress_group as _cg,
+            )
+
+            for ci, (series, eb, sf, lat) in enumerate(lcases):
+                cfg = EngineConfig(
+                    error_bound=eb, length_bound=FJ.LB,
+                    sampling_interval_ms=FJ.SI,
+                )
+                ts, V, _ = FJ._group_matrix(series)
+                segs = _cg(
+                    ts, V, cfg, split_fraction=sf, maximum_latency=lat
+                )
+                got = sorted(
+                    (s.kind, s.start_ts, s.end_ts, s.mtid, s.cnt,
+                     s.model.hex(), s.gaps)
+                    for s in segs
+                )
+                if got != sorted(lexp[ci]):
+                    out["isolated_rechecks"] += 1
+                    if not FJ._isolated_rematch(
+                        lcases[ci], got, ldir, ci, keep_kind=True
+                    ) and not reference_envelope_match(
+                        FJ, lcases[ci], got, ldir, ci, keep_kind=True
+                    ):
+                        out["mismatches"] += 1
+                        out.setdefault("failing", []).append(
+                            {"kind": "latency", "case": ci, "eb": eb,
+                             "sf": sf, "lat": lat, "G": len(series)}
+                        )
+            out["latency_cases"] = args.latency
     print(json.dumps(out))
 
 

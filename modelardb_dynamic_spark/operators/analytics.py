@@ -472,6 +472,84 @@ def acf_lags(
     )
 
 
+def xcorr_leadlag(
+    points: DataFrame,
+    si_ms: int,
+    top_n: int = 20,
+    max_lag: int = 3,
+    min_support: int = 10,
+    materialize: bool = True,
+) -> DataFrame:
+    """Lead-lag cross-correlation: for every pair among the `top_n` most
+    active series, the Pearson r of (a at t, b at t + lag*si) is computed
+    for every lag in -max_lag..max_lag over the buckets where both sides
+    have a point, and the pair's BEST lag is returned — "does series b
+    follow series a, and by how many buckets?" (the classic lead-lag
+    screen; `correlated_pairs` is the lag=0 column of this operator).
+
+    points: (sid string, ts_ms long, v long) — v exact integer.
+    Returns (sid1, sid2, lag, n, r): sid1 < sid2; positive lag means
+    sid2's series at t + lag*si correlates with sid1's at t (sid1 LEADS
+    sid2 by `lag` buckets); the winner per pair is max |r|, ties broken
+    by lag ASC (deterministic: r is the shared bit-exact IEEE tree of
+    _PEARSON_EXPR, so both engines rank identically). Pairs keep only
+    lags with n >= min_support and defined r (zero-variance windows are
+    excluded by the CASE guard before ranking).
+
+    Scale: the quadratic pair space is top_n-bounded exactly as in
+    `correlated_pairs` (the all-pairs path at catalog scale is the
+    sketch-signature grouping operator, operators/grouped.py); the lag
+    dimension is a broadcast of 2*max_lag+1 rows carried through ONE
+    ts-equality shuffle join, one map-side-combinable moment
+    aggregation, and a window over <= 2*max_lag+1 rows per pair — the
+    lag sweep adds no extra shuffles over the lag-0 operator.
+    """
+    if materialize:
+        points = _materialize(points)
+    spark = points.sparkSession
+    act = points.groupBy("sid").agg(F.sum("v").alias("act"))
+    top = (
+        act.orderBy(F.desc("act"), F.asc("sid")).limit(top_n).select("sid")
+    )
+    b = points.join(F.broadcast(top), "sid")
+    lag_df = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = b.join(F.broadcast(lag_df)).select(
+        F.col("sid").alias("sid1"),
+        (F.col("ts_ms") + F.col("lag") * F.lit(si_ms)).alias("ts_j"),
+        F.col("v").alias("va"),
+        "lag",
+    )
+    c = b.select(
+        F.col("sid").alias("sid2"),
+        F.col("ts_ms").alias("ts_j"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(c, ["ts_j"]).where(F.col("sid1") < F.col("sid2"))
+    agg = pairs.groupBy("sid1", "sid2", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("va").alias("sx"),
+        F.sum("vb").alias("sy"),
+        F.sum(F.col("va") * F.col("va")).alias("sxx"),
+        F.sum(F.col("vb") * F.col("vb")).alias("syy"),
+        F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+    )
+    scored = (
+        agg.where(F.col("n") >= min_support)
+        .selectExpr("sid1", "sid2", "lag", "n", f"{_PEARSON_EXPR} AS r")
+        .where(F.col("r").isNotNull())
+    )
+    w = Window.partitionBy("sid1", "sid2").orderBy(
+        F.abs(F.col("r")).desc(), F.col("lag").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
 def sax_words(
     points: DataFrame,
     paa_ms: int,

@@ -1065,6 +1065,33 @@ def q_corr_pairs(spark, sf_dir):
     return correlated_pairs(pts, top_n=40, min_support=10)
 
 
+def q_xcorr_leadlag(spark, sf_dir):
+    """Lead-lag cross-correlation screen over the compressed store
+    (operators/analytics.py xcorr_leadlag): among the 20 most active
+    hourly series, each pair's best lag in -3..+3 hours by |Pearson r|
+    over co-observed buckets — "which series leads which, and by how
+    much". Same exact-int64-moments + shared _PEARSON_EXPR discipline as
+    corr_pairs (the lag=0 slice of this operator); the winner-per-pair
+    rank (abs(r) DESC, lag ASC) is replayed identically by the DuckDB
+    oracle via QUALIFY row_number()."""
+    from modelardb_dynamic_spark.operators.analytics import xcorr_leadlag
+
+    segs = _event_segments(spark, sf_dir)
+    pts = (
+        datapoint_view(segs)
+        .select(
+            "sid",
+            F.expr(f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}").alias("ts_ms"),
+            F.col("value").cast("long").alias("v"),
+        )
+        .groupBy("sid", "ts_ms")
+        .agg(F.sum("v").alias("v"))
+    )
+    return xcorr_leadlag(
+        pts, si_ms=HOUR_MS, top_n=20, max_lag=3, min_support=10
+    )
+
+
 def q_interp_10m(spark, sf_dir):
     """Linear-interpolation resample of the compressed event-rate series
     onto a 10-minute grid (segments -> datapoint view -> one window pass;
@@ -2071,6 +2098,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "gopher_quality": q_gopher_quality,
     "corr_pairs": q_corr_pairs,
+    "xcorr_leadlag": q_xcorr_leadlag,
     "interp_10m": q_interp_10m,
     "retention_tiers": q_retention_tiers,
     "tiered_agg": q_tiered_agg,
@@ -2948,6 +2976,33 @@ ORACLES["corr_pairs"] = f"""
       FROM tb a JOIN tb c ON a.m = c.m AND a.sid < c.sid
       GROUP BY 1, 2)
     SELECT sid1, sid2, n, {_PEARSON_EXPR} AS r FROM p WHERE n >= 10
+"""
+
+ORACLES["xcorr_leadlag"] = f"""
+    WITH b AS (
+        SELECT CAST(user_id AS VARCHAR) AS sid,
+               (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS m,
+               count(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    act AS (SELECT sid, sum(v) AS act FROM b GROUP BY sid
+            ORDER BY act DESC, sid ASC LIMIT 20),
+    tb AS (SELECT b.* FROM b JOIN act USING (sid)),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag),
+    p AS (
+      SELECT a.sid AS sid1, c.sid AS sid2, l.lag AS lag, count(*) AS n,
+             sum(a.v) AS sx, sum(c.v) AS sy,
+             sum(a.v * a.v) AS sxx, sum(c.v * c.v) AS syy,
+             sum(a.v * c.v) AS sxy
+      FROM tb a CROSS JOIN lags l
+      JOIN tb c ON a.m + l.lag * {HOUR_MS} = c.m AND a.sid < c.sid
+      GROUP BY 1, 2, 3),
+    s AS (SELECT sid1, sid2, lag, n, {_PEARSON_EXPR} AS r
+          FROM p WHERE n >= 10)
+    SELECT sid1, sid2, lag, n, r FROM s
+    WHERE r IS NOT NULL
+    QUALIFY row_number() OVER (PARTITION BY sid1, sid2
+                               ORDER BY abs(r) DESC, lag ASC) = 1
 """
 
 ORACLES["interp_10m"] = f"""

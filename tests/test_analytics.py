@@ -306,6 +306,55 @@ def test_gap_audit_hand_computed(spark):
     assert r["n_gaps"] == 0 and r["missing_pts"] == 0
 
 
+def test_xcorr_leadlag_finds_injected_shift(spark):
+    from modelardb_dynamic_spark.operators.analytics import xcorr_leadlag
+
+    rng = np.random.default_rng(11)
+    si = 60_000
+    n = 80
+    a = rng.integers(1, 50, size=n)
+    rows = [("a", i * si, int(v)) for i, v in enumerate(a)]
+    # b is a shifted COPY of a: b[t + 2*si] = a[t]  ->  best lag +2, r=1
+    rows += [("b", (i + 2) * si, int(v)) for i, v in enumerate(a)]
+    # d is anti-correlated with a at lag 0 (r=-1): |r| ranking must pick it
+    rows += [("d", i * si, int(100 - v)) for i, v in enumerate(a)]
+    out = {
+        (r.sid1, r.sid2): r
+        for r in xcorr_leadlag(
+            _points(spark, rows), si_ms=si, top_n=3, max_lag=3
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab.lag == 2 and ab.n == n and ab.r == pytest.approx(1.0)
+    ad = out[("a", "d")]
+    assert ad.lag == 0 and ad.r == pytest.approx(-1.0)
+    # b vs d: b is a(t-2), d is -a(t) -> best lag -2 (d at t-2 aligns)
+    bd = out[("b", "d")]
+    assert bd.lag == -2 and bd.r == pytest.approx(-1.0)
+
+
+def test_xcorr_leadlag_tie_and_support_rules(spark):
+    from modelardb_dynamic_spark.operators.analytics import xcorr_leadlag
+
+    si = 60_000
+    # constant series: zero variance at every lag -> r NULL -> pair absent
+    rows = [("a", i * si, i % 7) for i in range(40)]
+    rows += [("k", i * si, 5) for i in range(40)]
+    out = xcorr_leadlag(
+        _points(spark, rows), si_ms=si, top_n=2, max_lag=2
+    ).collect()
+    assert out == []
+    # a periodic series vs itself shifted: multiple lags tie at |r|=1;
+    # the deterministic winner is the SMALLEST lag (lag ASC tiebreak)
+    p = [10, 20, 10, 20] * 12
+    rows = [("x", i * si, v) for i, v in enumerate(p)]
+    rows += [("y", i * si, v) for i, v in enumerate(p)]
+    got = xcorr_leadlag(
+        _points(spark, rows), si_ms=si, top_n=2, max_lag=2
+    ).collect()
+    assert len(got) == 1 and got[0].lag == -2
+
+
 def test_acf_lags_matches_numpy(spark):
     """acf_lags on a dense grid equals the classic numpy sparse-ACF
     (full-series mean, pairs at observed offsets)."""

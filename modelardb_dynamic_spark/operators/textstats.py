@@ -76,6 +76,64 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return scored.select(id_col, *[f"score_{lang}" for lang in langs], pred.alias("pred_lang"))
 
 
+def token_rarity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max_cnt: int = 2,
+) -> DataFrame:
+    """Corpus-relative token rarity — the quality signal the per-doc
+    heuristics (gopher_quality) cannot see: a doc full of tokens that
+    appear nowhere else in the corpus is gibberish/noise; a doc of only
+    ubiquitous tokens is boilerplate. Tokens are the lower-cased
+    whitespace split (the token_stats discipline, '' dropped); the corpus
+    unigram table is one map-side-combinable groupBy; per doc we report
+      n_tokens        exact token count (multiset)
+      mean_token_cnt  avg corpus frequency of the doc's tokens
+                      (sum(cnt)/n — ONE shared double division)
+      rare_tokens     tokens whose corpus count <= rare_max_cnt
+      rare_frac       rare_tokens / n_tokens (shared double division)
+
+    Exactness: every aggregate is an exact int64; the two divisions are
+    the only float ops, correctly rounded on both engines -> value-gated.
+
+    Scale: per-doc multiplicities collapse FIRST (groupBy (doc, word) —
+    map-side combinable, so a doc repeating one word 10^6 times ships one
+    row), then join the word table on `word` (AQE handles Zipf skew:
+    build side is one row per word), then one groupBy doc. No window, no
+    explode beyond the tokenizer, vocabulary never collected to the
+    driver.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = (
+        docs.select(F.col(id_col), F.explode(words).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    vocab = tok.groupBy("w").agg(F.sum("k").alias("cnt"))
+    j = tok.join(vocab, "w")
+    return j.groupBy(id_col).agg(
+        F.sum("k").alias("n_tokens"),
+        (
+            F.sum(F.col("k") * F.col("cnt")) / F.sum("k")
+        ).alias("mean_token_cnt"),
+        F.sum(
+            F.when(F.col("cnt") <= rare_max_cnt, F.col("k")).otherwise(
+                F.lit(0)
+            )
+        ).alias("rare_tokens"),
+        (
+            F.sum(
+                F.when(
+                    F.col("cnt") <= rare_max_cnt, F.col("k")
+                ).otherwise(F.lit(0))
+            )
+            / F.sum("k")
+        ).alias("rare_frac"),
+    )
+
+
 # -- fingerprinting --------------------------------------------------------------
 
 

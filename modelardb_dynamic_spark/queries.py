@@ -456,6 +456,16 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_token_rarity(spark, sf_dir):
+    """Corpus-relative token rarity (operators/textstats.py token_rarity):
+    per-doc mean corpus frequency of its tokens + fraction of tokens seen
+    <= 2 times corpus-wide — the cross-doc quality signal the per-doc
+    Gopher heuristics cannot compute. Exact int64 aggregates; the two
+    divisions are the only float ops and are shared with the DuckDB
+    oracle."""
+    return textstats.token_rarity(_t(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_t(spark, sf_dir, "documents"))
 
@@ -2074,6 +2084,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "token_stats": q_token_stats,
+    "token_rarity": q_token_rarity,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -2417,6 +2428,26 @@ ORACLES = {
                len(list_distinct(words)) * 1.0 / len(words) AS distinct_ratio
         FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS words
               FROM documents)
+    """,
+    "token_rarity": """
+        WITH tok AS (
+            SELECT doc_id, w, count(*) AS k
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                  FROM documents)
+            WHERE w != ''
+            GROUP BY 1, 2
+        ), vocab AS (SELECT w, sum(k) AS cnt FROM tok GROUP BY w)
+        SELECT doc_id,
+               CAST(sum(k) AS BIGINT) AS n_tokens,
+               CAST(sum(k * cnt) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
+                   AS mean_token_cnt,
+               CAST(sum(CASE WHEN cnt <= 2 THEN k ELSE 0 END) AS BIGINT)
+                   AS rare_tokens,
+               CAST(sum(CASE WHEN cnt <= 2 THEN k ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(k) AS DOUBLE) AS rare_frac
+        FROM tok JOIN vocab USING (w)
+        GROUP BY doc_id
     """,
     "lang_id": """
         WITH w AS (

@@ -95,6 +95,26 @@ def test_token_stats_exact(spark):
     assert r["n_subwords"] == 1 + 1 + 1 + 1  # ceil(len/4) each
 
 
+def test_token_rarity_hand_computed(spark):
+    # corpus: 'aa' appears 4x, 'bb' 2x, 'zz' 1x, 'Aa' folds into 'aa'
+    d = spark.createDataFrame(
+        [(1, "aa bb aa zz"), (2, "Aa aa bb")], DOC_SCHEMA
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.token_rarity(d, rare_max_cnt=2).collect()
+    }
+    r1, r2 = out[1], out[2]
+    assert r1["n_tokens"] == 4 and r2["n_tokens"] == 3
+    # doc 1 token cnts: aa=4, bb=2, aa=4, zz=1 -> mean 11/4
+    assert r1["mean_token_cnt"] == 11 / 4
+    # rare (cnt<=2): bb + zz = 2 of 4
+    assert r1["rare_tokens"] == 2 and r1["rare_frac"] == 2 / 4
+    # doc 2: aa=4, aa=4, bb=2 -> mean 10/3; rare = bb only
+    assert r2["mean_token_cnt"] == 10 / 3
+    assert r2["rare_tokens"] == 1 and r2["rare_frac"] == 1 / 3
+
+
 def test_lang_id_markers(spark):
     d = spark.createDataFrame(
         [

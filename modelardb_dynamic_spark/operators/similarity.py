@@ -162,6 +162,41 @@ def ivf_topk(
     )
 
 
+def ann_recall(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Recall@k of the LSH multi-probe index (ivf_topk) against exact
+    brute force (cosine_topk) per query — the accuracy audit an ANN
+    deployment ships next to the index itself. Both sides are
+    deterministic (shared tie rules), so recall is value-gatable, and the
+    join is on the (qid, nid) SETS, ignoring rank: recall measures
+    membership, not ordering.
+
+    Returns (qid, hits, recall): hits = |approx ∩ exact| in the top-k,
+    recall = hits / k as the single shared double division.
+
+    Scale: both inputs are the already-bounded top-k tables (|Q| * k
+    rows); the audit itself is one broadcast-sized join + groupBy.
+    """
+    brute = cosine_topk(corpus, query_ids, k, id_col, vec_col)
+    approx = (
+        ivf_topk(corpus, query_ids, k, n_planes, id_col, vec_col, dim)
+        .select("qid", "nid")
+        .withColumn("hit", F.lit(1))
+    )
+    j = brute.select("qid", "nid").join(approx, ["qid", "nid"], "left")
+    return j.groupBy("qid").agg(
+        F.count("hit").alias("hits"),
+        (F.count("hit") / F.lit(k)).alias("recall"),
+    )
+
+
 def kmeans_cells_for(n: int) -> int:
     """C ~ sqrt(corpus), floored at 16, capped at 4096 — shared between
     the GEMM scale path and the oracle-exact path so both train the same

@@ -446,6 +446,17 @@ def q_ann_ivf_kmeans(spark, sf_dir):
 # --- text analysis --------------------------------------------------------------
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the multi-probe LSH index vs exact brute force, per
+    query (operators/similarity.py ann_recall) — the accuracy audit next
+    to the index. Value-gated: the oracle composes the ann_topk and
+    ann_ivf replay SQL verbatim and joins the two top-k SETS."""
+    return similarity.ann_recall(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(20)), k=5,
+        dim=64,
+    )
+
+
 def q_token_stats(spark, sf_dir):
     s = textstats.token_stats(_t(spark, sf_dir, "documents"))
     # unrounded double: a single int/int IEEE division is bit-deterministic on
@@ -2083,6 +2094,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
+    "ann_recall": q_ann_recall,
     "token_stats": q_token_stats,
     "token_rarity": q_token_rarity,
     "lang_id": q_lang_id,
@@ -3034,6 +3046,19 @@ ORACLES["xcorr_leadlag"] = f"""
     WHERE r IS NOT NULL
     QUALIFY row_number() OVER (PARTITION BY sid1, sid2
                                ORDER BY abs(r) DESC, lag ASC) = 1
+"""
+
+# recall audit: the exact and approximate replays are the ann_topk /
+# ann_ivf oracle SQL verbatim (composed as CTEs), joined on the (qid, nid)
+# SETS; count/k is the single shared double division
+ORACLES["ann_recall"] = f"""
+    WITH b AS ({ORACLES["ann_topk"]}),
+         a AS ({ORACLES["ann_ivf"]})
+    SELECT b.qid,
+           count(a.nid) AS hits,
+           CAST(count(a.nid) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+    FROM b LEFT JOIN a ON a.qid = b.qid AND a.nid = b.nid
+    GROUP BY b.qid
 """
 
 ORACLES["interp_10m"] = f"""

@@ -86,6 +86,39 @@ def test_ivf_recall_against_brute(spark):
     assert 150 in [r["nid"] for r in ivf.collect()]
 
 
+def test_ann_recall_matches_set_intersection(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((150, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    qids, k = [0, 1, 2], 4
+    brute = {
+        q: {r["nid"] for r in rows}
+        for q, rows in __import__("itertools").groupby(
+            sorted(
+                similarity.cosine_topk(emb, qids, k).collect(),
+                key=lambda r: r["qid"],
+            ),
+            key=lambda r: r["qid"],
+        )
+    }
+    approx = {}
+    for r in similarity.ivf_topk(emb, qids, k, n_planes=2).collect():
+        approx.setdefault(r["qid"], set()).add(r["nid"])
+    out = {
+        r["qid"]: (r["hits"], r["recall"])
+        for r in similarity.ann_recall(emb, qids, k=k, n_planes=2).collect()
+    }
+    assert set(out) == set(qids)  # every query reported, even at 0 hits
+    for q in qids:
+        want = len(brute[q] & approx.get(q, set()))
+        assert out[q] == (want, want / k)
+
+
 def test_token_stats_exact(spark):
     d = spark.createDataFrame([(1, "aa bb aa cccc")], DOC_SCHEMA)
     r = textstats.token_stats(d).collect()[0]

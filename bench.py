@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "topk_orders_per_cust",
     "sessionize",
     "asof_purchase",
+    "interval_join",
     "dedup_exact",
     "minhash_pairs",
     "simhash_pairs",
@@ -53,6 +54,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "bm25_search",
     "token_stats",
+    "token_rarity",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",
@@ -60,6 +62,7 @@ BENCH_QUERIES = [
     "embedding_dups",
     "ann_topk",
     "ann_ivf",
+    "ann_recall",
     "wav_features",
     "png_features",
     "avi_features",
@@ -70,6 +73,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "gopher_quality",
     "corr_pairs",
+    "xcorr_leadlag",
     "interp_10m",
     "dod_times",
     "tiered_agg",

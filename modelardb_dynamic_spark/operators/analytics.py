@@ -550,6 +550,80 @@ def xcorr_leadlag(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    chunk_ms: int,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Distributed interval-overlap join: every (left, right) pair of
+    half-open intervals [lo, hi) that overlap, with the overlap length.
+    Spark has no native range join, and the naive inequality join is a
+    cartesian product; this is the standard time-chunking strategy —
+    each interval is exploded onto the `chunk_ms` grid cells it covers,
+    pairs meet in an EQUI-join on the cell, and each overlapping pair is
+    emitted exactly once by keeping only the cell that contains the
+    overlap's START (max(lo_l, lo_r) DIV chunk — both sides cover that
+    cell by construction, so no pair is lost and none duplicates).
+
+    left/right: (id long/string, lo long, hi long) with lo < hi; extra
+    columns are carried through with the given suffixes on collisions.
+    Returns left columns + right columns + overlap_ms (exact int64).
+
+    Scale: shuffle keys are grid cells, so co-partitioning is by time —
+    the same axis the tier store already buckets on; cost is
+    O(span/chunk_ms) rows per interval (pick chunk_ms near the median
+    interval length: each side then ships ~2 rows per interval), and a
+    long interval fans out linearly, never quadratically. A hot cell
+    (many concurrent intervals both sides) is the true O(k*m) output —
+    AQE's skew-join split handles the cell-level imbalance.
+    """
+    lcols = left.columns
+    rcols = right.columns
+    ren_r = {
+        c: c + suffixes[1] if c in lcols else c for c in rcols
+    }
+    ren_l = {
+        c: c + suffixes[0] if c in rcols else c for c in lcols
+    }
+    lo_l, hi_l = ren_l["lo"], ren_l["hi"]
+    lo_r, hi_r = ren_r["lo"], ren_r["hi"]
+    l = left.select(
+        *[F.col(c).alias(ren_l[c]) for c in lcols],
+        F.explode(
+            F.sequence(
+                F.expr(f"lo DIV {chunk_ms}"),
+                F.expr(f"(hi - 1) DIV {chunk_ms}"),
+            )
+        ).alias("cell"),
+    )
+    r = right.select(
+        *[F.col(c).alias(ren_r[c]) for c in rcols],
+        F.explode(
+            F.sequence(
+                F.expr(f"lo DIV {chunk_ms}"),
+                F.expr(f"(hi - 1) DIV {chunk_ms}"),
+            )
+        ).alias("cell"),
+    )
+    j = l.join(r, "cell").where(
+        (F.col(lo_l) < F.col(hi_r))
+        & (F.col(lo_r) < F.col(hi_l))
+        & (
+            F.col("cell")
+            == F.expr(f"greatest({lo_l}, {lo_r}) DIV {chunk_ms}")
+        )
+    )
+    return j.select(
+        *[F.col(ren_l[c]) for c in lcols],
+        *[F.col(ren_r[c]) for c in rcols],
+        (
+            F.least(F.col(hi_l), F.col(hi_r))
+            - F.greatest(F.col(lo_l), F.col(lo_r))
+        ).alias("overlap_ms"),
+    )
+
+
 def sax_words(
     points: DataFrame,
     paa_ms: int,

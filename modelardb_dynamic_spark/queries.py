@@ -280,6 +280,60 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Distributed interval-overlap join (operators/analytics.py
+    interval_overlap_join): user sessions [start, end+1) range-joined
+    with corpus busy hours (hourly event count STRICTLY above the mean,
+    decided by the exact integer predicate c * n_hours > total_events —
+    no float threshold), via hour-cell chunking + equi-join + the
+    overlap-start-cell dedup rule. The DuckDB oracle replays sessions
+    (the sessionize SQL), the busy-hour predicate, and a plain
+    inequality range join — same pairs, same exact overlap_ms."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sess = textstats.sessionize(ev, gap_ms=30 * 60_000).select(
+        "user_id",
+        "sess_id",
+        "n_events",
+        F.col("start_ms").alias("lo"),
+        (F.col("end_ms") + 1).alias("hi"),
+    )
+    hours = (
+        ev.select(
+            F.expr(
+                f"(unix_millis(CAST(ts AS TIMESTAMP)) DIV {HOUR_MS})"
+                f" * {HOUR_MS}"
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = hours.agg(
+        F.count(F.lit(1)).alias("nh"), F.sum("c").alias("te")
+    )
+    busy = (
+        hours.crossJoin(F.broadcast(tot))
+        .where(F.col("c") * F.col("nh") > F.col("te"))
+        .select(
+            F.col("h").alias("lo"),
+            (F.col("h") + HOUR_MS).alias("hi"),
+            F.col("c"),
+        )
+    )
+    out = interval_overlap_join(sess, busy, chunk_ms=HOUR_MS)
+    return out.select(
+        "user_id",
+        "sess_id",
+        "n_events",
+        F.col("lo_r").alias("hour_ms"),
+        F.col("c").alias("hour_events"),
+        "overlap_ms",
+    )
+
+
 def q_asof_purchase(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
@@ -2081,6 +2135,7 @@ QUERIES = {
     "topk_orders_per_cust": q_topk_orders_per_cust,
     "sessionize": q_sessionize,
     "asof_purchase": q_asof_purchase,
+    "interval_join": q_interval_join,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "novelty": q_novelty,
@@ -3046,6 +3101,40 @@ ORACLES["xcorr_leadlag"] = f"""
     WHERE r IS NOT NULL
     QUALIFY row_number() OVER (PARTITION BY sid1, sid2
                                ORDER BY abs(r) DESC, lag ASC) = 1
+"""
+
+# interval-overlap join audit: sessions replayed with the sessionize SQL,
+# busy hours by the exact integer above-mean predicate, pairs by a plain
+# inequality range join (the semantics our chunked equi-join must equal)
+ORACLES["interval_join"] = f"""
+    WITH marked AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    OR lag(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END
+                   AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sx AS (
+        SELECT user_id, ms,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    ), sess AS (
+        SELECT user_id, sess_id, count(*) AS n_events,
+               min(ms) AS lo, max(ms) + 1 AS hi
+        FROM sx GROUP BY 1, 2
+    ), h AS (
+        SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS hh,
+               count(*) AS c
+        FROM events GROUP BY 1
+    ), tot AS (SELECT count(*) AS nh, sum(c) AS te FROM h),
+    busy AS (SELECT hh, c FROM h, tot WHERE c * nh > te)
+    SELECT s.user_id, CAST(s.sess_id AS BIGINT) AS sess_id,
+           CAST(s.n_events AS BIGINT) AS n_events,
+           b.hh AS hour_ms, b.c AS hour_events,
+           least(s.hi, b.hh + {HOUR_MS}) - greatest(s.lo, b.hh)
+               AS overlap_ms
+    FROM sess s JOIN busy b
+      ON s.lo < b.hh + {HOUR_MS} AND b.hh < s.hi
 """
 
 # recall audit: the exact and approximate replays are the ann_topk /

@@ -355,6 +355,75 @@ def test_xcorr_leadlag_tie_and_support_rules(spark):
     assert len(got) == 1 and got[0].lag == -2
 
 
+def test_interval_overlap_join_semantics(spark):
+    from modelardb_dynamic_spark.operators.analytics import (
+        interval_overlap_join,
+    )
+
+    C = 100  # chunk_ms
+    left = spark.createDataFrame(
+        [
+            ("a", 50, 260),   # spans cells 0,1,2
+            ("b", 120, 130),  # inside cell 1
+            ("c", 300, 301),  # 1ms interval, cell 3
+        ],
+        "id string, lo long, hi long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("x", 0, 1000),   # spans all cells: overlaps everything
+            ("y", 240, 320),  # overlaps a (tail) and c
+            ("z", 260, 280),  # touches a at hi==lo: NOT an overlap
+        ],
+        "rid string, lo long, hi long",
+    )
+    out = {
+        (r.id, r.rid): r.overlap_ms
+        for r in interval_overlap_join(left, right, chunk_ms=C).collect()
+    }
+    # multi-cell co-coverage (a x x share cells 0,1,2) emits exactly ONCE
+    assert out == {
+        ("a", "x"): 210,
+        ("a", "y"): 20,
+        ("b", "x"): 10,
+        ("c", "x"): 1,
+        ("c", "y"): 1,
+    }
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import (
+        interval_overlap_join,
+    )
+
+    rng = np.random.default_rng(17)
+    mk = lambda n: [
+        (int(i), int(lo), int(lo + ln))
+        for i, (lo, ln) in enumerate(
+            zip(
+                rng.integers(0, 5000, size=n),
+                rng.integers(1, 700, size=n),
+            )
+        )
+    ]
+    L, R = mk(60), mk(60)
+    left = spark.createDataFrame(L, "id long, lo long, hi long")
+    right = spark.createDataFrame(R, "rid long, lo long, hi long")
+    got = {
+        (r.id, r.rid): r.overlap_ms
+        for r in interval_overlap_join(left, right, chunk_ms=256).collect()
+    }
+    want = {
+        (i, j): min(h1, h2) - max(l1, l2)
+        for i, l1, h1 in L
+        for j, l2, h2 in R
+        if l1 < h2 and l2 < h1
+    }
+    assert got == want
+
+
 def test_acf_lags_matches_numpy(spark):
     """acf_lags on a dense grid equals the classic numpy sparse-ACF
     (full-series mean, pairs at observed offsets)."""

@@ -288,6 +288,44 @@ def test_new_analytics_ops_stay_jvm_side(spark):
         assert "CartesianProduct" not in plan, plan[:1200]
 
 
+def test_xcorr_and_rarity_plan_shape(spark):
+    """xcorr_leadlag: the top-N activity set AND the lag dimension enter
+    as BROADCAST joins (the only shuffled join is the ts-equality pair
+    join), no cartesian, no Python eval nodes. token_rarity: pure column
+    algebra + two hash aggregations, no Python eval nodes."""
+    import pandas as pd
+
+    from modelardb_dynamic_spark.operators.analytics import xcorr_leadlag
+    from modelardb_dynamic_spark.operators.textstats import token_rarity
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sid": ["a"] * 30 + ["b"] * 30,
+                "ts_ms": [i * 60_000 for i in range(30)] * 2,
+                "v": list(range(1, 31)) + list(range(2, 62, 2)),
+            }
+        )
+    )
+    x = xcorr_leadlag(pts, si_ms=60_000, top_n=2, max_lag=2)
+    x.collect()
+    plan = x._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "b c d"]})
+    )
+    r = token_rarity(docs)
+    r.collect()
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan[:1500]
+
+
 def test_bpe_encode_broadcasts_word_map(spark):
     """bpe_encode charges corpus rows through a BROADCAST join of the
     distinct-word token map (never a shuffled join of corpus vs cache),

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "bloom_members",
     "twa",
     "trend_ols",
+    "theil_sen",
     "seasonal_anom",
     "sliding_24h",
     "context_growth",

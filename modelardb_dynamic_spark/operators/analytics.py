@@ -550,6 +550,72 @@ def xcorr_leadlag(
     )
 
 
+def theil_sen(points: DataFrame, unit_ms: int) -> DataFrame:
+    """Per-series Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i) over x_i < x_j — the
+    breakdown-point-29% complement to trend_ols (one outlier bucket can
+    drag an OLS slope arbitrarily; it moves the slope median by at most
+    one rank).
+
+    Exactness: x is rebased integer buckets and y exact int64 (the
+    trend_ols discipline), every pairwise slope is ONE double division
+    of exact integers, and the median is replayed by RANK SELECTION, not
+    an engine median() (whose even-count interpolation is
+    implementation-defined): rank over slope value alone — bit-equal
+    ties make the value at any rank order-independent — select ranks
+    (m+1)//2 and (m+2)//2, and average them with a shared
+    (lo + hi)/2 tree ((x + x)/2 == x exactly for odd m).
+
+    Returns (sid, n, m_pairs, slope) for series with n >= 3 points;
+    slope is value units per unit_ms.
+
+    Scale: the pair space is quadratic PER SERIES — this is a
+    coarse-tier operator by design (n = buckets in range, e.g. daily
+    tier: a year is 365 points -> 66k pairs per series, all generated
+    map-side from one co-partitioned self-join on sid and reduced by
+    one rank window; the sid-local quadratic never crosses series).
+    """
+    first = points.groupBy("sid").agg(F.min("ts_ms").alias("first_ts"))
+    p = points.join(first, "sid").select(
+        "sid",
+        ((F.col("ts_ms") - F.col("first_ts")) / F.lit(unit_ms))
+        .cast("long")
+        .alias("x"),
+        F.col("v").cast("long").alias("y"),
+    )
+    n_pts = p.groupBy("sid").agg(F.count(F.lit(1)).alias("n"))
+    a = p.select("sid", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = p.select("sid", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pr = (
+        a.join(b, "sid")
+        .where(F.col("xa") < F.col("xb"))
+        .select(
+            "sid",
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("s"),
+        )
+    )
+    cnt = pr.groupBy("sid").agg(F.count(F.lit(1)).alias("m_pairs"))
+    w = Window.partitionBy("sid").orderBy("s")
+    sel = (
+        pr.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(cnt), "sid")
+        .where(F.expr("r = (m_pairs + 1) DIV 2 OR r = (m_pairs + 2) DIV 2"))
+    )
+    med = sel.groupBy("sid", "m_pairs").agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi")
+    )
+    return (
+        med.join(n_pts, "sid")
+        .where(F.col("n") >= 3)
+        .selectExpr(
+            "sid", "n", "m_pairs", "(lo + hi) / CAST(2 AS DOUBLE) AS slope"
+        )
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

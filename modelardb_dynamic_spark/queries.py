@@ -1910,6 +1910,25 @@ def q_trend_ols(spark, sf_dir):
     return trend_ols(hourly, HOUR_MS)
 
 
+def q_theil_sen(spark, sf_dir):
+    """Per-series Theil–Sen robust trend of the DAILY turn rate off the
+    rollup tier (operators/analytics.py theil_sen): median of pairwise
+    slopes by rank selection — outlier days move the slope median one
+    rank, not arbitrarily far (the robust complement to trend_ols). The
+    oracle replays the identical daily aggregation, pairwise slope
+    divisions, and the (m+1)//2 / (m+2)//2 rank average."""
+    from modelardb_dynamic_spark.operators.analytics import theil_sen
+    from modelardb_dynamic_spark.operators.rollup import rollup
+
+    segs = _event_segments(spark, sf_dir)
+    daily = rollup(segs, DAY_MS).select(
+        "sid",
+        F.col("bucket_ts").alias("ts_ms"),
+        F.col("vsum").cast("long").alias("v"),
+    )
+    return theil_sen(daily, DAY_MS)
+
+
 def q_seasonal_anom(spark, sf_dir):
     """Hour-of-day seasonal anomalies in per-event-type hourly activity
     (operators/analytics.py seasonal_anomaly): each hourly bucket scored
@@ -2200,6 +2219,7 @@ QUERIES = {
     "interarrival": q_interarrival,
     "twa": q_twa,
     "trend_ols": q_trend_ols,
+    "theil_sen": q_theil_sen,
     "seasonal_anom": q_seasonal_anom,
     "sliding_24h": q_sliding_24h,
     "context_growth": q_context_growth,
@@ -3973,6 +3993,40 @@ ORACLES["trend_ols"] = f"""
            {_TREND_ICEPT} AS intercept,
            {_TREND_R2} AS r2
     FROM agg WHERE n >= 3 AND n * syy != sy * sy
+"""
+
+ORACLES["theil_sen"] = f"""
+    WITH b AS ({_MINUTE_BUCKETS}),
+    d AS (
+        SELECT sid, (m // {DAY_MS}) * {DAY_MS} AS ts_ms,
+               CAST(sum(v) AS BIGINT) AS v
+        FROM b GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT sid,
+               (ts_ms - min(ts_ms) OVER (PARTITION BY sid))
+                   // {DAY_MS} AS x,
+               v AS y
+        FROM d
+    ),
+    np AS (SELECT sid, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY sid),
+    pr AS (
+        SELECT a.sid,
+               CAST(c.y - a.y AS DOUBLE) / CAST(c.x - a.x AS DOUBLE) AS s
+        FROM p a JOIN p c ON a.sid = c.sid AND a.x < c.x
+    ),
+    cnt AS (SELECT sid, CAST(count(*) AS BIGINT) AS m_pairs
+            FROM pr GROUP BY sid),
+    rk AS (SELECT sid, s, row_number() OVER (
+               PARTITION BY sid ORDER BY s) AS r FROM pr),
+    sel AS (SELECT rk.sid, cnt.m_pairs, s
+            FROM rk JOIN cnt USING (sid)
+            WHERE r = (m_pairs + 1) // 2 OR r = (m_pairs + 2) // 2),
+    med AS (SELECT sid, m_pairs, min(s) AS lo, max(s) AS hi
+            FROM sel GROUP BY 1, 2)
+    SELECT med.sid, np.n, med.m_pairs,
+           (lo + hi) / CAST(2 AS DOUBLE) AS slope
+    FROM med JOIN np USING (sid) WHERE np.n >= 3
 """
 
 ORACLES["seasonal_anom"] = f"""

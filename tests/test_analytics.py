@@ -355,6 +355,42 @@ def test_xcorr_leadlag_tie_and_support_rules(spark):
     assert len(got) == 1 and got[0].lag == -2
 
 
+def test_theil_sen_matches_python_and_resists_outlier(spark):
+    from modelardb_dynamic_spark.operators.analytics import theil_sen
+
+    si = 86_400_000
+    # clean line y = 3x + 5 with ONE wild outlier at x=6
+    ys = [5, 8, 11, 14, 17, 20, 1000, 26]
+    rows = [("a", i * si, y) for i, y in enumerate(ys)]
+    # even pair count series: y = [0, 2, 10, 12] -> slopes sorted
+    rows += [("e", i * si, y) for i, y in enumerate([0, 2, 10, 12])]
+    out = {r.sid: r for r in theil_sen(_points(spark, rows), si).collect()}
+
+    def py_ts(vals):
+        sl = sorted(
+            (vals[j] - vals[i]) / (j - i)
+            for i in range(len(vals))
+            for j in range(i + 1, len(vals))
+        )
+        m = len(sl)
+        return (sl[(m + 1) // 2 - 1] + sl[(m + 2) // 2 - 1]) / 2
+
+    a = out["a"]
+    assert a.n == 8 and a.m_pairs == 28
+    assert a.slope == py_ts(ys)
+    assert abs(a.slope - 3.0) < 0.6  # the outlier barely moves the median
+    e = out["e"]
+    assert e.m_pairs == 6 and e.slope == py_ts([0, 2, 10, 12])
+
+
+def test_theil_sen_excludes_short_series(spark):
+    from modelardb_dynamic_spark.operators.analytics import theil_sen
+
+    si = 86_400_000
+    rows = [("s", 0, 1), ("s", si, 5)]  # n=2 -> excluded
+    assert theil_sen(_points(spark, rows), si).collect() == []
+
+
 def test_interval_overlap_join_semantics(spark):
     from modelardb_dynamic_spark.operators.analytics import (
         interval_overlap_join,

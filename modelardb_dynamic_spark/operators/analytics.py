@@ -550,6 +550,112 @@ def xcorr_leadlag(
     )
 
 
+def holt_winters_levels(
+    points: DataFrame,
+    bucket_ms: int,
+    period_buckets: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt-Winters-style seasonal forecast backtest — the seasonal
+    upgrade of holt_levels, completing the classical triad (EWMA ->
+    Holt -> seasonal Holt): the series is DESEASONALIZED by an additive
+    per-phase offset (classical decomposition), the bit-exact Holt
+    two-state fold runs over the adjusted values, and the offset is
+    added back to the forecast:
+
+        off(sid, phase) = sum_phase/n_phase - sum_all/n_all   (exact
+                          int64 moments, ONE shared double tree)
+        fold input       v - off                (per point, one subtract)
+        forecast(t)      lag(level + trend) + off(phase(t))
+        abs_err          |s/n - forecast|
+
+    A daily-rhythm series that plain Holt chases phase-by-phase (its
+    trend term whipsaws on every peak/trough) is tracked by the offset
+    table, and the Holt state only has to follow the residual drift.
+
+    Determinism: the offsets are exact int64 sums with one shared
+    division tree; the fold is the holt_levels fixed IEEE op sequence
+    with `(v - off)` substituted for `v` on BOTH engines; everything
+    downstream is a shared expression. period_buckets must tile the
+    bucket grid (phase = (bucket_ts DIV bucket_ms) % period).
+
+    Returns (sid, bucket_ts, phase, n, level, trend, forecast, abs_err)
+    with forecast/abs_err NULL on each series' first bucket.
+
+    Scale: one extra map-side-combinable groupBy for the (sid, phase)
+    profile (period_buckets rows per series, broadcast back) on top of
+    holt_levels' one groupBy + one lag window. No Python, no state
+    across rows outside the in-bucket fold.
+    """
+    a = repr(float(alpha))
+    one_a = repr(1.0 - float(alpha))
+    b = repr(float(beta))
+    one_b = repr(1.0 - float(beta))
+    ph = f"((ts_ms DIV {bucket_ms}) % {period_buckets})"
+    prof = (
+        points.groupBy("sid", F.expr(f"{ph}").alias("phase"))
+        .agg(F.count(F.lit(1)).alias("n_g"), F.sum("v").alias("s_g"))
+    )
+    tot = points.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("v").alias("s_all")
+    )
+    off = prof.join(tot, "sid").selectExpr(
+        "sid",
+        "phase",
+        "CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) - "
+        "CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE) AS off",
+    )
+    g = points.groupBy(
+        "sid",
+        F.expr(f"(ts_ms DIV {bucket_ms}) * {bucket_ms}").alias(
+            "bucket_ts"
+        ),
+    ).agg(
+        F.expr("sort_array(collect_list(struct(ts_ms, v)))").alias("pts"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+    )
+    g = g.withColumn(
+        "phase",
+        F.expr(f"(bucket_ts DIV {bucket_ms}) % {period_buckets}"),
+    ).join(F.broadcast(off), ["sid", "phase"])
+    adj = "(CAST(x.v AS DOUBLE) - off)"
+    newl = (
+        f"(CAST({a} AS DOUBLE) * {adj} + "
+        f"CAST({one_a} AS DOUBLE) * (acc.l + acc.b))"
+    )
+    fold = (
+        f"aggregate(slice(pts, 2, size(pts) - 1), "
+        f"named_struct('l', (CAST(pts[0].v AS DOUBLE) - off), "
+        f"'b', CAST(0.0 AS DOUBLE)), "
+        f"(acc, x) -> named_struct("
+        f"'l', {newl}, "
+        f"'b', CAST({b} AS DOUBLE) * ({newl} - acc.l) + "
+        f"CAST({one_b} AS DOUBLE) * acc.b))"
+    )
+    w = Window.partitionBy("sid").orderBy("bucket_ts")
+    return (
+        g.selectExpr(
+            "sid", "bucket_ts", "phase", "n", "s", "off", f"{fold} AS hb"
+        )
+        .selectExpr(
+            "sid", "bucket_ts", "phase", "n", "s", "off",
+            "hb.l AS level", "hb.b AS trend",
+        )
+        .withColumn(
+            "fc0", F.lag(F.col("level") + F.col("trend")).over(w)
+        )
+        .selectExpr(
+            "sid", "bucket_ts", "phase", "n", "level", "trend",
+            "CASE WHEN fc0 IS NULL THEN NULL ELSE fc0 + off END "
+            "AS forecast",
+            "CASE WHEN fc0 IS NULL THEN NULL "
+            "ELSE abs(CAST(s AS DOUBLE) / n - (fc0 + off)) END AS abs_err",
+        )
+    )
+
+
 def theil_sen(points: DataFrame, unit_ms: int) -> DataFrame:
     """Per-series Theil–Sen robust trend: the MEDIAN of all pairwise
     slopes (y_j - y_i)/(x_j - x_i) over x_i < x_j — the

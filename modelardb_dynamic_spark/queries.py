@@ -1974,6 +1974,27 @@ def q_holt_backtest(spark, sf_dir):
     return holt_levels(pts, bucket_ms=HOUR_MS, alpha=0.3, beta=0.1)
 
 
+def q_hw_backtest(spark, sf_dir):
+    """Holt-Winters-style SEASONAL forecast backtest (operators/
+    analytics.py holt_winters_levels), completing the EWMA -> Holt ->
+    seasonal triad: exact-moment additive hour-of-day offsets
+    deseasonalize the series, the bit-exact Holt fold runs on the
+    residual, and the offset returns in the forecast. Oracle replays
+    offsets + the list_reduce fold with (v - off) substituted — every
+    double hash-gated."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        holt_winters_levels,
+    )
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return holt_winters_levels(
+        pts, bucket_ms=HOUR_MS, period_buckets=24, alpha=0.3, beta=0.1
+    )
+
+
 def q_agent_loops(spark, sf_dir):
     """Runaway-agent audit (operators/textstats.py agent_loops): maximal
     consecutive non-user turn runs per conversation via exact
@@ -2240,6 +2261,7 @@ QUERIES = {
     "tiered_cms_range": q_tiered_cms_range,
     "ewma_backtest": q_ewma_backtest,
     "holt_backtest": q_holt_backtest,
+    "hw_backtest": q_hw_backtest,
     "stream_sessions": q_stream_sessions,
 }
 
@@ -3715,6 +3737,65 @@ ORACLES["holt_backtest"] = f"""
     SELECT sid, bucket_ts, n, level, trend, forecast,
            CASE WHEN forecast IS NULL THEN NULL
                 ELSE abs(CAST(s AS DOUBLE) / n - forecast) END AS abs_err
+    FROM w
+"""
+
+ORACLES["hw_backtest"] = f"""
+    WITH m AS ({_MINUTE_BUCKETS}),
+    prof AS (
+        SELECT sid, (m // {HOUR_MS}) % 24 AS phase,
+               count(*) AS n_g, CAST(sum(v) AS BIGINT) AS s_g
+        FROM m GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT sid, count(*) AS n_all, CAST(sum(v) AS BIGINT) AS s_all
+        FROM m GROUP BY sid
+    ),
+    offs AS (
+        SELECT prof.sid, phase,
+               CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) -
+               CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE) AS off
+        FROM prof JOIN tot USING (sid)
+    ),
+    g AS (
+        SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS bucket_ts,
+               list(CAST(v AS DOUBLE) ORDER BY m) AS vs,
+               count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+        FROM m GROUP BY 1, 2
+    ),
+    gj AS (
+        SELECT g.sid, g.bucket_ts, g.vs, g.n, g.s,
+               (g.bucket_ts // {HOUR_MS}) % 24 AS phase, offs.off
+        FROM g JOIN offs ON offs.sid = g.sid
+         AND offs.phase = (g.bucket_ts // {HOUR_MS}) % 24
+    ),
+    l AS (
+        SELECT sid, bucket_ts, phase, n, s, off,
+               list_reduce(
+                   [[vs[1] - off, CAST(0.0 AS DOUBLE)]] ||
+                   [[x, CAST(0.0 AS DOUBLE)] FOR x IN vs[2:]],
+                   (acc, e) -> [
+                       CAST(0.3 AS DOUBLE) * (e[1] - off) +
+                       CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+                       CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) *
+                           (e[1] - off) +
+                           CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]))
+                           - acc[1])
+                       + CAST(0.9 AS DOUBLE) * acc[2]
+                   ]) AS hb
+        FROM gj
+    ),
+    w AS (
+        SELECT sid, bucket_ts, phase, n, s, off,
+               hb[1] AS level, hb[2] AS trend,
+               lag(hb[1] + hb[2]) OVER (
+                   PARTITION BY sid ORDER BY bucket_ts) AS fc0
+        FROM l
+    )
+    SELECT sid, bucket_ts, phase, n, level, trend,
+           CASE WHEN fc0 IS NULL THEN NULL ELSE fc0 + off END AS forecast,
+           CASE WHEN fc0 IS NULL THEN NULL
+                ELSE abs(CAST(s AS DOUBLE) / n - (fc0 + off)) END AS abs_err
     FROM w
 """
 

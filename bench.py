@@ -86,12 +86,14 @@ BENCH_QUERIES = [
     "turn_transitions",
     "hist_quantile",
     "rolling_zscore",
+    "mad_outliers",
     "counter_rate",
     "tiered_hll_range",
     "cms_heavy",
     "tiered_cms_range",
     "ewma_backtest",
     "holt_backtest",
+    "hw_backtest",
     "cohort_retention",
     "funnel_daily",
     "m4_downsample",

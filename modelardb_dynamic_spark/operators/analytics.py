@@ -722,6 +722,73 @@ def theil_sen(points: DataFrame, unit_ms: int) -> DataFrame:
     )
 
 
+def mad_outliers(points: DataFrame, k: float = 5.0) -> DataFrame:
+    """Robust per-series outlier detection by median absolute deviation:
+    flag buckets where |v - median(v)| > k * MAD. The mean/std detector
+    (rolling_zscore) masks its own outliers — a spike inflates the std
+    that judges it; the median/MAD pair has 50% breakdown, so the
+    detector the spike cannot corrupt.
+
+    Both medians are rank selections (the theil_sen discipline — never
+    an engine median(), whose even-count interpolation is
+    implementation-defined): median(v) over exact int64 values with the
+    shared (lo + hi)/2 tree; MAD over the |v - med| doubles the first
+    pass defines. Every comparison is on bit-identical doubles, so the
+    flagged set is value-gatable.
+
+    Returns EVERY bucket row (sid, ts_ms, v, med, mad, dev, is_outlier)
+    with is_outlier = (mad > 0 AND dev > k * mad) — the rolling_zscore
+    output discipline: a sparse corpus with no outliers still gates the
+    med/mad/dev algebra, and a constant series (MAD 0, any deviation
+    "infinite") is explicitly never flagged.
+
+    Scale: two rank windows per sid + one broadcast-sized join of the
+    per-sid (med, mad) table back to the buckets. A window per sid is
+    the engine's natural partition; no quadratic term anywhere.
+    """
+    n_w = Window.partitionBy("sid")
+    r_w = Window.partitionBy("sid").orderBy("v")
+    med = (
+        points.withColumn("r", F.row_number().over(r_w))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+        .where(F.expr("r = (n + 1) DIV 2 OR r = (n + 2) DIV 2"))
+        .groupBy("sid")
+        .agg(
+            F.expr(
+                "(CAST(min(v) AS DOUBLE) + CAST(max(v) AS DOUBLE))"
+                " / CAST(2 AS DOUBLE)"
+            ).alias("med")
+        )
+    )
+    dev = points.join(F.broadcast(med), "sid").withColumn(
+        "dev", F.expr("abs(CAST(v AS DOUBLE) - med)")
+    )
+    d_w = Window.partitionBy("sid").orderBy("dev")
+    mad = (
+        dev.withColumn("r", F.row_number().over(d_w))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+        .where(F.expr("r = (n + 1) DIV 2 OR r = (n + 2) DIV 2"))
+        .groupBy("sid")
+        .agg(
+            F.expr("(min(dev) + max(dev)) / CAST(2 AS DOUBLE)").alias(
+                "mad"
+            )
+        )
+    )
+    kk = repr(float(k))
+    return dev.join(F.broadcast(mad), "sid").select(
+        "sid",
+        "ts_ms",
+        "v",
+        "med",
+        "mad",
+        "dev",
+        F.expr(f"mad > 0 AND dev > CAST({kk} AS DOUBLE) * mad").alias(
+            "is_outlier"
+        ),
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

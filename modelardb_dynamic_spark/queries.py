@@ -1910,6 +1910,31 @@ def q_trend_ols(spark, sf_dir):
     return trend_ols(hourly, HOUR_MS)
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier audit of per-event-type hourly activity
+    (operators/analytics.py mad_outliers): every bucket scored by
+    |v - median| vs 3 * MAD, both medians by rank selection — the
+    spike-proof complement to rolling_zscore (a spike inflates the std
+    that judges it; it cannot move the median). The oracle replays both
+    selections, the shared (lo+hi)/2 trees, and the boolean flag."""
+    from modelardb_dynamic_spark.operators.analytics import mad_outliers
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("sid"),
+            (
+                (
+                    F.unix_millis(F.col("ts").cast("timestamp")) / HOUR_MS
+                ).cast("long")
+                * HOUR_MS
+            ).alias("ts_ms"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return mad_outliers(hourly, k=3.0)
+
+
 def q_theil_sen(spark, sf_dir):
     """Per-series Theil–Sen robust trend of the DAILY turn rate off the
     rollup tier (operators/analytics.py theil_sen): median of pairwise
@@ -2241,6 +2266,7 @@ QUERIES = {
     "twa": q_twa,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
+    "mad_outliers": q_mad_outliers,
     "seasonal_anom": q_seasonal_anom,
     "sliding_24h": q_sliding_24h,
     "context_growth": q_context_growth,
@@ -4074,6 +4100,37 @@ ORACLES["trend_ols"] = f"""
            {_TREND_ICEPT} AS intercept,
            {_TREND_R2} AS r2
     FROM agg WHERE n >= 3 AND n * syy != sy * sy
+"""
+
+ORACLES["mad_outliers"] = f"""
+    WITH h AS (
+        SELECT event_type AS sid,
+               (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS ts_ms,
+               CAST(count(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    rk AS (SELECT sid, v, row_number() OVER (
+               PARTITION BY sid ORDER BY v) AS r,
+               count(*) OVER (PARTITION BY sid) AS n FROM h),
+    med AS (SELECT sid,
+               (CAST(min(v) AS DOUBLE) + CAST(max(v) AS DOUBLE))
+                   / CAST(2 AS DOUBLE) AS med
+            FROM rk WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+            GROUP BY sid),
+    dv AS (SELECT h.sid, h.ts_ms, h.v, med.med,
+               abs(CAST(h.v AS DOUBLE) - med.med) AS dev
+           FROM h JOIN med USING (sid)),
+    rk2 AS (SELECT sid, dev, row_number() OVER (
+               PARTITION BY sid ORDER BY dev) AS r,
+               count(*) OVER (PARTITION BY sid) AS n FROM dv),
+    mad AS (SELECT sid,
+               (min(dev) + max(dev)) / CAST(2 AS DOUBLE) AS mad
+            FROM rk2 WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+            GROUP BY sid)
+    SELECT dv.sid, dv.ts_ms, dv.v, dv.med, mad.mad, dv.dev,
+           (mad.mad > 0 AND dv.dev > CAST(3.0 AS DOUBLE) * mad.mad)
+               AS is_outlier
+    FROM dv JOIN mad USING (sid)
 """
 
 ORACLES["theil_sen"] = f"""

@@ -355,6 +355,31 @@ def test_xcorr_leadlag_tie_and_support_rules(spark):
     assert len(got) == 1 and got[0].lag == -2
 
 
+def test_mad_outliers_hand_computed(spark):
+    from modelardb_dynamic_spark.operators.analytics import mad_outliers
+
+    si = 3_600_000
+    # vs sorted [9,10,11,12,100]: med=11, devs sorted [0,1,1,2,89] ->
+    # MAD=1; only the 100 flags at k=3
+    rows = [("a", i * si, v) for i, v in enumerate([10, 9, 11, 12, 100])]
+    # constant series: MAD 0 -> never flagged
+    rows += [("k", i * si, 7) for i in range(5)]
+    # even count: vs=[1,2,8,9] -> med=(2+8)/2=5, devs=[4,3,3,4] -> MAD=3.5
+    rows += [("e", i * si, v) for i, v in enumerate([1, 2, 8, 9])]
+    out = {
+        (r.sid, r.ts_ms): r
+        for r in mad_outliers(_points(spark, rows), k=3.0).collect()
+    }
+    assert len(out) == 14  # every bucket reported
+    a_spike = out[("a", 4 * si)]
+    assert a_spike.med == 11.0 and a_spike.mad == 1.0
+    assert a_spike.dev == 89.0 and a_spike.is_outlier
+    assert sum(r.is_outlier for r in out.values()) == 1
+    assert all(not out[("k", i * si)].is_outlier for i in range(5))
+    e = out[("e", 0)]
+    assert e.med == 5.0 and e.mad == 3.5 and not e.is_outlier
+
+
 def test_theil_sen_matches_python_and_resists_outlier(spark):
     from modelardb_dynamic_spark.operators.analytics import theil_sen
 

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "sliding_24h",
     "context_growth",
     "conv_summary",
+    "vocab_growth",
     "tool_usage",
     "agent_loops",
     "tool_latency",

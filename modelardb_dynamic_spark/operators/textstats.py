@@ -134,6 +134,66 @@ def token_rarity(
     )
 
 
+def vocab_growth(
+    tr: DataFrame,
+    id_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation vocabulary-growth trajectory (the Heaps-law
+    curve): for every turn, tokens this turn, tokens so far, NEW types
+    this turn (tokens whose first conversation occurrence is this turn),
+    distinct types so far, and the running type-token ratio — the
+    lexical-diversity signal that separates a conversation that keeps
+    introducing material from one circling a fixed vocabulary (the
+    trajectory twin of the per-doc novelty score).
+
+    Exactness: all counts are exact int64; ttr = cum_distinct/cum_tokens
+    is the single shared double division.
+
+    Scale: "cumulative distinct" is NOT computed as a running set —
+    first occurrences are one map-side-combinable min() per
+    (conv, token), re-aggregated to new-types-per-turn, and the
+    trajectory is a plain cumulative-sum window over TURN rows (not
+    token rows). Three aggregations + one window, all keyed on the
+    conversation — the engine's universal partition key.
+    """
+    tok = tr.select(
+        id_col,
+        order_col,
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    per_turn = tok.groupBy(id_col, order_col).agg(
+        F.count(F.lit(1)).alias("turn_tokens")
+    )
+    firsts = tok.groupBy(id_col, "w").agg(F.min(order_col).alias("ft"))
+    news = firsts.groupBy(
+        id_col, F.col("ft").alias(order_col)
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    j = per_turn.join(news, [id_col, order_col], "left").withColumn(
+        "new_types", F.coalesce(F.col("new_types"), F.lit(0))
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        j.withColumn("cum_tokens", F.sum("turn_tokens").over(w))
+        .withColumn("cum_types", F.sum("new_types").over(w))
+        .selectExpr(
+            id_col,
+            order_col,
+            "turn_tokens",
+            "new_types",
+            "cum_tokens",
+            "cum_types",
+            "CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS DOUBLE)"
+            " AS ttr",
+        )
+    )
+
+
 # -- fingerprinting --------------------------------------------------------------
 
 

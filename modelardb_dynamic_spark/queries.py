@@ -2020,6 +2020,16 @@ def q_hw_backtest(spark, sf_dir):
     )
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Per-conversation vocabulary-growth (Heaps-law) trajectory
+    (operators/textstats.py vocab_growth): per turn — tokens, NEW types
+    (first conversation occurrence), cumulative both, running
+    type-token ratio. First occurrences by min() per (conv, token), the
+    curve by a cum-sum window over turn rows. The oracle replays the
+    identical construction."""
+    return textstats.vocab_growth(_events_as_transcripts(spark, sf_dir))
+
+
 def q_agent_loops(spark, sf_dir):
     """Runaway-agent audit (operators/textstats.py agent_loops): maximal
     consecutive non-user turn runs per conversation via exact
@@ -2276,6 +2286,7 @@ QUERIES = {
     "tool_latency_pct": q_tool_latency_pct,
     "turn_echo": q_turn_echo,
     "conv_summary": q_conv_summary,
+    "vocab_growth": q_vocab_growth,
     "verbosity_latency": q_verbosity_latency,
     "trending_terms": q_trending_terms,
     "hist_quantile": q_hist_quantile,
@@ -4391,6 +4402,45 @@ ORACLES["conv_summary"] = f"""
            min(ts_ms) AS first_ts_ms, max(ts_ms) AS last_ts_ms,
            max(ts_ms) - min(ts_ms) AS duration_ms
     FROM tr GROUP BY conv_id ORDER BY conv_id
+"""
+
+ORACLES["vocab_growth"] = f"""
+    WITH tr AS ({_TR_FULL}),
+    tok AS (
+        SELECT conv_id, turn_idx,
+               unnest(string_split_regex(text, '\\s+')) AS w
+        FROM tr
+    ),
+    tk AS (SELECT * FROM tok WHERE w != ''),
+    per_turn AS (
+        SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS turn_tokens
+        FROM tk GROUP BY 1, 2
+    ),
+    firsts AS (
+        SELECT conv_id, w, min(turn_idx) AS ft FROM tk GROUP BY 1, 2
+    ),
+    news AS (
+        SELECT conv_id, ft AS turn_idx, CAST(count(*) AS BIGINT)
+               AS new_types
+        FROM firsts GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT p.conv_id, p.turn_idx, p.turn_tokens,
+               CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types
+        FROM per_turn p LEFT JOIN news n
+          ON n.conv_id = p.conv_id AND n.turn_idx = p.turn_idx
+    ),
+    c AS (
+        SELECT conv_id, turn_idx, turn_tokens, new_types,
+               CAST(sum(turn_tokens) OVER w AS BIGINT) AS cum_tokens,
+               CAST(sum(new_types) OVER w AS BIGINT) AS cum_types
+        FROM j WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT conv_id, turn_idx, turn_tokens, new_types, cum_tokens,
+           cum_types,
+           CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS DOUBLE) AS ttr
+    FROM c
 """
 
 ORACLES["turn_echo"] = f"""

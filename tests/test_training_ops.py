@@ -148,6 +148,35 @@ def test_token_rarity_hand_computed(spark):
     assert r2["rare_tokens"] == 1 and r2["rare_frac"] == 1 / 3
 
 
+def test_vocab_growth_hand_computed(spark):
+    tr = spark.createDataFrame(
+        [
+            ("c", 0, "a b a"),
+            ("c", 1, "b c"),
+            ("c", 2, "a b"),
+            ("d", 0, "x"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in textstats.vocab_growth(tr).collect()
+    }
+    r0, r1, r2 = out[("c", 0)], out[("c", 1)], out[("c", 2)]
+    assert (r0.turn_tokens, r0.new_types, r0.cum_tokens, r0.cum_types) == (
+        3, 2, 3, 2,
+    )
+    assert (r1.turn_tokens, r1.new_types, r1.cum_tokens, r1.cum_types) == (
+        2, 1, 5, 3,
+    )
+    # turn 2 introduces nothing new: the left join must keep the row at 0
+    assert (r2.turn_tokens, r2.new_types, r2.cum_tokens, r2.cum_types) == (
+        2, 0, 7, 3,
+    )
+    assert r2.ttr == 3 / 7
+    assert (out[("d", 0)].cum_tokens, out[("d", 0)].cum_types) == (1, 1)
+
+
 def test_lang_id_markers(spark):
     d = spark.createDataFrame(
         [

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "rolling_fingerprint",
     "embedding_dups",
+    "paraphrase_pairs",
     "ann_topk",
     "ann_ivf",
     "ann_recall",

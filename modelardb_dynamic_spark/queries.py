@@ -466,6 +466,30 @@ def q_embedding_dups(spark, sf_dir):
 # --- similarity search ---------------------------------------------------------
 
 
+def q_paraphrase_pairs(spark, sf_dir):
+    """Paraphrase-candidate audit: pairs that are EMBEDDING-near but
+    TEXTUALLY far — the near-dup class lexical dedup cannot see (and the
+    one you usually want to KEEP in a training set, deduped
+    semantically). Composes the two existing detectors: embedding cosine
+    pairs (>= 0.4) LEFT-joined to 3-gram Jaccard pairs (>= 0.25);
+    is_lexical marks pairs the textual detector also caught, so
+    paraphrase candidates are is_lexical = false. The oracle composes
+    the embedding_dups and ngram_jaccard replay SQL verbatim."""
+    emb = dedup.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4, dim=64
+    ).select("ida", "idb", "cosine")
+    jac = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.25, n=3
+    ).select("ida", "idb", "jaccard")
+    return emb.join(jac, ["ida", "idb"], "left").select(
+        "ida",
+        "idb",
+        "cosine",
+        "jaccard",
+        F.col("jaccard").isNotNull().alias("is_lexical"),
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     return similarity.cosine_topk(
         _t(spark, sf_dir, "embeddings"), query_ids=list(range(20)), k=5
@@ -2221,6 +2245,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
+    "paraphrase_pairs": q_paraphrase_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -3214,6 +3239,17 @@ ORACLES["interval_join"] = f"""
                AS overlap_ms
     FROM sess s JOIN busy b
       ON s.lo < b.hh + {HOUR_MS} AND b.hh < s.hi
+"""
+
+# paraphrase audit: the embedding and n-gram replay SQL verbatim as CTEs,
+# left-joined — semantic-near pairs flagged by whether the lexical
+# detector also caught them
+ORACLES["paraphrase_pairs"] = f"""
+    WITH e AS ({ORACLES["embedding_dups"]}),
+         j AS ({ORACLES["ngram_jaccard"]})
+    SELECT e.ida, e.idb, e.cosine, j.jaccard,
+           (j.jaccard IS NOT NULL) AS is_lexical
+    FROM e LEFT JOIN j ON j.ida = e.ida AND j.idb = e.idb
 """
 
 # recall audit: the exact and approximate replays are the ann_topk /

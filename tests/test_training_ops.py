@@ -148,6 +148,45 @@ def test_token_rarity_hand_computed(spark):
     assert r2["rare_tokens"] == 1 and r2["rare_frac"] == 1 / 3
 
 
+def test_paraphrase_composition_flags_lexical_pairs(spark):
+    """The paraphrase audit's composition logic: embedding-near pairs
+    split by whether the lexical (n-gram Jaccard) detector also fires."""
+    import numpy as np
+
+    base = np.ones(16, dtype="float32")
+    v2 = base.copy()
+    v2[0] = 0.9
+    far = -base
+    emb = spark.createDataFrame(
+        [(0, base.tolist()), (1, v2.tolist()), (2, far.tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a completely different sentence about reindeer"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+        ],
+        DOC_SCHEMA,
+    )
+    ep = dedup.embedding_dup_pairs(
+        emb, threshold=0.9, n_planes=2, dim=16
+    ).select("ida", "idb", "cosine")
+    jp = dedup.ngram_jaccard_pairs(docs, threshold=0.25, n=3).select(
+        "ida", "idb", "jaccard"
+    )
+    out = {
+        (r.ida, r.idb): r.is_lexical
+        for r in ep.join(jp, ["ida", "idb"], "left")
+        .select(
+            "ida", "idb", F.col("jaccard").isNotNull().alias("is_lexical")
+        )
+        .collect()
+    }
+    # (0,1): embedding-near, textually far -> paraphrase candidate
+    assert out == {(0, 1): False}
+
+
 def test_vocab_growth_hand_computed(spark):
     tr = spark.createDataFrame(
         [

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "trend_ols",
     "theil_sen",
     "seasonal_anom",
+    "seasonal_envelope",
     "sliding_24h",
     "context_growth",
     "conv_summary",

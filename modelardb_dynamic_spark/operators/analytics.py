@@ -722,6 +722,48 @@ def theil_sen(points: DataFrame, unit_ms: int) -> DataFrame:
     )
 
 
+def seasonal_envelope(
+    points: DataFrame, bucket_ms: int, period_buckets: int
+) -> DataFrame:
+    """Per-(series, phase) seasonal percentile ENVELOPE: exact p10 /
+    p50 / p90 bands of the bucket values at each phase of the cycle
+    (e.g. hour-of-day) — the "normal band" a dashboard draws and an
+    alert compares against; seasonal_anomaly scores points against a
+    phase MEAN, this is the order-statistics version that a heavy tail
+    cannot drag.
+
+    Built on the shared distributed-selection core (textstats
+    gap_percentiles): per (sid, phase) value-count table, cumulative
+    counts, ceil-index selection in pure integer arithmetic — never a
+    per-key sort of raw rows, so a phase with 10^9 observations costs
+    one map-side-combinable count plus a window over DISTINCT values.
+
+    Returns (sid, phase, n, vsum, vavg, vmin, p10, p50, p90, vmax);
+    vavg is the single shared double division.
+    """
+    from modelardb_dynamic_spark.operators.textstats import (
+        gap_percentiles,
+    )
+
+    g = points.select(
+        "sid",
+        F.expr(
+            f"((ts_ms DIV {bucket_ms}) % {period_buckets})"
+        ).alias("phase"),
+        F.col("v").alias("gap_ms"),
+    )
+    env = gap_percentiles(
+        g,
+        ["sid", "phase"],
+        picks=(("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10)),
+    )
+    return env.selectExpr(
+        "sid", "phase", "n",
+        "gap_sum_ms AS vsum", "avg_gap_ms AS vavg",
+        "min_ms AS vmin", "p10", "p50", "p90", "max_ms AS vmax",
+    )
+
+
 def mad_outliers(points: DataFrame, k: float = 5.0) -> DataFrame:
     """Robust per-series outlier detection by median absolute deviation:
     flag buckets where |v - median(v)| > k * MAD. The mean/std detector

@@ -731,36 +731,48 @@ def reply_latency(tr: DataFrame) -> DataFrame:
     return gap_percentiles(g, "role")
 
 
-def gap_percentiles(g: DataFrame, key: str) -> DataFrame:
-    """The distributed-selection core shared by reply_latency and
-    tool_latency_pct: g is (key, gap_ms) rows; returns per key the exact
-    count/sum/mean/min/max and ceil-index p50/p90/p99 computed over the
-    (key, gap_ms, occurrences) value-count table (see reply_latency's
-    docstring for why this shape, and not a per-key sort of raw rows,
-    is the 10^12-turn design)."""
-    counts = g.groupBy(key, "gap_ms").agg(F.count(F.lit(1)).alias("c"))
-    wr = Window.partitionBy(key).orderBy("gap_ms")
+def gap_percentiles(
+    g: DataFrame,
+    key,
+    picks: tuple = (("p50_ms", 1, 2), ("p90_ms", 9, 10), ("p99_ms", 99, 100)),
+) -> DataFrame:
+    """The distributed-selection core shared by reply_latency,
+    tool_latency_pct, and seasonal_envelope: g is (key..., gap_ms) rows;
+    returns per key the exact count/sum/mean/min/max and the ceil-index
+    order statistics named by `picks` — each (name, a, b) selects the
+    smallest value whose cumulative count reaches ceil(a*n/b), in pure
+    integer arithmetic ((a*n + b - 1) DIV b) over the (key, gap_ms,
+    occurrences) value-count table (see reply_latency's docstring for
+    why this shape, and not a per-key sort of raw rows, is the
+    10^12-turn design). `key` is one column name or a list of them; the
+    defaults reproduce the original p50/p90/p99 expressions verbatim."""
+    keys = [key] if isinstance(key, str) else list(key)
+    counts = g.groupBy(*keys, "gap_ms").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy(*keys).orderBy("gap_ms")
     cum = counts.withColumn("cum", F.sum("c").over(wr))
-    stats = counts.groupBy(key).agg(
+    stats = counts.groupBy(*keys).agg(
         F.sum("c").alias("n"),
         F.sum(F.col("c") * F.col("gap_ms")).alias("gap_sum_ms"),
         F.min("gap_ms").alias("min_ms"),
         F.max("gap_ms").alias("max_ms"),
     )
-    j = cum.join(F.broadcast(stats), key)
+    j = cum.join(F.broadcast(stats), keys)
     # ceil(p*n) in pure integer arithmetic: ceil(a*n/b) = (a*n + b - 1) DIV b
-    picks = j.groupBy(key).agg(
-        F.min(F.expr("CASE WHEN cum >= (n + 1) DIV 2 THEN gap_ms END"))
-        .alias("p50_ms"),
-        F.min(F.expr("CASE WHEN cum >= (9 * n + 9) DIV 10 THEN gap_ms END"))
-        .alias("p90_ms"),
-        F.min(F.expr("CASE WHEN cum >= (99 * n + 99) DIV 100 THEN gap_ms END"))
-        .alias("p99_ms"),
+    picks_agg = j.groupBy(*keys).agg(
+        *[
+            F.min(
+                F.expr(
+                    f"CASE WHEN cum >= ({a} * n + {b} - 1) DIV {b} "
+                    "THEN gap_ms END"
+                )
+            ).alias(name)
+            for name, a, b in picks
+        ]
     )
-    return stats.join(picks, key).selectExpr(
-        key, "n", "gap_sum_ms",
+    return stats.join(picks_agg, keys).selectExpr(
+        *keys, "n", "gap_sum_ms",
         "CAST(gap_sum_ms AS DOUBLE) / CAST(n AS DOUBLE) AS avg_gap_ms",
-        "min_ms", "p50_ms", "p90_ms", "p99_ms", "max_ms",
+        "min_ms", *[p[0] for p in picks], "max_ms",
     )
 
 

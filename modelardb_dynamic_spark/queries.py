@@ -1934,6 +1934,32 @@ def q_trend_ols(spark, sf_dir):
     return trend_ols(hourly, HOUR_MS)
 
 
+def q_seasonal_envelope(spark, sf_dir):
+    """Hour-of-day percentile envelope of per-event-type hourly activity
+    (operators/analytics.py seasonal_envelope): exact p10/p50/p90 bands
+    per (series, phase) via the shared distributed-selection core —
+    value-count table + integer ceil-rank, never a raw-row sort. The
+    oracle replays the identical cumulative selection."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        seasonal_envelope,
+    )
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("sid"),
+            (
+                (
+                    F.unix_millis(F.col("ts").cast("timestamp")) / HOUR_MS
+                ).cast("long")
+                * HOUR_MS
+            ).alias("ts_ms"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return seasonal_envelope(hourly, HOUR_MS, 24)
+
+
 def q_mad_outliers(spark, sf_dir):
     """Robust MAD outlier audit of per-event-type hourly activity
     (operators/analytics.py mad_outliers): every bucket scored by
@@ -2302,6 +2328,7 @@ QUERIES = {
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
+    "seasonal_envelope": q_seasonal_envelope,
     "seasonal_anom": q_seasonal_anom,
     "sliding_24h": q_sliding_24h,
     "context_growth": q_context_growth,
@@ -4147,6 +4174,38 @@ ORACLES["trend_ols"] = f"""
            {_TREND_ICEPT} AS intercept,
            {_TREND_R2} AS r2
     FROM agg WHERE n >= 3 AND n * syy != sy * sy
+"""
+
+ORACLES["seasonal_envelope"] = f"""
+    WITH h AS (
+        SELECT event_type AS sid,
+               (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS ts_ms,
+               CAST(count(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (SELECT sid, (ts_ms // {HOUR_MS}) % 24 AS phase, v FROM h),
+    counts AS (SELECT sid, phase, v, count(*) AS c
+               FROM g GROUP BY 1, 2, 3),
+    cum AS (SELECT sid, phase, v, c,
+                   sum(c) OVER (PARTITION BY sid, phase ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM counts),
+    stats AS (SELECT sid, phase, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(sum(c * v) AS BIGINT) AS vsum,
+                     min(v) AS vmin, max(v) AS vmax
+              FROM counts GROUP BY 1, 2),
+    j AS (SELECT cum.*, stats.n FROM cum
+          JOIN stats USING (sid, phase)),
+    picks AS (
+        SELECT sid, phase,
+               min(CASE WHEN cum >= (n + 9) // 10 THEN v END) AS p10,
+               min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50,
+               min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS p90
+        FROM j GROUP BY 1, 2)
+    SELECT stats.sid, stats.phase, stats.n, stats.vsum,
+           CAST(vsum AS DOUBLE) / CAST(n AS DOUBLE) AS vavg,
+           stats.vmin, picks.p10, picks.p50, picks.p90, stats.vmax
+    FROM stats JOIN picks USING (sid, phase)
 """
 
 ORACLES["mad_outliers"] = f"""

@@ -355,6 +355,37 @@ def test_xcorr_leadlag_tie_and_support_rules(spark):
     assert len(got) == 1 and got[0].lag == -2
 
 
+def test_seasonal_envelope_hand_computed(spark):
+    from modelardb_dynamic_spark.operators.analytics import (
+        seasonal_envelope,
+    )
+
+    H, P = 3_600_000, 4
+    rows = []
+    # phase 1 of a 4-bucket cycle sees values 1..10 across 10 cycles
+    for cyc in range(10):
+        rows.append(("s", (cyc * P + 1) * H, cyc + 1))
+    # phase 3 sees a constant 7, three times
+    for cyc in range(3):
+        rows.append(("s", (cyc * P + 3) * H, 7))
+    out = {
+        r.phase: r
+        for r in seasonal_envelope(
+            _points(spark, rows), H, P
+        ).collect()
+    }
+    p1 = out[1]
+    # ceil-rank over 1..10: p10 -> rank 1 -> 1; p50 -> rank 5 -> 5;
+    # p90 -> rank 9 -> 9
+    assert (p1.n, p1.vmin, p1.p10, p1.p50, p1.p90, p1.vmax) == (
+        10, 1, 1, 5, 9, 10,
+    )
+    assert p1.vsum == 55 and p1.vavg == 5.5
+    p3 = out[3]
+    assert (p3.p10, p3.p50, p3.p90) == (7, 7, 7)
+    assert set(out) == {1, 3}  # unobserved phases are absent, not zero
+
+
 def test_mad_outliers_hand_computed(spark):
     from modelardb_dynamic_spark.operators.analytics import mad_outliers
 

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "token_stats",
     "token_rarity",
+    "lm_xent",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

@@ -1189,3 +1189,167 @@ def verbosity_latency(tr: DataFrame) -> DataFrame:
         "role", "n", "sx", "sy", "sxx", "syy", "sxy",
         f"{_PEARSON_EXPR} AS r",
     )
+
+
+# -- bigram LM cross-entropy (CCNet-style quality scoring) ---------------------
+
+def _dlit(x: float) -> str:
+    """Double literal that parses as DOUBLE (not DECIMAL) on both Spark
+    and DuckDB: repr() is the shortest round-trip form, and the exponent
+    suffix forces the double lexer rule in both SQL dialects."""
+    r = repr(float(x))
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+def log2_int_stages(n: str, out: str) -> list[tuple[str, str]]:
+    """Staged column expressions computing log2 of an exact positive int64
+    as a SHARED Spark/DuckDB IEEE tree — the _PEARSON_EXPR discipline
+    extended to a logarithm, for scores whose log must be taken over
+    data-sized tables (a vocabulary), where bm25_topk's driver-side-ln
+    trick cannot apply.
+
+    No engine transcendental is ever evaluated; only operations IEEE 754
+    requires to be correctly rounded (+ - * / and integer/string ops):
+
+      e = floor(log2 n)      exact: length of the binary digits minus 1
+                             (bin() exists in both dialects; TRIM LEADING
+                             keeps it robust to zero-padding variants)
+      m = n / 2^e in [1,2)   exact: n <= 2^53 casts exactly, and division
+                             by a power of two only shifts the exponent
+      t = (m-1)/(m+1)        in [0, 1/3): two exact subs + one rounded div
+      ln m = 2*atanh(t)      truncated odd series through t^19, evaluated
+                             as a Horner tree in u = t^2 with repr()
+                             literal coefficients — identical text, hence
+                             identical doubles, on both engines
+      log2 n = e + t*P(u)*(2/ln 2)
+
+    Truncation error <= t*u^10/21*(2/ln2) < 2e-11 absolute (measured
+    1.5e-11 max over 5k random int64), and — the property the value gate
+    actually needs — both engines compute the IDENTICAL approximation bit
+    for bit, because every node is a correctly-rounded IEEE op on
+    identical inputs.
+
+    Returns [(column_name, expr)] to apply in order: Spark via chained
+    selectExpr("*", f"{expr} AS {name}"), DuckDB via chained CTEs.
+    """
+    import math
+
+    e, m, t, u = f"{out}_e", f"{out}_m", f"{out}_t", f"{out}_u"
+    inner = _dlit(1 / 19)
+    for c in (17, 15, 13, 11, 9, 7, 5, 3):
+        inner = f"({inner} * {u} + {_dlit(1 / c)})"
+    inner = f"({inner} * {u} + CAST(1 AS DOUBLE))"
+    return [
+        (e, f"length(TRIM(LEADING '0' FROM bin(CAST({n} AS BIGINT)))) - 1"),
+        (m, f"CAST({n} AS DOUBLE) / CAST(CAST(1 AS BIGINT) << {e} AS DOUBLE)"),
+        (t, f"({m} - CAST(1 AS DOUBLE)) / ({m} + CAST(1 AS DOUBLE))"),
+        (u, f"{t} * {t}"),
+        (out, f"CAST({e} AS DOUBLE) + {t} * {inner} * {_dlit(2 / math.log(2))}"),
+    ]
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style statistical quality scoring: train an add-one-smoothed
+    bigram language model ON THE CORPUS ITSELF and score every document
+    by its bigram cross-entropy in bits/bigram — the classic
+    perplexity-filter signal (Wenzek et al., CCNet; also the KenLM gate in
+    CCNet/RedPajama pipelines): gibberish and boilerplate both sit in the
+    tails, mid-entropy text is "normal" corpus prose. Perplexity is
+    2^xent_bits (monotone, so thresholds transfer; the exponential is
+    deliberately left to the caller to keep the result value-gateable).
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V), where c(w1,w2) is
+    the corpus bigram count, c1(w1) the count of w1 as a bigram CONTEXT
+    (so probabilities normalize exactly: sum_w2 P = 1), and V the corpus
+    vocabulary (distinct tokens over scored docs). Tokens are the
+    lower-cased whitespace split (token_stats discipline). Docs with < 2
+    tokens have no bigrams and are excluded by the exact size predicate.
+
+    Exactness (value-gate discipline): num = cb+1 and den = c1+V are
+    exact int64; their log2s come from the shared log2_int_stages IEEE
+    tree (bit-identical on both engines, no transcendental); each doc's
+    bits = sum over its DISTINCT bigrams of m * (log2 den - log2 num),
+    folded in sorted-(w1,w2) order — collect_list is partition-ordered,
+    so the fold sorts first; DuckDB replays with list(... ORDER BY w1,w2)
+    + list_reduce, the repo's fold-oracle precedent — and the final
+    bits/n_bigrams is one shared division. num <= den always (cb <= c1,
+    1 <= V), so every term is >= 0 and every log input >= 1.
+
+    Scale: per-doc bigram multiplicities collapse FIRST (groupBy (doc,
+    w1, w2) — map-side combinable; a doc repeating one bigram 10^6 times
+    ships one row); the model tables c1/cb are vocabulary-sized
+    (Heaps-law sublinear in corpus size), built by map-side-combinable
+    re-aggregation of the per-doc table, never a second corpus scan; the
+    two model joins key on w1 / (w1,w2) (AQE covers Zipf skew — the
+    build side is one row per (context) type); V is ONE scalar computed
+    from the vocabulary-sized cb table (not a corpus scan) and injected
+    as an int literal, the bm25_topk N/avgdl pattern. Per-doc arrays in
+    the fold are bounded by the doc's distinct-bigram count (turn_echo
+    precedent). No window over corpus rows, nothing quadratic.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(words, lambda w: w != "").alias("ws"),
+    ).where(F.size("ws") >= 2)
+    big = (
+        toks.select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> struct(element_at(ws, i) AS w1, "
+                    "element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cb = big.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
+    c1 = big.groupBy("w1").agg(F.sum("m").alias("c1"))
+    # V: distinct tokens across scored docs = |w1-set UNION w2-set| of the
+    # vocabulary-sized bigram table — a scalar from sketch-sized input.
+    v = int(
+        cb.select(F.col("w1").alias("w"))
+        .union(cb.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+        .collect()[0]["v"]
+    )
+    j = (
+        big.join(cb, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .selectExpr(
+            "id", "w1", "w2", "m",
+            "cb + CAST(1 AS BIGINT) AS num",
+            f"c1 + CAST({v} AS BIGINT) AS den",
+        )
+    )
+    for name, expr in log2_int_stages("num", "l2num") + log2_int_stages(
+        "den", "l2den"
+    ):
+        j = j.selectExpr("*", f"{expr} AS {name}")
+    per = j.selectExpr(
+        "id", "w1", "w2", "m",
+        "CAST(m AS DOUBLE) * (l2den - l2num) AS contrib",
+    )
+    return (
+        per.groupBy("id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(w1, w2, contrib))), "
+                "CAST(0 AS DOUBLE), (a, s) -> a + s.contrib)"
+            ).alias("bits"),
+        )
+        .selectExpr(
+            f"id AS {id_col}",
+            "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+            "bits / CAST(n_bigrams AS DOUBLE) AS xent_bits",
+        )
+    )

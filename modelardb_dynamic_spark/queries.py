@@ -5019,3 +5019,74 @@ def build_oracles() -> dict[str, str]:
     except Exception:
         pass  # documents parquet unavailable -> rows-only fallback
     return out
+
+
+def q_lm_xent(spark, sf_dir):
+    """CCNet-style bigram-LM quality scoring (operators/textstats.py
+    lm_cross_entropy): an add-one-smoothed bigram model trained on the
+    corpus itself scores every document's cross-entropy in bits/bigram —
+    the classic perplexity-filter signal. No engine transcendental: the
+    logs come from the shared log2_int_stages IEEE tree over exact int64
+    counts (bit-identical both engines), per-doc sums fold in sorted
+    bigram order, and the DuckDB oracle replays the identical staged
+    expressions — doubles hash-gated."""
+    return textstats.lm_cross_entropy(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["lm_xent"] = q_lm_xent
+
+
+def _lm_xent_oracle_cte() -> str:
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    stages = log2_int_stages("num", "l2num") + log2_int_stages(
+        "den", "l2den"
+    )
+    ctes, prev = [], "s0"
+    for i, (name, expr) in enumerate(stages, 1):
+        ctes.append(f"s{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"s{i}"
+    return ",\n        ".join(ctes), prev
+
+
+_LM_CTES, _LM_LAST = _lm_xent_oracle_cte()
+
+# The staged log2 CTEs below are the IDENTICAL expression strings the
+# Spark query applies via selectExpr (one home: log2_int_stages), so both
+# engines evaluate the same correctly-rounded IEEE tree node for node.
+ORACLES["lm_xent"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           w -> w != '') AS ws
+        FROM documents
+    ), big AS (
+        SELECT doc_id,
+               struct_extract(bg, 'w1') AS w1,
+               struct_extract(bg, 'w2') AS w2,
+               count(*) AS m
+        FROM (SELECT doc_id,
+                     unnest([{{'w1': ws[i], 'w2': ws[i + 1]}}
+                             FOR i IN range(1, len(ws))]) AS bg
+              FROM tok WHERE len(ws) >= 2)
+        GROUP BY 1, 2, 3
+    ),
+    cbt AS (SELECT w1, w2, sum(m) AS cb FROM big GROUP BY 1, 2),
+    c1t AS (SELECT w1, sum(m) AS c1 FROM big GROUP BY 1),
+    vv AS (SELECT count(DISTINCT w) AS v
+           FROM (SELECT w1 AS w FROM cbt UNION ALL SELECT w2 FROM cbt)),
+    s0 AS (SELECT doc_id, w1, w2, m,
+                  cb + CAST(1 AS BIGINT) AS num,
+                  c1 + (SELECT v FROM vv) AS den
+           FROM big JOIN cbt USING (w1, w2) JOIN c1t USING (w1)),
+    {_LM_CTES},
+    contribs AS (SELECT doc_id, w1, w2, m,
+                        CAST(m AS DOUBLE) * (l2den - l2num) AS contrib
+                 FROM {_LM_LAST})
+    SELECT doc_id,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(contrib ORDER BY w1, w2)),
+               (a, x) -> a + x) / CAST(sum(m) AS DOUBLE) AS xent_bits
+    FROM contribs GROUP BY doc_id
+"""

@@ -1561,3 +1561,101 @@ def test_conv_summary_exact(spark):
     assert (b["n_turns"], b["duration_ms"], b["n_distinct_tools"]) == (
         1, 0, 0,
     )
+
+
+# -- bigram LM cross-entropy (CCNet-style quality scoring) ---------------------
+
+
+def _py_log2_series(n: int) -> float:
+    """Bit-exact Python replay of log2_int_stages: same staged IEEE ops,
+    same literal coefficients, evaluated left-to-right as both engines do."""
+    e = n.bit_length() - 1
+    m = float(n) / float(1 << e)
+    t = (m - 1.0) / (m + 1.0)
+    u = t * t
+    p = 1.0 / 19.0
+    for c in (17, 15, 13, 11, 9, 7, 5, 3):
+        p = p * u + float(repr(1.0 / c))
+    p = p * u + 1.0
+    import math
+
+    return float(e) + t * p * float(repr(2.0 / math.log(2.0)))
+
+
+def test_lm_cross_entropy_exact_replay(spark):
+    """Hand corpus: the engine's xent_bits must equal a pure-Python replay
+    of the identical model (add-one bigram LM, context counts, shared log2
+    series, sorted-bigram fold) BIT FOR BIT, and sit within 1e-9 of the
+    math.log2 ground truth."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b"),
+        (3, "b c b c b"),
+        (4, "solo"),          # 1 token -> excluded (no bigrams)
+        (5, "  x   y  x "),   # messy whitespace
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r
+        for r in textstats.lm_cross_entropy(docs).collect()
+    }
+    assert 4 not in out
+
+    toks = {i: t.lower().split() for i, t in rows}
+    bigs = {
+        i: list(zip(ws, ws[1:])) for i, ws in toks.items() if len(ws) >= 2
+    }
+    cb: Counter = Counter()
+    c1: Counter = Counter()
+    for bs in bigs.values():
+        for w1, w2 in bs:
+            cb[(w1, w2)] += 1
+            c1[w1] += 1
+    vocab = {w for pair in cb for w in pair}
+    v = len(vocab)
+    for i, bs in bigs.items():
+        per = Counter(bs)
+        # fold in sorted-(w1, w2) order, exactly as both engines do
+        bits = 0.0
+        for (w1, w2), mlt in sorted(per.items()):
+            num = cb[(w1, w2)] + 1
+            den = c1[w1] + v
+            bits = bits + float(mlt) * (
+                _py_log2_series(den) - _py_log2_series(num)
+            )
+        n = len(bs)
+        assert out[i]["n_bigrams"] == n
+        assert out[i]["xent_bits"] == bits / float(n)  # bit-exact
+        truth = (
+            sum(
+                -mlt * math.log2((cb[p] + 1) / (c1[p[0]] + v))
+                for p, mlt in per.items()
+            )
+            / n
+        )
+        assert abs(out[i]["xent_bits"] - truth) < 1e-9
+
+    # model sanity: add-one smoothing normalizes exactly per context
+    for w1 in c1:
+        tot = sum(
+            (cb[(w1, w2)] + 1) / (c1[w1] + v) for w2 in vocab
+        )
+        assert abs(tot - 1.0) < 1e-12
+
+
+def test_lm_cross_entropy_orders_quality(spark):
+    """The filter signal: text made of corpus-typical bigrams scores lower
+    cross-entropy than a shuffled-vocabulary gibberish doc of the same
+    length, when scored against a corpus dominated by the typical prose."""
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, common) for i in range(1, 9)]
+    rows.append((100, "rug the on and mat dog cat sat the on the sat mat"))
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r["xent_bits"]
+        for r in textstats.lm_cross_entropy(docs).collect()
+    }
+    assert out[1] < out[100]

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "token_stats",
     "token_rarity",
     "lm_xent",
+    "token_entropy",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

@@ -1353,3 +1353,63 @@ def lm_cross_entropy(
             "bits / CAST(n_bigrams AS DOUBLE) AS xent_bits",
         )
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution, in
+    bits/token — the repetitiveness signal the Gopher ratio heuristics
+    approximate: H = 0 for a one-word loop, log2(n) for all-distinct
+    tokens. Low-entropy docs are degenerate generations / boilerplate;
+    the normalized efficiency column (H / log2 n, in [0,1]) compares
+    docs of different lengths.
+
+    Exactness: with c_w the doc's token multiplicities and n their sum
+    (both exact int64), H = log2(n) - (1/n) * sum_w c_w * log2(c_w).
+    Every log2 input is an exact integer >= 1, so the shared
+    log2_int_stages IEEE tree applies (bit-identical on both engines);
+    the per-doc sum folds in sorted-token order (collect_list sorted
+    first; DuckDB list(... ORDER BY w) + list_reduce), and the final
+    H and efficiency are shared division trees. Singleton tokens
+    contribute exactly 0 (log2(1) = 0 by the e=0/t=0 path), so repeats
+    are the only mass — no special-casing.
+
+    Scale: multiplicities collapse map-side (groupBy (doc, w)); one
+    groupBy doc after; per-doc arrays bounded by distinct-token count.
+    No joins, no windows, nothing corpus-global.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = (
+        docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = tok
+    for name, expr in log2_int_stages("c", "l2c"):
+        j = j.selectExpr("*", f"{expr} AS {name}")
+    per = j.selectExpr("id", "w", "CAST(c AS DOUBLE) * l2c AS contrib", "c")
+    agg = per.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(w, contrib))), "
+            "CAST(0 AS DOUBLE), (a, s) -> a + s.contrib)"
+        ).alias("rep_bits"),
+    )
+    for name, expr in log2_int_stages("n_tokens", "l2n"):
+        agg = agg.selectExpr("*", f"{expr} AS {name}")
+    return agg.selectExpr(
+        f"id AS {id_col}",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(n_distinct AS BIGINT) AS n_distinct",
+        "l2n - rep_bits / CAST(n_tokens AS DOUBLE) AS entropy_bits",
+        # efficiency: H / log2(n); a 1-token doc has l2n = 0 -> NULL by
+        # exact predicate (entropy of a single draw is trivially 0)
+        "CASE WHEN n_tokens <= 1 THEN NULL "
+        "ELSE (l2n - rep_bits / CAST(n_tokens AS DOUBLE)) / l2n END "
+        "AS efficiency",
+    )

@@ -5090,3 +5090,68 @@ ORACLES["lm_xent"] = f"""
                (a, x) -> a + x) / CAST(sum(m) AS DOUBLE) AS xent_bits
     FROM contribs GROUP BY doc_id
 """
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-doc Shannon unigram entropy in bits/token + normalized
+    efficiency (operators/textstats.py token_entropy) — the repetitiveness
+    quality signal: H = log2 n - (1/n) sum c_w log2 c_w over exact int64
+    multiplicities, every log from the shared log2_int_stages tree,
+    per-doc folds in sorted-token order; doubles hash-gated."""
+    return textstats.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["token_entropy"] = q_token_entropy
+
+
+def _entropy_oracle_sql() -> str:
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    ctes, prev = [], "tok"
+    for i, (name, expr) in enumerate(log2_int_stages("c", "l2c"), 1):
+        ctes.append(f"e{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"e{i}"
+    inner = ",\n        ".join(ctes)
+    agg_ctes, aprev = [], "agg0"
+    for i, (name, expr) in enumerate(
+        log2_int_stages("n_tokens", "l2n"), 1
+    ):
+        agg_ctes.append(
+            f"a{i} AS (SELECT *, {expr} AS {name} FROM {aprev})"
+        )
+        aprev = f"a{i}"
+    outer = ",\n        ".join(agg_ctes)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE w != ''
+        GROUP BY 1, 2
+    ),
+    {inner},
+    contribs AS (SELECT doc_id, w, c,
+                        CAST(c AS DOUBLE) * l2c AS contrib FROM {prev}),
+    agg0 AS (
+        SELECT doc_id,
+               sum(c) AS n_tokens,
+               count(*) AS n_distinct,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(contrib ORDER BY w)),
+                   (a, x) -> a + x) AS rep_bits
+        FROM contribs GROUP BY doc_id
+    ),
+    {outer}
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           l2n - rep_bits / CAST(n_tokens AS DOUBLE) AS entropy_bits,
+           CASE WHEN n_tokens <= 1 THEN NULL
+           ELSE (l2n - rep_bits / CAST(n_tokens AS DOUBLE)) / l2n END
+           AS efficiency
+    FROM {aprev}
+    """
+
+
+ORACLES["token_entropy"] = _entropy_oracle_sql()

@@ -1659,3 +1659,36 @@ def test_lm_cross_entropy_orders_quality(spark):
         for r in textstats.lm_cross_entropy(docs).collect()
     }
     assert out[1] < out[100]
+
+
+def test_token_entropy_exact(spark):
+    """Hand corpus: H must bit-match the staged-series replay and sit
+    within 1e-9 of math.log2 ground truth; degenerate docs pin the edges
+    (all-same -> 0, all-distinct -> log2 n, single token -> NULL eff)."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "a a a a"),            # H = 0
+        (2, "a b c d"),            # H = 2 exactly
+        (3, "a a b b b c"),
+        (4, "solo"),               # 1 token: H = 0, efficiency NULL
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r for r in textstats.token_entropy(docs).collect()
+    }
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["efficiency"] == 0.0
+    assert out[2]["entropy_bits"] == 2.0 and out[2]["efficiency"] == 1.0
+    assert out[4]["entropy_bits"] == 0.0 and out[4]["efficiency"] is None
+
+    cnt = Counter("a a b b b c".split())
+    n = sum(cnt.values())
+    rep = 0.0
+    for w, c in sorted(cnt.items()):
+        rep = rep + float(c) * _py_log2_series(c)
+    expect = _py_log2_series(n) - rep / float(n)
+    assert out[3]["entropy_bits"] == expect  # bit-exact replay
+    truth = -sum(c / n * math.log2(c / n) for c in cnt.values())
+    assert abs(out[3]["entropy_bits"] - truth) < 1e-9
+    assert out[3]["n_tokens"] == 6 and out[3]["n_distinct"] == 3

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "token_rarity",
     "lm_xent",
     "token_entropy",
+    "pmi_collocations",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

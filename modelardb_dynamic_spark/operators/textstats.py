@@ -1248,6 +1248,36 @@ def log2_int_stages(n: str, out: str) -> list[tuple[str, str]]:
     ]
 
 
+def _doc_bigram_multiplicities(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, w1, w2, m): per-doc adjacent-token bigram multiplicities over
+    the lower-cased whitespace split ('' dropped; docs with < 2 tokens
+    have no bigrams). Collapsed map-side FIRST (groupBy (doc, w1, w2)),
+    so a doc repeating one bigram 10^6 times ships one row — the shared
+    base of lm_cross_entropy and pmi_collocations."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(words, lambda w: w != "").alias("ws"),
+    ).where(F.size("ws") >= 2)
+    return (
+        toks.select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> struct(element_at(ws, i) AS w1, "
+                    "element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+
+
 def lm_cross_entropy(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1291,26 +1321,7 @@ def lm_cross_entropy(
     the fold are bounded by the doc's distinct-bigram count (turn_echo
     precedent). No window over corpus rows, nothing quadratic.
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.filter(words, lambda w: w != "").alias("ws"),
-    ).where(F.size("ws") >= 2)
-    big = (
-        toks.select(
-            "id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ws) - 1), "
-                    "i -> struct(element_at(ws, i) AS w1, "
-                    "element_at(ws, i + 1) AS w2))"
-                )
-            ).alias("bg"),
-        )
-        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .groupBy("id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
+    big = _doc_bigram_multiplicities(docs, id_col, text_col)
     cb = big.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
     c1 = big.groupBy("w1").agg(F.sum("m").alias("c1"))
     # V: distinct tokens across scored docs = |w1-set UNION w2-set| of the
@@ -1413,3 +1424,87 @@ def token_entropy(
         "ELSE (l2n - rep_bits / CAST(n_tokens AS DOUBLE)) / l2n END "
         "AS efficiency",
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    top_k: int = 50,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990): PMI(w1,w2) = log2( N * c(w1,w2) / (c1(w1) * c2(w2)) ),
+    with c1/c2 the corpus counts of w1 as a LEFT and w2 as a RIGHT bigram
+    position and N the total bigram count — the standard phrase-mining /
+    tokenizer-seeding signal (words that co-occur far above chance:
+    multiword entities, idioms, boilerplate templates).
+
+    Exactness: all four count inputs are exact int64, so PMI decomposes
+    into shared log2_int_stages trees: log2 N + log2 cb - log2 c1 -
+    log2 c2 — a pure per-row expression, no fold at all. min_count
+    filters by exact integer comparison; the top-k order is (PMI DESC,
+    w1, w2) — PMI doubles are bit-identical on both engines, so the
+    ranking replays exactly.
+
+    Scale: per-doc multiplicities collapse map-side; c1/c2/cb are
+    vocabulary-sized re-aggregations; the two joins key on single words
+    (AQE covers Zipf skew); top-k via orderBy().limit() = TakeOrdered
+    (per-partition partial top-k, never a global single-task window).
+    N is ONE scalar off the cb table, injected as an int literal (the
+    bm25_topk / lm_cross_entropy pattern).
+    """
+    big = _doc_bigram_multiplicities(docs, id_col, text_col)
+    cb = (
+        big.groupBy("w1", "w2")
+        .agg(F.sum("m").alias("cb"))
+        .where(F.col("cb") >= min_count)
+    )
+    c1 = big.groupBy("w1").agg(F.sum("m").alias("c1"))
+    c2 = big.groupBy("w2").agg(F.sum("m").alias("c2"))
+    n_big = int(
+        big.agg(F.sum("m").alias("n")).collect()[0]["n"] or 0
+    )
+    if n_big == 0:
+        return cb.selectExpr(
+            "w1", "w2", "CAST(cb AS BIGINT) AS pair_count",
+            "CAST(NULL AS DOUBLE) AS pmi",
+        ).limit(0)
+    j = cb.join(c1, ["w1"]).join(c2, ["w2"])
+    for name, expr in (
+        log2_int_stages("cb", "l2cb")
+        + log2_int_stages("c1", "l2c1")
+        + log2_int_stages("c2", "l2c2")
+    ):
+        j = j.selectExpr("*", f"{expr} AS {name}")
+    # log2 N is a driver-side exact-int input to the SAME staged series,
+    # evaluated in Python (py_log2_stages is the bit-exact twin of the
+    # engine tree) and injected as a double literal — one home.
+    l2n_lit = _dlit(py_log2_stages(n_big))
+    scored = j.selectExpr(
+        "w1", "w2", "CAST(cb AS BIGINT) AS pair_count",
+        f"{l2n_lit} + l2cb - l2c1 - l2c2 AS pmi",
+    )
+    out = scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(top_k)
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return out.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def py_log2_stages(n: int) -> float:
+    """Bit-exact Python twin of log2_int_stages (same staged IEEE ops,
+    same repr() literal coefficients, left-to-right evaluation) — for
+    driver-side scalars (e.g. log2 N in pmi_collocations) that must sit
+    in the same IEEE tree as engine-side logs."""
+    import math
+
+    e = n.bit_length() - 1
+    m = float(n) / float(1 << e)
+    t = (m - 1.0) / (m + 1.0)
+    u = t * t
+    p = float(repr(1.0 / 19.0))
+    for c in (17, 15, 13, 11, 9, 7, 5, 3):
+        p = p * u + float(repr(1.0 / c))
+    p = p * u + 1.0
+    return float(e) + t * p * float(repr(2.0 / math.log(2.0)))

@@ -5155,3 +5155,72 @@ def _entropy_oracle_sql() -> str:
 
 
 ORACLES["token_entropy"] = _entropy_oracle_sql()
+
+
+PMI_K, PMI_MIN = 50, 5
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Top-50 collocations by pointwise mutual information (operators/
+    textstats.py pmi_collocations): PMI = log2 N + log2 cb - log2 c1 -
+    log2 c2 over exact int64 bigram counts, every log from the shared
+    log2_int_stages tree (log2 N driver-side via its bit-exact Python
+    twin), deterministic (pmi DESC, w1, w2) ranking; doubles hash-gated."""
+    return textstats.pmi_collocations(
+        _t(spark, sf_dir, "documents"), top_k=PMI_K, min_count=PMI_MIN
+    )
+
+
+QUERIES["pmi_collocations"] = q_pmi_collocations
+
+
+def _pmi_oracle_sql() -> str:
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    stages = (
+        log2_int_stages("cb", "l2cb")
+        + log2_int_stages("c1", "l2c1")
+        + log2_int_stages("c2", "l2c2")
+        + log2_int_stages("nbig", "l2n")
+    )
+    ctes, prev = [], "s0"
+    for i, (name, expr) in enumerate(stages, 1):
+        ctes.append(f"p{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"p{i}"
+    inner = ",\n        ".join(ctes)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           w -> w != '') AS ws
+        FROM documents
+    ), big AS (
+        SELECT doc_id,
+               struct_extract(bg, 'w1') AS w1,
+               struct_extract(bg, 'w2') AS w2,
+               count(*) AS m
+        FROM (SELECT doc_id,
+                     unnest([{{'w1': ws[i], 'w2': ws[i + 1]}}
+                             FOR i IN range(1, len(ws))]) AS bg
+              FROM tok WHERE len(ws) >= 2)
+        GROUP BY 1, 2, 3
+    ),
+    cbt AS (SELECT w1, w2, sum(m) AS cb FROM big GROUP BY 1, 2
+            HAVING sum(m) >= {PMI_MIN}),
+    c1t AS (SELECT w1, sum(m) AS c1 FROM big GROUP BY 1),
+    c2t AS (SELECT w2, sum(m) AS c2 FROM big GROUP BY 1),
+    nn AS (SELECT sum(m) AS n FROM big),
+    s0 AS (SELECT w1, w2, cb, c1, c2, (SELECT n FROM nn) AS nbig
+           FROM cbt JOIN c1t USING (w1) JOIN c2t USING (w2)),
+    {inner},
+    scored AS (SELECT w1, w2, CAST(cb AS BIGINT) AS pair_count,
+                      l2n + l2cb - l2c1 - l2c2 AS pmi FROM {prev})
+    SELECT w1, w2, pair_count, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT)
+               AS rank
+    FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT {PMI_K}
+    """
+
+
+ORACLES["pmi_collocations"] = _pmi_oracle_sql()

@@ -1692,3 +1692,48 @@ def test_token_entropy_exact(spark):
     truth = -sum(c / n * math.log2(c / n) for c in cnt.values())
     assert abs(out[3]["entropy_bits"] - truth) < 1e-9
     assert out[3]["n_tokens"] == 6 and out[3]["n_distinct"] == 3
+
+
+def test_pmi_collocations_exact(spark):
+    """Constructed corpus: a pair that ALWAYS co-occurs ("new york") gets
+    the max PMI; PMI values bit-match the staged-series replay and sit
+    within 1e-9 of math.log2 ground truth; min_count prunes rare pairs."""
+    import math
+    from collections import Counter
+
+    rows = [(i, "new york is far from the sea " * 2) for i in range(1, 6)]
+    rows.append((99, "rare pair rare pair unique1 unique2"))
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = textstats.pmi_collocations(docs, top_k=10, min_count=2).collect()
+    assert out, "no collocations found"
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+    cb: Counter = Counter()
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for _, t in rows:
+        ws = t.lower().split()
+        for a, b in zip(ws, ws[1:]):
+            cb[(a, b)] += 1
+            c1[a] += 1
+            c2[b] += 1
+    n = sum(cb.values())
+    for r in out:
+        pair = (r["w1"], r["w2"])
+        assert cb[pair] >= 2
+        expect = (
+            textstats.py_log2_stages(n)
+            + textstats.py_log2_stages(cb[pair])
+            - textstats.py_log2_stages(c1[pair[0]])
+            - textstats.py_log2_stages(c2[pair[1]])
+        )
+        assert r["pmi"] == expect  # bit-exact vs the Python twin
+        truth = math.log2(n * cb[pair] / (c1[pair[0]] * c2[pair[1]]))
+        assert abs(r["pmi"] - truth) < 1e-9
+    # "unique1 unique2" occurs once -> pruned by min_count=2
+    assert ("unique1", "unique2") not in {(r["w1"], r["w2"]) for r in out}
+    top = out[0]
+    # the always-adjacent pair is the strongest collocation
+    assert (top["w1"], top["w2"]) == ("new", "york") or top["pmi"] >= [
+        r for r in out if (r["w1"], r["w2"]) == ("new", "york")
+    ][0]["pmi"]

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "lm_xent",
     "token_entropy",
     "pmi_collocations",
+    "zipf_head",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

@@ -1508,3 +1508,81 @@ def py_log2_stages(n: int) -> float:
         p = p * u + float(repr(1.0 / c))
     p = p * u + 1.0
     return float(e) + t * p * float(repr(2.0 / math.log(2.0)))
+
+
+def zipf_head_fit(
+    docs: DataFrame,
+    top_k: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf rank-frequency fit over the vocabulary head: OLS of
+    log2(count) on log2(rank) for the top_k most frequent tokens — the
+    corpus-health diagnostic (natural language sits near slope -1;
+    bot spam / template floods / contamination bend the head). Returns
+    the head table (rank, token, cnt, log2s) with the fitted line and
+    per-rank residual on every row, so drift is inspectable per token.
+
+    Exactness: ranks and counts are exact ints -> both logs come from the
+    shared log2_int_stages tree. The OLS moments are sums of DOUBLES, so
+    they fold in rank order over the head only (top_k is a bounded
+    literal: the fold array is ≤ top_k elements — the turn_echo bounded-
+    array discipline, never a corpus-sized collect); slope/intercept/
+    residual are shared division trees. Rank ties broken (cnt DESC,
+    token ASC) — deterministic across partitionings.
+
+    Scale: the vocabulary table is one map-side-combinable groupBy;
+    top-k via orderBy().limit() = TakeOrdered; everything after runs on
+    ≤ top_k rows. The corpus is scanned once.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    vocab = (
+        docs.select(F.explode(words).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = vocab.orderBy(F.desc("cnt"), F.asc("w")).limit(top_k)
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    head = head.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+    for name, expr in log2_int_stages("rank", "l2r") + log2_int_stages(
+        "cnt", "l2c"
+    ):
+        head = head.selectExpr("*", f"{expr} AS {name}")
+    fold = (
+        "aggregate(sort_array(collect_list(struct(rank, {v}))), "
+        "CAST(0 AS DOUBLE), (a, s) -> a + s.{v})"
+    )
+    fit = head.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(fold.format(v="l2r")).alias("sx"),
+        F.expr(fold.format(v="l2c")).alias("sy"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(rank, "
+            "l2r * l2r AS xx))), CAST(0 AS DOUBLE), (a, s) -> a + s.xx)"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(rank, "
+            "l2r * l2c AS xy))), CAST(0 AS DOUBLE), (a, s) -> a + s.xy)"
+        ).alias("sxy"),
+    )
+    fit = fit.selectExpr(
+        "(CAST(n AS DOUBLE) * sxy - sx * sy) / "
+        "(CAST(n AS DOUBLE) * sxx - sx * sx) AS zipf_slope",
+        "sy / CAST(n AS DOUBLE) AS my",
+        "sx / CAST(n AS DOUBLE) AS mx",
+    ).selectExpr(
+        "zipf_slope",
+        "my - zipf_slope * mx AS zipf_intercept",
+    )
+    out = head.crossJoin(F.broadcast(fit))
+    return out.selectExpr(
+        "CAST(rank AS BIGINT) AS rank",
+        "w AS token",
+        "CAST(cnt AS BIGINT) AS cnt",
+        "l2r AS log2_rank",
+        "l2c AS log2_cnt",
+        "zipf_slope",
+        "zipf_intercept",
+        "l2c - (zipf_intercept + zipf_slope * l2r) AS residual",
+    )

@@ -5224,3 +5224,86 @@ def _pmi_oracle_sql() -> str:
 
 
 ORACLES["pmi_collocations"] = _pmi_oracle_sql()
+
+
+ZIPF_K = 1000
+
+
+def q_zipf_head(spark, sf_dir):
+    """Zipf rank-frequency head fit (operators/textstats.py
+    zipf_head_fit): log-log OLS over the top-1000 vocabulary ranks, both
+    logs from the shared log2_int_stages tree, OLS moments folded in rank
+    order over the bounded head; slope/intercept/residual shared trees —
+    doubles hash-gated."""
+    return textstats.zipf_head_fit(
+        _t(spark, sf_dir, "documents"), top_k=ZIPF_K
+    )
+
+
+QUERIES["zipf_head"] = q_zipf_head
+
+
+def _zipf_oracle_sql() -> str:
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    stages = log2_int_stages("rank", "l2r") + log2_int_stages("cnt", "l2c")
+    ctes, prev = [], "head"
+    for i, (name, expr) in enumerate(stages, 1):
+        ctes.append(f"z{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"z{i}"
+    inner = ",\n        ".join(ctes)
+
+    def fold(v: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list({v} ORDER BY rank)), (a, x) -> a + x)"
+        )
+
+    return f"""
+    WITH vocab AS (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE w != ''
+        GROUP BY w
+    ),
+    head AS (
+        SELECT * FROM (
+            SELECT w, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT)
+                       AS rank
+            FROM vocab
+        ) WHERE rank <= {ZIPF_K}
+    ),
+    {inner},
+    fit0 AS (
+        SELECT count(*) AS n,
+               {fold('l2r')} AS sx,
+               {fold('l2c')} AS sy,
+               {fold('l2r * l2r')} AS sxx,
+               {fold('l2r * l2c')} AS sxy
+        FROM {prev}
+    ),
+    fit1 AS (
+        SELECT (CAST(n AS DOUBLE) * sxy - sx * sy) /
+               (CAST(n AS DOUBLE) * sxx - sx * sx) AS zipf_slope,
+               sy / CAST(n AS DOUBLE) AS my,
+               sx / CAST(n AS DOUBLE) AS mx
+        FROM fit0
+    ),
+    fit AS (
+        SELECT zipf_slope, my - zipf_slope * mx AS zipf_intercept FROM fit1
+    )
+    SELECT CAST(rank AS BIGINT) AS rank,
+           w AS token,
+           CAST(cnt AS BIGINT) AS cnt,
+           l2r AS log2_rank,
+           l2c AS log2_cnt,
+           zipf_slope,
+           zipf_intercept,
+           l2c - (zipf_intercept + zipf_slope * l2r) AS residual
+    FROM {prev}, fit
+    """
+
+
+ORACLES["zipf_head"] = _zipf_oracle_sql()

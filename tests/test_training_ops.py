@@ -1737,3 +1737,48 @@ def test_pmi_collocations_exact(spark):
     assert (top["w1"], top["w2"]) == ("new", "york") or top["pmi"] >= [
         r for r in out if (r["w1"], r["w2"]) == ("new", "york")
     ][0]["pmi"]
+
+
+def test_zipf_head_fit_exact(spark):
+    """Constructed Zipfian corpus (count ~ 60/rank): slope/intercept must
+    bit-match the Python fold replay, agree with numpy lstsq to 1e-9, and
+    the fitted slope sits near -1 for the 1/rank law."""
+    import numpy as np
+
+    toks = []
+    words = ["w%02d" % i for i in range(1, 13)]
+    for r, w in enumerate(words, 1):
+        toks += [w] * (60 // r)
+    docs = spark.createDataFrame([(1, " ".join(toks))], DOC_SCHEMA)
+    out = textstats.zipf_head_fit(docs, top_k=10).collect()
+    assert len(out) == 10
+    rows = sorted(out, key=lambda r: r["rank"])
+    # deterministic rank ties: equal counts order by token ASC
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+    xs = [textstats.py_log2_stages(r["rank"]) for r in rows]
+    ys = [textstats.py_log2_stages(r["cnt"]) for r in rows]
+    # replay the exact fold order: each moment folds independently in
+    # rank order
+    sx = sy = sxx = sxy = 0.0
+    for x in xs:
+        sx = sx + x
+    for y in ys:
+        sy = sy + y
+    for x in xs:
+        sxx = sxx + x * x
+    for x, y in zip(xs, ys):
+        sxy = sxy + x * y
+    n = float(len(rows))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = sy / n - slope * (sx / n)
+    assert rows[0]["zipf_slope"] == slope  # bit-exact
+    assert rows[0]["zipf_intercept"] == intercept
+    for r, x, y in zip(rows, xs, ys):
+        assert r["residual"] == y - (intercept + slope * x)
+
+    a = np.vstack([np.array(xs), np.ones(len(xs))]).T
+    ls = np.linalg.lstsq(a, np.array(ys), rcond=None)[0]
+    assert abs(slope - ls[0]) < 1e-9 and abs(intercept - ls[1]) < 1e-9
+    assert -1.3 < slope < -0.7

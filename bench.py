@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "token_entropy",
     "pmi_collocations",
     "zipf_head",
+    "vocab_drift",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

@@ -1586,3 +1586,91 @@ def zipf_head_fit(
         "zipf_intercept",
         "l2c - (zipf_intercept + zipf_slope * l2r) AS residual",
     )
+
+
+def vocab_kl_drift(
+    docs_p: DataFrame,
+    docs_q: DataFrame,
+    top_k: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus drift monitor: the top_k tokens by |contribution| to the
+    KL divergence D(P||Q) between the unigram distributions of two corpus
+    slices (new ingestion batch P vs reference batch Q) — the standard
+    "did the crawl/agent distribution shift" check before a batch enters
+    a training mix. Both distributions are add-one smoothed over the
+    UNION vocabulary, so tokens absent on one side are first-class
+    drift signals rather than division-by-zero holes:
+
+        p_w = (cp+1)/(np+V),  q_w = (cq+1)/(nq+V)
+        contrib_w = p_w * log2(p_w / q_w)
+                  = p_w * (l2(cp+1) - l2(np+V) - l2(cq+1) + l2(nq+V))
+
+    Exactness: cp/cq/np/nq/V are exact int64; the per-token logs come
+    from the shared log2_int_stages tree; l2(np+V) and l2(nq+V) are
+    scalars computed by py_log2_stages (the bit-exact Python twin) and
+    injected as literals — every contrib is a pure per-row shared IEEE
+    expression, NO float fold anywhere (the total D_KL is deliberately
+    left to the caller: summing a vocabulary-sized set of doubles is not
+    replayable; the head table is the actionable artifact). Ranking by
+    (abs(contrib) DESC, token ASC) is deterministic because the doubles
+    are bit-identical on both engines.
+
+    Scale: each side is one map-side-combinable vocabulary groupBy; ONE
+    full outer join on token (vocabulary-sized); the four scalars come
+    off the joined vocab table, not a corpus rescan; top-k via
+    orderBy().limit() = TakeOrdered.
+    """
+    def counts(d: DataFrame, out: str) -> DataFrame:
+        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        return (
+            d.select(F.explode(words).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    cp = counts(docs_p, "cp")
+    cq = counts(docs_q, "cq")
+    from modelardb_dynamic_spark.operators.dedup import _materialize
+
+    # materialized once: the joined vocab feeds both the scalar pass and
+    # the scoring pass (the _materialize double-scan discipline)
+    vocab = _materialize(
+        cp.join(cq, ["w"], "full_outer").select(
+            "w",
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+    )
+    tot = vocab.agg(
+        F.sum("cp").alias("np"),
+        F.sum("cq").alias("nq"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    n_p, n_q, v = int(tot["np"]), int(tot["nq"]), int(tot["v"])
+    l2npv = _dlit(py_log2_stages(n_p + v))
+    l2nqv = _dlit(py_log2_stages(n_q + v))
+    j = vocab.selectExpr(
+        "w", "cp", "cq",
+        "cp + CAST(1 AS BIGINT) AS cp1",
+        "cq + CAST(1 AS BIGINT) AS cq1",
+    )
+    for name, expr in log2_int_stages("cp1", "l2p") + log2_int_stages(
+        "cq1", "l2q"
+    ):
+        j = j.selectExpr("*", f"{expr} AS {name}")
+    scored = j.selectExpr(
+        "w AS token",
+        "CAST(cp AS BIGINT) AS cnt_p",
+        "CAST(cq AS BIGINT) AS cnt_q",
+        f"(CAST(cp1 AS DOUBLE) / CAST({n_p + v} AS DOUBLE)) * "
+        f"(l2p - {l2npv} - l2q + {l2nqv}) AS contrib",
+    )
+    out = scored.orderBy(
+        F.desc(F.abs(F.col("contrib"))), F.asc("token")
+    ).limit(top_k)
+    w_rank = Window.orderBy(F.desc(F.abs(F.col("contrib"))), F.asc("token"))
+    res = out.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+    return res

@@ -5307,3 +5307,91 @@ def _zipf_oracle_sql() -> str:
 
 
 ORACLES["zipf_head"] = _zipf_oracle_sql()
+
+
+KL_K = 200
+
+
+def q_vocab_drift(spark, sf_dir):
+    """Corpus-slice KL drift monitor (operators/textstats.py
+    vocab_kl_drift): top-200 tokens by |contribution| to D(P||Q) between
+    the even-id and odd-id document slices (two ingestion batches),
+    add-one smoothed over the union vocabulary; per-token logs from the
+    shared log2_int_stages tree, scalar logs via the bit-exact Python
+    twin — pure per-row expressions, no float fold; doubles hash-gated."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.vocab_kl_drift(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        top_k=KL_K,
+    )
+
+
+QUERIES["vocab_drift"] = q_vocab_drift
+
+
+def _vocab_drift_oracle_sql() -> str:
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    stages = log2_int_stages("cp1", "l2p") + log2_int_stages("cq1", "l2q")
+    ctes, prev = [], "s0"
+    for i, (name, expr) in enumerate(stages, 1):
+        ctes.append(f"k{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"k{i}"
+    inner = ",\n        ".join(ctes)
+    # the two scalar logs replay through the SAME staged tree applied to
+    # the scalar columns npv/nqv (bit-identical to py_log2_stages)
+    sc, sprev = [], "t0"
+    for i, (name, expr) in enumerate(
+        log2_int_stages("npv", "l2npv") + log2_int_stages("nqv", "l2nqv"), 1
+    ):
+        sc.append(f"t{i} AS (SELECT *, {expr} AS {name} FROM {sprev})")
+        sprev = f"t{i}"
+    scalar = ",\n        ".join(sc)
+    return f"""
+    WITH cpt AS (
+        SELECT w, count(*) AS cp
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents WHERE doc_id % 2 = 0)
+        WHERE w != '' GROUP BY w
+    ),
+    cqt AS (
+        SELECT w, count(*) AS cq
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents WHERE doc_id % 2 = 1)
+        WHERE w != '' GROUP BY w
+    ),
+    vocab AS (
+        SELECT coalesce(cpt.w, cqt.w) AS w,
+               coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+        FROM cpt FULL OUTER JOIN cqt ON cpt.w = cqt.w
+    ),
+    t0 AS (SELECT sum(cp) + count(*) AS npv,
+                  sum(cq) + count(*) AS nqv
+           FROM vocab),
+    {scalar},
+    s0 AS (SELECT w, cp, cq,
+                  cp + CAST(1 AS BIGINT) AS cp1,
+                  cq + CAST(1 AS BIGINT) AS cq1,
+                  (SELECT npv FROM {sprev}) AS npv_s,
+                  (SELECT l2npv FROM {sprev}) AS l2npv,
+                  (SELECT l2nqv FROM {sprev}) AS l2nqv
+           FROM vocab),
+    {inner},
+    scored AS (
+        SELECT w AS token,
+               CAST(cp AS BIGINT) AS cnt_p,
+               CAST(cq AS BIGINT) AS cnt_q,
+               (CAST(cp1 AS DOUBLE) / CAST(npv_s AS DOUBLE)) *
+               (l2p - l2npv - l2q + l2nqv) AS contrib
+        FROM {prev}
+    )
+    SELECT token, cnt_p, cnt_q, contrib,
+           CAST(row_number() OVER (ORDER BY abs(contrib) DESC, token)
+                AS INT) AS rank
+    FROM scored
+    ORDER BY abs(contrib) DESC, token LIMIT {KL_K}
+    """
+
+
+ORACLES["vocab_drift"] = _vocab_drift_oracle_sql()

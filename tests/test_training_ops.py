@@ -1782,3 +1782,44 @@ def test_zipf_head_fit_exact(spark):
     ls = np.linalg.lstsq(a, np.array(ys), rcond=None)[0]
     assert abs(slope - ls[0]) < 1e-9 and abs(intercept - ls[1]) < 1e-9
     assert -1.3 < slope < -0.7
+
+
+def test_vocab_kl_drift_exact(spark):
+    """Constructed slices: a token flooding P and absent from Q dominates
+    the drift head; contributions bit-match the Python twin replay and sit
+    within 1e-9 of math.log2 ground truth; stable corpora produce
+    near-zero contributions."""
+    import math
+    from collections import Counter
+
+    p_rows = [(1, "alpha beta gamma " * 3 + "spamword " * 20)]
+    q_rows = [(2, "alpha beta gamma " * 4)]
+    p = spark.createDataFrame(p_rows, DOC_SCHEMA)
+    q = spark.createDataFrame(q_rows, DOC_SCHEMA)
+    out = textstats.vocab_kl_drift(p, q, top_k=10).collect()
+    assert out[0]["token"] == "spamword"
+    assert out[0]["cnt_p"] == 20 and out[0]["cnt_q"] == 0
+
+    cp = Counter(p_rows[0][1].split())
+    cq = Counter(q_rows[0][1].split())
+    vocab = set(cp) | set(cq)
+    v = len(vocab)
+    n_p, n_q = sum(cp.values()), sum(cq.values())
+    l2npv = textstats.py_log2_stages(n_p + v)
+    l2nqv = textstats.py_log2_stages(n_q + v)
+    for r in out:
+        w = r["token"]
+        expect = (float(cp[w] + 1) / float(n_p + v)) * (
+            textstats.py_log2_stages(cp[w] + 1)
+            - l2npv
+            - textstats.py_log2_stages(cq[w] + 1)
+            + l2nqv
+        )
+        assert r["contrib"] == expect  # bit-exact
+        p_w = (cp[w] + 1) / (n_p + v)
+        q_w = (cq[w] + 1) / (n_q + v)
+        assert abs(r["contrib"] - p_w * math.log2(p_w / q_w)) < 1e-9
+    # identical slices -> every contribution is exactly 0 (p_w == q_w,
+    # the two log trees cancel term for term)
+    same = textstats.vocab_kl_drift(p, p, top_k=5).collect()
+    assert all(r["contrib"] == 0.0 for r in same)

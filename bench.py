@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "zipf_head",
     "vocab_drift",
+    "hll_sliding",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

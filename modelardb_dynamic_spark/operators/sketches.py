@@ -22,12 +22,13 @@ Everything is DETERMINISTIC and value-gatable:
   order anywhere. The raw estimate alpha*M^2*2^53/S is then ONE double
   expression tree shared with the oracle (bit-identical).
 
-The bias-corrected estimate (linear counting below 2.5*M) additionally
-uses ln(), which is NOT guaranteed correctly-rounded across engines — so
-`summary` exposes the exact pieces (s_scaled, zero register count, raw
-estimate) for the value gate, while `estimate` adds the corrected column
-for users, pinned by an accuracy pytest (relative error ~1.04/sqrt(M)
-~= 6.5% at M=256) instead of a hash.
+The bias-corrected estimate (linear counting below 2.5*M) needs a
+logarithm; engine ln() is NOT guaranteed correctly-rounded across
+engines, so the correction takes it from the shared log2_int_stages
+IEEE series over the exact `zeros` integer (textstats.py — no
+transcendental, bit-identical both sides). distinct_est is therefore
+value-gated like every other column, plus accuracy-pinned by pytest
+(relative error ~1.04/sqrt(M) ~= 6.5% at M=256).
 
 Scale notes (100 TB): hll_tier is one map-side-combinable groupBy — the
 shuffle carries at most M rows per (key, bucket), independent of the
@@ -135,27 +136,51 @@ def hll_summary(tier: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def _lincount_expr() -> str:
+    """Linear-counting correction M * ln(M/zeros) as a SHARED IEEE tree:
+    zeros is an exact integer in [1, M], so ln(M/zeros) = ln2 * (P -
+    log2 zeros) with log2 from the shared log2_int_stages series (the
+    lm_cross_entropy discipline) — no engine ln(), so distinct_est is
+    value-gated instead of merely accuracy-pinned. Expects the staged
+    columns of log2_int_stages('zeros', 'l2z') to be present; `l2z` is
+    exact (0) at zeros = M, so the uncorrected-empty-sketch case stays
+    exactly M * ln2 * P."""
+    from modelardb_dynamic_spark.operators.textstats import _dlit
+    import math
+
+    return (
+        f"CASE WHEN est_raw <= 2.5 * {M} AND zeros > 0 "
+        f"THEN {M} * {_dlit(math.log(2.0))} * "
+        f"(CAST({P} AS DOUBLE) - l2z) ELSE est_raw END"
+    )
+
+
 def hll_estimate(summary: DataFrame) -> DataFrame:
     """User-facing estimate with the standard small-range correction:
     linear counting when est_raw <= 2.5*M and empty registers remain.
-    ln() is engine-specific in the last bit, so this column is pinned by
-    an accuracy pytest, not the value gate."""
-    return summary.withColumn(
-        "distinct_est",
-        F.expr(
-            f"CASE WHEN est_raw <= 2.5 * {M} AND zeros > 0 "
-            f"THEN {M} * ln(CAST({M} AS DOUBLE) / zeros) ELSE est_raw END"
-        ),
-    )
+    The correction's logarithm comes from the shared log2_int_stages
+    tree over the exact `zeros` integer (bit-identical on both engines),
+    so distinct_est participates in the value gate. zeros = 0 rows never
+    read l2z (CASE guards first); the stage input is max(zeros, 1) to
+    keep bin() total."""
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    out = summary
+    for name, expr in log2_int_stages("greatest(zeros, 1)", "l2z"):
+        out = out.selectExpr("*", f"{expr} AS {name}")
+    out = out.withColumn("distinct_est", F.expr(_lincount_expr()))
+    return out.drop("l2z_e", "l2z_m", "l2z_t", "l2z_u", "l2z")
 
 
 def duck_hll_summary_sql(
     table: str, keys_sql: str, value_expr: str, bucket_sql: str,
-    where: str = "TRUE",
+    where: str = "TRUE", estimate: bool = False,
 ) -> str:
     """The identical sketch + summary as ONE DuckDB query (the oracle).
-    keys_sql like "sid", bucket_sql like "(ts_ms // 3600000) * 3600000"."""
-    return f"""
+    keys_sql like "sid", bucket_sql like "(ts_ms // 3600000) * 3600000".
+    estimate=True appends the hll_estimate distinct_est column by
+    replaying the identical staged log2 tree + _lincount_expr."""
+    base = f"""
         WITH h AS (
             SELECT {keys_sql}, {bucket_sql} AS bucket_ts,
                    {duck_h60(value_expr)} AS h
@@ -185,6 +210,18 @@ def duck_hll_summary_sql(
                         CAST({M} - m_present AS HUGEINT) * {SCALE} AS DOUBLE)
                    AS est_raw
         FROM s
+    """
+    if not estimate:
+        return base
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    inner = f"({base}) q0"
+    for name, expr in log2_int_stages("greatest(zeros, 1)", "l2z"):
+        inner = f"(SELECT *, {expr} AS {name} FROM {inner}) q_{name}"
+    return f"""
+        SELECT {keys_sql}, bucket_ts, m_present, s_scaled, zeros, est_raw,
+               {_lincount_expr()} AS distinct_est
+        FROM {inner}
     """
 
 
@@ -1028,4 +1065,103 @@ def duck_bloom_membership_sql(
         SELECT {keys_sql}, bucket_ts, probe, hits,
                hits = n_parts AS member
         FROM j
+    """
+
+
+def hll_sliding(
+    tier: DataFrame,
+    keys: list[str],
+    window_buckets: int,
+    bucket_ms: int,
+) -> DataFrame:
+    """Trailing-window register merge: the sliding-window distinct count
+    mergeable sketches exist for. Each register row of the finest tier
+    contributes to the `window_buckets` output windows ENDING at or after
+    its bucket (explode of a literal 0..W-1 sequence — bounded 24x fan-out
+    of register rows, never of raw rows), then registers re-merge by max:
+    the result at bucket t is the exact HLL union of buckets
+    (t-W+1 .. t), so `hll_summary`/`hll_estimate` answer "distinct X in
+    the trailing W buckets as of t" for every t within W of any data —
+    including hours with no arrivals of their own, where a tumbling
+    sketch has no row at all.
+
+    Determinism: expansion + max-merge is order-free integer algebra,
+    value-gated end to end (duck_hll_sliding_sql replays it). Scale: the
+    shuffle carries <= W * M rows per (keys, bucket) — sketch-sized, and
+    W and M are literals; the raw table is never rescanned.
+    """
+    expanded = tier.select(
+        *keys,
+        F.explode(
+            F.expr(f"sequence(0, {window_buckets - 1})")
+        ).alias("k_off"),
+        "bucket_ts",
+        "reg",
+        "rho",
+    ).selectExpr(
+        *keys,
+        f"bucket_ts + k_off * CAST({bucket_ms} AS BIGINT) AS bucket_ts",
+        "reg",
+        "rho",
+    )
+    return expanded.groupBy(*keys, "bucket_ts", "reg").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def duck_hll_sliding_sql(
+    table: str, keys_sql: str, value_expr: str, bucket_sql: str,
+    window_buckets: int, bucket_ms: int, where: str = "TRUE",
+) -> str:
+    """DuckDB replay of hll_tier -> hll_sliding -> hll_summary ->
+    hll_estimate as one query (the sliding oracle)."""
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    base = f"""
+        WITH h AS (
+            SELECT {keys_sql}, {bucket_sql} AS bucket_ts,
+                   {duck_h60(value_expr)} AS h
+            FROM {table}
+            WHERE ({value_expr}) IS NOT NULL AND ({where})
+        ),
+        regs0 AS (
+            SELECT {keys_sql}, bucket_ts, h & {M - 1} AS reg,
+                   max(CASE WHEN (h >> {P}) = 0 THEN {RHO_CAP}
+                       ELSE {WREM} - length(bin(h >> {P})) + 1 END) AS rho
+            FROM h GROUP BY ALL
+        ),
+        regs AS (
+            SELECT {keys_sql},
+                   bucket_ts + k_off * CAST({bucket_ms} AS BIGINT)
+                       AS bucket_ts,
+                   reg, max(rho) AS rho
+            FROM regs0,
+                 (SELECT unnest(range(0, {window_buckets})) AS k_off)
+            GROUP BY ALL
+        ),
+        s AS (
+            SELECT {keys_sql}, bucket_ts,
+                   count(*) AS m_present,
+                   sum(CAST(POW(2, {RHO_CAP} - rho) AS BIGINT)) AS s_present
+            FROM regs GROUP BY ALL
+        )
+        SELECT {keys_sql}, bucket_ts, m_present,
+               CAST(CAST(s_present AS HUGEINT) +
+                    CAST({M} - m_present AS HUGEINT) * {SCALE} AS BIGINT)
+                   AS s_scaled,
+               {M} - m_present AS zeros,
+               (CAST({ALPHA!r} AS DOUBLE) * {M} * {M} *
+                    CAST({SCALE} AS DOUBLE)) /
+                   CAST(CAST(s_present AS HUGEINT) +
+                        CAST({M} - m_present AS HUGEINT) * {SCALE} AS DOUBLE)
+                   AS est_raw
+        FROM s
+    """
+    inner = f"({base}) q0"
+    for name, expr in log2_int_stages("greatest(zeros, 1)", "l2z"):
+        inner = f"(SELECT *, {expr} AS {name} FROM {inner}) q_{name}"
+    return f"""
+        SELECT {keys_sql}, bucket_ts, m_present, s_scaled, zeros, est_raw,
+               {_lincount_expr()} AS distinct_est
+        FROM {inner}
     """

@@ -1270,7 +1270,9 @@ def q_hll_distinct(spark, sf_dir):
     )
     hourly = hll_tier(ev, ["event_type"], "eid", f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}")
     daily = hll_downsample(hourly, ["event_type"], DAY_MS)
-    return hll_summary(daily, ["event_type"])
+    from modelardb_dynamic_spark.operators.sketches import hll_estimate
+
+    return hll_estimate(hll_summary(daily, ["event_type"]))
 
 
 def _events_uid(spark, sf_dir):
@@ -3483,6 +3485,7 @@ ORACLES["hll_distinct"] = duck_hll_summary_sql(
     "event_type",
     "CAST(event_id AS VARCHAR)",
     f"(epoch_ms(ts) // {DAY_MS}) * {DAY_MS}",
+    estimate=True,
 )
 
 
@@ -5395,3 +5398,44 @@ def _vocab_drift_oracle_sql() -> str:
 
 
 ORACLES["vocab_drift"] = _vocab_drift_oracle_sql()
+
+
+def q_hll_sliding(spark, sf_dir):
+    """Sliding-window distinct count off the mergeable HLL register tier
+    (operators/sketches.py hll_sliding): distinct event_ids per event_type
+    in the TRAILING 24 hours at every hourly bucket — the query shape
+    mergeable sketches exist for (a tumbling tier answers it with a
+    bounded register expansion + max re-merge, never a raw rescan).
+    All integer register algebra + the shared est_raw/lincount trees;
+    every column incl. distinct_est hash-gated."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        hll_estimate,
+        hll_sliding,
+        hll_summary,
+        hll_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("string").alias("eid"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    hourly = hll_tier(
+        ev, ["event_type"], "eid", f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}"
+    )
+    slid = hll_sliding(hourly, ["event_type"], 24, HOUR_MS)
+    return hll_estimate(hll_summary(slid, ["event_type"]))
+
+
+QUERIES["hll_sliding"] = q_hll_sliding
+
+from modelardb_dynamic_spark.operators.sketches import duck_hll_sliding_sql
+
+ORACLES["hll_sliding"] = duck_hll_sliding_sql(
+    "events",
+    "event_type",
+    "CAST(event_id AS VARCHAR)",
+    f"(epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS}",
+    24,
+    HOUR_MS,
+)

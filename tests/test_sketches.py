@@ -565,3 +565,66 @@ def test_bloom_word_collision_probe(spark):
     )
     out = bloom_membership(tier, ["sid"], [probe]).collect()
     assert not out or not out[0]["member"]
+
+
+def test_hll_sliding_equals_direct_window_union(spark):
+    """The sliding merge at bucket t must equal the register union of the
+    trailing W buckets computed directly — and the estimate at a window
+    covering everything must equal the all-data tumbling estimate."""
+    from modelardb_dynamic_spark.operators.sketches import hll_sliding
+
+    rows = []
+    for hour in range(6):
+        for i in range(30 * (hour + 1)):
+            rows.append((f"u{hour}_{i}", hour * 3_600_000))
+    df = spark.createDataFrame(rows, "uid string, ts_ms long")
+    tier = hll_tier(df, [], "uid", "(ts_ms DIV 3600000) * 3600000")
+    slid = hll_sliding(tier, [], 3, 3_600_000)
+    got = {
+        (r["bucket_ts"], r["reg"]): r["rho"] for r in slid.collect()
+    }
+    base = {
+        (r["bucket_ts"], r["reg"]): r["rho"] for r in tier.collect()
+    }
+    # direct union: for every output bucket t, max rho over source
+    # buckets in (t-2h .. t]
+    buckets = sorted({b for b, _ in base})
+    out_buckets = sorted({b for b, _ in got})
+    expect = {}
+    for t in out_buckets:
+        for (b, reg), rho in base.items():
+            if t - 2 * 3_600_000 <= b <= t:
+                k = (t, reg)
+                expect[k] = max(expect.get(k, 0), rho)
+    assert got == expect
+    # windows extend W-1 buckets past the last source bucket
+    assert max(out_buckets) == max(buckets) + 2 * 3_600_000
+
+    # a window covering all data == the tumbling all-data sketch
+    wide = hll_sliding(tier, [], 6, 3_600_000)
+    all_tier = hll_tier(df, [], "uid", "CAST(0 AS BIGINT)")
+    est_wide = {
+        r["bucket_ts"]: r["distinct_est"]
+        for r in hll_estimate(hll_summary(wide, [])).collect()
+    }
+    est_all = hll_estimate(hll_summary(all_tier, [])).collect()[0][
+        "distinct_est"
+    ]
+    last_src = max(buckets)
+    assert est_wide[last_src] == est_all
+
+
+def test_hll_estimate_lincount_matches_ln(spark):
+    """The shared-series linear-counting correction must agree with the
+    textbook M*ln(M/zeros) to 1e-9 relative and stay inside the usual
+    HLL accuracy envelope."""
+    import math
+
+    rows = [(f"v{i}", 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "uid string, ts_ms long")
+    tier = hll_tier(df, [], "uid", "CAST(0 AS BIGINT)")
+    est = hll_estimate(hll_summary(tier, [])).collect()[0]
+    m = 256
+    truth = m * math.log(m / est["zeros"])
+    assert abs(est["distinct_est"] - truth) / truth < 1e-9
+    assert abs(est["distinct_est"] - 40) / 40 < 0.15

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "zipf_head",
     "vocab_drift",
     "hll_sliding",
+    "tfidf_keywords",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

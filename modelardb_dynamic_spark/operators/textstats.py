@@ -1674,3 +1674,61 @@ def vocab_kl_drift(
     w_rank = Window.orderBy(F.desc(F.abs(F.col("contrib"))), F.asc("token"))
     res = out.withColumn("rank", F.row_number().over(w_rank).cast("int"))
     return res
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: top_k tokens by TF-IDF with
+    idf = log2(N / df) — the classic representative-term signal (doc
+    tagging, cluster labeling, index pruning). Ties break (score DESC,
+    token ASC): deterministic across partitionings.
+
+    Exactness: tf (per-doc multiplicity) and df (docs containing the
+    token) are exact int64; N is a scalar. idf = l2(N) - l2(df) with
+    l2(N) from the bit-exact Python twin (literal) and l2(df) from the
+    shared log2_int_stages tree; tfidf = tf * idf is one per-row product
+    of bit-identical doubles — no fold anywhere.
+
+    Scale: multiplicities collapse map-side (groupBy (doc, token)); df
+    is one vocabulary-sized re-aggregation (count of per-doc rows =
+    docs-containing by construction); one join on token (AQE covers
+    Zipf skew); the top-k window partitions by doc over that doc's
+    distinct tokens only. Corpus scanned once; N off the docs table.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = (
+        docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from modelardb_dynamic_spark.operators.dedup import _materialize
+
+    tok = _materialize(tok)
+    df_t = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = int(tok.select("id").distinct().count())
+    l2n = _dlit(py_log2_stages(max(n_docs, 1)))
+    j = tok.join(df_t, ["w"])
+    for name, expr in log2_int_stages("df", "l2df"):
+        j = j.selectExpr("*", f"{expr} AS {name}")
+    scored = j.selectExpr(
+        "id",
+        "w AS token",
+        "CAST(tf AS BIGINT) AS tf",
+        "CAST(df AS BIGINT) AS df",
+        f"CAST(tf AS DOUBLE) * ({l2n} - l2df) AS tfidf",
+    )
+    w_rank = Window.partitionBy("id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .selectExpr(
+            f"id AS {id_col}", "token", "tf", "df", "tfidf", "rank"
+        )
+    )

@@ -5439,3 +5439,68 @@ ORACLES["hll_sliding"] = duck_hll_sliding_sql(
     24,
     HOUR_MS,
 )
+
+
+TFIDF_K = 5
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc TF-IDF keyword extraction (operators/textstats.py
+    tfidf_keywords): top-5 tokens per doc by tf * (log2 N - log2 df),
+    logs from the shared tree / Python twin, deterministic tie order;
+    doubles hash-gated."""
+    return textstats.tfidf_keywords(
+        _t(spark, sf_dir, "documents"), top_k=TFIDF_K
+    )
+
+
+QUERIES["tfidf_keywords"] = q_tfidf_keywords
+
+
+def _tfidf_oracle_sql() -> str:
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    ctes, prev = [], "j0"
+    for i, (name, expr) in enumerate(log2_int_stages("df", "l2df"), 1):
+        ctes.append(f"f{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"f{i}"
+    inner = ",\n        ".join(ctes)
+    # l2(N): the same staged tree applied to the scalar doc count
+    sc, sprev = [], "n0"
+    for i, (name, expr) in enumerate(log2_int_stages("n_docs", "l2n"), 1):
+        sc.append(f"n{i} AS (SELECT *, {expr} AS {name} FROM {sprev})")
+        sprev = f"n{i}"
+    scalar = ",\n        ".join(sc)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE w != ''
+        GROUP BY 1, 2
+    ),
+    dft AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+    n0 AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    {scalar},
+    j0 AS (SELECT doc_id, w, tf, df,
+                  (SELECT l2n FROM {sprev}) AS l2n
+           FROM tok JOIN dft USING (w)),
+    {inner},
+    scored AS (
+        SELECT doc_id, w AS token,
+               CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df,
+               CAST(tf AS DOUBLE) * (l2n - l2df) AS tfidf
+        FROM {prev}
+    )
+    SELECT doc_id, token, tf, df, tfidf, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, token)
+               AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {TFIDF_K}
+    """
+
+
+ORACLES["tfidf_keywords"] = _tfidf_oracle_sql()

@@ -1823,3 +1823,37 @@ def test_vocab_kl_drift_exact(spark):
     # the two log trees cancel term for term)
     same = textstats.vocab_kl_drift(p, p, top_k=5).collect()
     assert all(r["contrib"] == 0.0 for r in same)
+
+
+def test_tfidf_keywords_exact(spark):
+    """Constructed corpus: a corpus-unique token outranks ubiquitous ones;
+    scores bit-match the Python twin and agree with math.log2 to 1e-9;
+    ubiquitous tokens (df = N) score exactly 0."""
+    import math
+
+    rows = [
+        (1, "shared shared unique1 filler"),
+        (2, "shared filler unique2"),
+        (3, "shared filler"),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = textstats.tfidf_keywords(docs, top_k=3).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r["rank"])
+    # doc 1: unique1 (df=1) must outrank shared/filler (df=3)
+    assert by_doc[1][0]["token"] == "unique1"
+    n = 3
+    for r in out:
+        expect = float(r["tf"]) * (
+            textstats.py_log2_stages(n) - textstats.py_log2_stages(r["df"])
+        )
+        assert r["tfidf"] == expect  # bit-exact
+        assert abs(r["tfidf"] - r["tf"] * math.log2(n / r["df"])) < 1e-9
+        if r["df"] == n:
+            assert r["tfidf"] == 0.0
+    # ranks are 1..k dense per doc with deterministic tie order
+    for rs in by_doc.values():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "vocab_drift",
     "hll_sliding",
     "tfidf_keywords",
+    "alp_points",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

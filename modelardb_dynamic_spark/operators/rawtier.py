@@ -167,3 +167,186 @@ def restore_times(df: DataFrame, key_col: str, ts_name: str = "ts") -> DataFrame
             )
 
     return df.mapInArrow(decode_rows, out_schema)
+
+
+def compress_points(
+    df: DataFrame, key_col: str, ts_col: str, val_col: str
+) -> DataFrame:
+    """The complete raw-tier archive: (key, ts int64, value double) rows
+    -> one (key, n_pts, ts_blob, val_blob) row per key, timestamps
+    through the DoD codec (models/dod.py) and values through the ALP
+    codec (models/alp.py) — both planar/byte-aligned so encode is pure
+    numpy inside Arrow batches. Points sort per key by (ts, value-bits):
+    ts order is what DoD requires; the value-BITS tiebreak (u64 view)
+    keeps duplicate-timestamp blobs deterministic even with NaNs, which
+    float comparisons would order engine-dependently. Restore
+    (restore_points) returns the exact (key, ts, value) multiset — any
+    bit lost anywhere breaks pairing and fails the value gate.
+
+    Scale: one shuffle on key, then map-side encode; blob size is
+    ~0.25-4 B/ts + 1-8 B/value (data-bound, RAW fallback capped at
+    8 B/value), against 16 B/point raw columns."""
+    from modelardb_dynamic_spark.models.alp import encode_values
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, n_pts long, ts_blob binary, val_blob binary"
+    )
+    key_pa = pa.int64() if key_type == "bigint" else pa.string()
+    arrow_schema = pa.schema(
+        [
+            (key_col, key_pa),
+            ("n_pts", pa.int64()),
+            ("ts_blob", pa.binary()),
+            ("val_blob", pa.binary()),
+        ]
+    )
+
+    def encode_groups(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        carry_key = None
+        carry_t: list[np.ndarray] = []
+        carry_v: list[np.ndarray] = []
+
+        def emit_into(keys, ns, tblobs, vblobs, key, t_parts, v_parts):
+            t = np.concatenate(t_parts) if len(t_parts) > 1 else t_parts[0]
+            v = np.concatenate(v_parts) if len(v_parts) > 1 else v_parts[0]
+            v = np.ascontiguousarray(v, dtype="<f8")
+            order = np.lexsort((v.view("<u8"), t))
+            t, v = t[order], v[order]
+            keys.append(key)
+            ns.append(len(t))
+            tblobs.append(encode_ts(t))
+            vblobs.append(encode_values(v))
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            keys: list = []
+            ns: list[int] = []
+            tblobs: list[bytes] = []
+            vblobs: list[bytes] = []
+            codes = _key_codes(rb.column(key_col))
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            change[1:] = codes[1:] != codes[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            t_all = (
+                rb.column(ts_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            v_all = (
+                rb.column(val_col)
+                .to_numpy(zero_copy_only=False)
+                .astype("<f8")
+            )
+            kc = rb.column(key_col)
+            for gi, (a, b) in enumerate(zip(starts.tolist(), ends.tolist())):
+                key = kc[a].as_py()
+                is_last = gi == len(starts) - 1
+                if carry_key is not None and key != carry_key:
+                    emit_into(
+                        keys, ns, tblobs, vblobs, carry_key, carry_t, carry_v
+                    )
+                    carry_key, carry_t, carry_v = None, [], []
+                if is_last or carry_key == key:
+                    carry_key = key
+                    carry_t.append(t_all[a:b])
+                    carry_v.append(v_all[a:b])
+                else:
+                    emit_into(
+                        keys, ns, tblobs, vblobs, key, [t_all[a:b]], [v_all[a:b]]
+                    )
+            if keys:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(keys, type=key_pa),
+                        pa.array(ns, type=pa.int64()),
+                        pa.array(tblobs, type=pa.binary()),
+                        pa.array(vblobs, type=pa.binary()),
+                    ],
+                    schema=arrow_schema,
+                )
+        if carry_key is not None:
+            keys, ns, tblobs, vblobs = [], [], [], []
+            emit_into(keys, ns, tblobs, vblobs, carry_key, carry_t, carry_v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(keys, type=key_pa),
+                    pa.array(ns, type=pa.int64()),
+                    pa.array(tblobs, type=pa.binary()),
+                    pa.array(vblobs, type=pa.binary()),
+                ],
+                schema=arrow_schema,
+            )
+
+    return (
+        df.select(key_col, ts_col, val_col)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, val_col)
+        .mapInArrow(encode_groups, out_schema)
+    )
+
+
+def restore_points(
+    df: DataFrame, key_col: str, ts_name: str = "ts", val_name: str = "value"
+) -> DataFrame:
+    """(key, n_pts, ts_blob, val_blob) -> (key, ts, value) exploded rows,
+    bit-exact. No shuffle: each blob pair decodes independently."""
+    from modelardb_dynamic_spark.models.alp import decode_values
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, {ts_name} long, {val_name} double"
+    key_pa = pa.int64() if key_type == "bigint" else pa.string()
+    arrow_schema = pa.schema(
+        [
+            (key_col, key_pa),
+            (ts_name, pa.int64()),
+            (val_name, pa.float64()),
+        ]
+    )
+
+    def decode_rows(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            kc = rb.column(key_col)
+            tb = rb.column("ts_blob")
+            vb = rb.column("val_blob")
+            ts_parts: list[np.ndarray] = []
+            v_parts: list[np.ndarray] = []
+            lens: list[int] = []
+            for i in range(rb.num_rows):
+                t = decode_ts(tb[i].as_py())
+                v = decode_values(vb[i].as_py())
+                if len(t) != len(v):
+                    raise ValueError(
+                        f"blob pair length mismatch: {len(t)} ts vs "
+                        f"{len(v)} values"
+                    )
+                ts_parts.append(t)
+                v_parts.append(v)
+                lens.append(len(t))
+            if not ts_parts:
+                continue
+            keys = kc.take(
+                pa.array(
+                    np.repeat(np.arange(rb.num_rows, dtype=np.int64), lens)
+                )
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    keys.cast(key_pa),
+                    pa.array(np.concatenate(ts_parts), type=pa.int64()),
+                    pa.array(np.concatenate(v_parts), type=pa.float64()),
+                ],
+                schema=arrow_schema,
+            )
+
+    return df.mapInArrow(decode_rows, out_schema)

@@ -5504,3 +5504,34 @@ def _tfidf_oracle_sql() -> str:
 
 
 ORACLES["tfidf_keywords"] = _tfidf_oracle_sql()
+
+
+def q_alp_points(spark, sf_dir):
+    """Complete raw-tier archive (models/alp.py + models/dod.py via
+    operators/rawtier.py compress_points/restore_points): per-user
+    (arrival time, value) pairs -> one DoD blob + one ALP blob per user
+    -> exact restore. Output is the restored (user_id, ts_us, value)
+    multiset; the oracle reads the raw table directly, so any bit lost in
+    either codec, the pairing, or the Arrow plumbing hash-mismatches —
+    including NaN payloads and -0.0 (the codec compares u64 bits, never
+    float ==)."""
+    from modelardb_dynamic_spark.operators.rawtier import (
+        compress_points,
+        restore_points,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    blobs = compress_points(ev, "user_id", "ts_us", "value")
+    return restore_points(blobs, "user_id", "ts_us", "value")
+
+
+QUERIES["alp_points"] = q_alp_points
+
+ORACLES["alp_points"] = """
+    SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS value
+    FROM events
+"""

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "hll_sliding",
     "tfidf_keywords",
     "alp_points",
+    "transition_entropy",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

@@ -1732,3 +1732,70 @@ def tfidf_keywords(
             f"id AS {id_col}", "token", "tf", "df", "tfidf", "rank"
         )
     )
+
+
+def transition_entropy(tr: DataFrame) -> DataFrame:
+    """Conversation-flow predictability: for each conditioning role s,
+    the conditional Shannon entropy H(next role | prev = s) in bits over
+    the transcript's adjacent-turn transitions — the information-
+    theoretic companion of turn_transitions (a matrix says WHAT follows;
+    this says how PREDICTABLE the flow is: H -> 0 is a deterministic
+    pipeline, H -> log2 |roles| is thrashing). Also emits each state's
+    occupancy weight n_s / N and its term of the entropy rate
+    weight * H (the caller's sum over <= |roles| rows is the Markov
+    entropy rate).
+
+    Exactness: the token_entropy algebra over exact transition counts —
+    H(s) = l2(n_s) - (1/n_s) * sum_r c_sr * l2(c_sr), logs from the
+    shared log2_int_stages tree, the per-state sum folded in sorted
+    next-role order (bounded by |roles| — a literal-sized array); N is
+    a scalar through the bit-exact Python twin. weight and rate_term
+    are shared division/product trees.
+
+    Scale: one conv_id window pass + two map-side-combinable groupBys
+    onto the |roles|^2 matrix; nothing is data-sized after the window.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        tr.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.lag("role").over(w).alias("prev_role"),
+        )
+        .where(F.col("prev_role").isNotNull())
+        .groupBy("prev_role", "role")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from modelardb_dynamic_spark.operators.dedup import _materialize
+
+    pairs = _materialize(pairs)
+    n_total = int(
+        pairs.agg(F.sum("c").alias("n")).collect()[0]["n"] or 0
+    )
+    j = pairs
+    for name, expr in log2_int_stages("c", "l2c"):
+        j = j.selectExpr("*", f"{expr} AS {name}")
+    per = j.selectExpr(
+        "prev_role", "role", "c", "CAST(c AS DOUBLE) * l2c AS contrib"
+    )
+    agg = per.groupBy("prev_role").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_next"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(role, contrib))), "
+            "CAST(0 AS DOUBLE), (a, s) -> a + s.contrib)"
+        ).alias("rep_bits"),
+    )
+    for name, expr in log2_int_stages("n", "l2n"):
+        agg = agg.selectExpr("*", f"{expr} AS {name}")
+    h = "l2n - rep_bits / CAST(n AS DOUBLE)"
+    return agg.selectExpr(
+        "prev_role",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(n_next AS BIGINT) AS n_next",
+        f"{h} AS cond_entropy_bits",
+        f"CAST(n AS DOUBLE) / CAST({n_total} AS DOUBLE) AS weight",
+        f"(CAST(n AS DOUBLE) / CAST({n_total} AS DOUBLE)) * ({h}) "
+        "AS rate_term",
+    )

@@ -5535,3 +5535,97 @@ ORACLES["alp_points"] = """
     SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS value
     FROM events
 """
+
+
+def q_transition_entropy(spark, sf_dir):
+    """Markov conditional entropy of the conversation flow (operators/
+    textstats.py transition_entropy) with event_id-derived roles (the
+    agent_loops derivation, so transitions actually vary); exact counts,
+    logs from the shared tree, bounded sorted folds; doubles
+    hash-gated."""
+    from modelardb_dynamic_spark.operators.textstats import (
+        transition_entropy,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn_idx = (F.row_number().over(w) - 1).cast("int")
+    role = (
+        F.when(F.pmod(F.col("event_id"), F.lit(5)) == 0, F.lit("user"))
+        .when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit("tool"))
+        .otherwise(F.lit("assistant"))
+    )
+    tr = ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias(
+            "conv_id"
+        ),
+        turn_idx.alias("turn_idx"),
+        role.alias("role"),
+    )
+    return transition_entropy(tr)
+
+
+QUERIES["transition_entropy"] = q_transition_entropy
+
+
+def _transition_entropy_oracle_sql() -> str:
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    c1, prev = [], "pairs"
+    for i, (name, expr) in enumerate(log2_int_stages("c", "l2c"), 1):
+        c1.append(f"g{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"g{i}"
+    inner = ",\n        ".join(c1)
+    c2, aprev = [], "agg0"
+    for i, (name, expr) in enumerate(log2_int_stages("n", "l2n"), 1):
+        c2.append(f"h{i} AS (SELECT *, {expr} AS {name} FROM {aprev})")
+        aprev = f"h{i}"
+    outer = ",\n        ".join(c2)
+    h = "l2n - rep_bits / CAST(n AS DOUBLE)"
+    return f"""
+    WITH tr AS (
+        SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) - 1
+                   AS INT) AS turn_idx,
+               CASE WHEN event_id % 5 = 0 THEN 'user'
+                    WHEN event_id % 3 = 0 THEN 'tool'
+                    ELSE 'assistant' END AS role
+        FROM events
+    ),
+    pr AS (
+        SELECT conv_id, role,
+               lag(role) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+        FROM tr
+    ),
+    pairs AS (
+        SELECT prev_role, role, count(*) AS c
+        FROM pr WHERE prev_role IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    nn AS (SELECT sum(c) AS n_total FROM pairs),
+    {inner},
+    contribs AS (SELECT prev_role, role, c,
+                        CAST(c AS DOUBLE) * l2c AS contrib FROM {prev}),
+    agg0 AS (
+        SELECT prev_role, sum(c) AS n, count(*) AS n_next,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(contrib ORDER BY role)),
+                   (a, x) -> a + x) AS rep_bits
+        FROM contribs GROUP BY prev_role
+    ),
+    {outer}
+    SELECT prev_role,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_next AS BIGINT) AS n_next,
+           {h} AS cond_entropy_bits,
+           CAST(n AS DOUBLE) / CAST((SELECT n_total FROM nn) AS DOUBLE)
+               AS weight,
+           (CAST(n AS DOUBLE) / CAST((SELECT n_total FROM nn) AS DOUBLE))
+               * ({h}) AS rate_term
+    FROM {aprev}
+    """
+
+
+ORACLES["transition_entropy"] = _transition_entropy_oracle_sql()

@@ -1857,3 +1857,56 @@ def test_tfidf_keywords_exact(spark):
     # ranks are 1..k dense per doc with deterministic tie order
     for rs in by_doc.values():
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_transition_entropy_exact(spark):
+    """Hand-built flow: a deterministic pipeline state has H = 0; a
+    uniform two-way state has H = 1 exactly; weights sum to 1 and the
+    rate terms bit-match the Python twin replay."""
+    rows = []
+    # conv A: u -> a -> u -> a ... (deterministic both ways)
+    for i in range(8):
+        rows.append(("A", i, "user" if i % 2 == 0 else "assistant"))
+    # conv B: a -> t, a -> u alternating: from 'assistant2' uniform split
+    seq = ["x", "tool", "x", "user", "x", "tool", "x", "user"]
+    for i, r in enumerate(seq):
+        rows.append(("B", i, r))
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {
+        r["prev_role"]: r
+        for r in textstats.transition_entropy(tr).collect()
+    }
+    # 'user' is always followed by 'assistant' in A and by 'x' in B...
+    # so compute ground truth generically instead:
+    from collections import Counter, defaultdict
+
+    pairs: Counter = Counter()
+    byconv = defaultdict(list)
+    for c, i, r in rows:
+        byconv[c].append((i, r))
+    for c, seq_ in byconv.items():
+        seq_.sort()
+        for (_, a), (_, b) in zip(seq_, seq_[1:]):
+            pairs[(a, b)] += 1
+    n_total = sum(pairs.values())
+    states = defaultdict(Counter)
+    for (a, b), c in pairs.items():
+        states[a][b] += c
+    for s, nxt in states.items():
+        n_s = sum(nxt.values())
+        rep = 0.0
+        for b, c in sorted(nxt.items()):
+            rep = rep + float(c) * textstats.py_log2_stages(c)
+        h = textstats.py_log2_stages(n_s) - rep / float(n_s)
+        r = out[s]
+        assert r["n"] == n_s and r["n_next"] == len(nxt)
+        assert r["cond_entropy_bits"] == h  # bit-exact
+        assert r["weight"] == float(n_s) / float(n_total)
+        assert r["rate_term"] == (float(n_s) / float(n_total)) * h
+    # the 'x' state in conv B goes 50/50 tool/user -> exactly 1 bit
+    assert abs(out["x"]["cond_entropy_bits"] - 1.0) < 1e-12
+    # deterministic states are exactly 0 bits
+    det = [s for s, nxt in states.items() if len(nxt) == 1]
+    for s in det:
+        assert out[s]["cond_entropy_bits"] == 0.0
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-12

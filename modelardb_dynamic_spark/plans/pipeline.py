@@ -628,6 +628,101 @@ class TierPipeline:
     def retain_raw(self, horizon_ms: int, fingerprint_suffix: str = "") -> None:
         self.retain("raw", horizon_ms, fingerprint_suffix)
 
+    # -- cold archive (series tier) -------------------------------------------
+
+    _AKEY_SEP = "\x1f"
+
+    def archive_series(self, horizon_ms: int) -> dict:
+        """Retention that DEMOTES instead of deletes: sub-horizon series
+        points collapse into one DoD-timestamp + ALP-value blob pair per
+        (sid, metric) (operators/rawtier.py compress_points, ~2-6 B/point
+        vs 16 B columnar), written as the `series_arch` stage with the
+        same lineage/resume machinery as every stage — THEN the series
+        tier drops below the horizon (retain). restore_series_archive
+        returns the exact original rows, so history stays recoverable
+        (e.g. to rebuild segments under a new error bound) at cold-storage
+        cost while the hot tiers keep answering queries.
+
+        Ordering is crash-safe: archive FIRST (series still intact), the
+        destructive retain LAST; a crash in between resumes — completed
+        archive buckets skip via fingerprint, retain re-runs idempotently.
+
+        GROWING the horizon later re-archives: the build unions the
+        existing archive's restored points (sub-old-horizon series rows
+        are already gone) with the still-present [old, new) series rows;
+        the fingerprint carries the horizon so unchanged horizons are
+        no-ops. Shrinking is refused like retain()."""
+        from modelardb_dynamic_spark.operators.rawtier import (
+            compress_points,
+            restore_points,
+        )
+
+        existing = self.retention_horizon("series")
+        if existing is not None and horizon_ms < existing:
+            horizon_ms = existing  # monotone, matching retain()
+        arch_root = self.wh.path("series_arch")
+        have_arch = bool(Lineage(arch_root).metrics().get("buckets")) if (
+            os.path.exists(arch_root)
+        ) else False
+        sep = self._AKEY_SEP
+
+        def build(bucket_ids: list[int]) -> DataFrame:
+            cur = (
+                self._read_buckets("series", bucket_ids)
+                .where(F.col("ts_ms") < horizon_ms)
+                .selectExpr(
+                    f"concat(sid, '{sep}', metric) AS akey",
+                    "ts_ms",
+                    "CAST(value AS DOUBLE) AS value",
+                )
+            )
+            if have_arch:
+                old = restore_points(
+                    self._read_buckets("series_arch", bucket_ids).drop(
+                        "sbucket", "hw_ts"
+                    ),
+                    "akey",
+                    "ts_ms",
+                    "value",
+                )
+                cur = cur.unionByName(old)
+            hw = cur.groupBy("akey").agg(F.max("ts_ms").alias("hw_ts"))
+            blobs = compress_points(cur, "akey", "ts_ms", "value")
+            return blobs.join(hw, ["akey"]).withColumn(
+                "sbucket",
+                sid_bucket(
+                    F.substring_index(F.col("akey"), sep, 1),
+                    self.wh.n_buckets,
+                ),
+            )
+
+        self._run_stage(
+            "series_arch",
+            f"series-arch-{horizon_ms}",
+            build,
+            ts_col="hw_ts",
+        )
+        self.retain("series", horizon_ms)
+        m = Lineage(arch_root).metrics()
+        return {"blobs": m.get("rows", 0), "horizon_ms": horizon_ms}
+
+    def restore_series_archive(self) -> DataFrame:
+        """Exact (sid, metric, ts_ms, value float) rows back out of the
+        cold archive — shuffle-free (each blob pair decodes alone)."""
+        from modelardb_dynamic_spark.operators.rawtier import restore_points
+
+        blobs = self.spark.read.parquet(self.wh.path("series_arch")).drop(
+            "sbucket", "hw_ts"
+        )
+        pts = restore_points(blobs, "akey", "ts_ms", "value")
+        sep = self._AKEY_SEP
+        return pts.selectExpr(
+            f"substring_index(akey, '{sep}', 1) AS sid",
+            f"substring_index(akey, '{sep}', -1) AS metric",
+            "ts_ms",
+            "CAST(value AS FLOAT) AS value",
+        )
+
     # -- maintenance -----------------------------------------------------------
 
     def compact(

@@ -890,3 +890,75 @@ def test_warehouse_status_surfaces_lineage_and_retention(
     assert tables["series"]["retention_horizon_ms"] == int(lo) + 1
     assert "retention_horizon_ms" not in tables["raw"]
     assert hw("series") == int(lo) + 1
+
+
+def test_archive_series_demotes_and_restores_exactly(spark, transcripts, tmp_path):
+    """Cold archive: archive_series(h) writes blob pairs for every
+    sub-horizon series point, drops the hot rows, and
+    restore_series_archive returns them EXACTLY; growing the horizon
+    re-archives losslessly even though the older hot rows are gone;
+    re-running at the same horizon is a fingerprint no-op."""
+    import os as _os
+
+    from modelardb_dynamic_spark.sources.catalog import Warehouse as _WH
+
+    wh = _WH(str(tmp_path / "arch"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG0, chunk_buckets=4, salt_span_points=None)
+    p.ingest_raw(transcripts)
+    p.build_series()
+
+    series = wh.read(spark, "series").drop("sbucket")
+    s_lo, s_hi = series.agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
+    h1 = ((s_lo + (s_hi - s_lo) // 3) // HOUR_MS) * HOUR_MS
+    h2 = ((s_lo + 2 * (s_hi - s_lo) // 3) // HOUR_MS) * HOUR_MS
+
+    def rows_below(df, h):
+        return sorted(
+            (r["sid"], r["metric"], r["ts_ms"], r["value"])
+            for r in df.where(F.col("ts_ms") < h).collect()
+        )
+
+    want_h1 = rows_below(series, h1)
+    want_h2 = rows_below(series, h2)
+    assert want_h1 and len(want_h2) > len(want_h1)
+
+    out = p.archive_series(h1)
+    assert out["horizon_ms"] == h1 and out["blobs"] > 0
+    hot = wh.read(spark, "series")
+    assert hot.where(F.col("ts_ms") < h1).count() == 0
+    got = sorted(
+        (r["sid"], r["metric"], r["ts_ms"], r["value"])
+        for r in p.restore_series_archive().collect()
+    )
+    assert got == want_h1
+
+    # idempotent re-run: same fingerprint -> manifests untouched
+    import json
+
+    man_dir = wh.path("series_arch")
+    before = {
+        f: _os.path.getmtime(_os.path.join(man_dir, f))
+        for f in _os.listdir(man_dir)
+        if f.endswith(".json")
+    }
+    p.archive_series(h1)
+    after = {
+        f: _os.path.getmtime(_os.path.join(man_dir, f))
+        for f in _os.listdir(man_dir)
+        if f.endswith(".json")
+    }
+    assert {k: v for k, v in after.items() if k in before} == before
+
+    # grow the horizon: old archive unions with the [h1, h2) hot rows
+    p.archive_series(h2)
+    got2 = sorted(
+        (r["sid"], r["metric"], r["ts_ms"], r["value"])
+        for r in p.restore_series_archive().collect()
+    )
+    assert got2 == want_h2
+    assert wh.read(spark, "series").where(F.col("ts_ms") < h2).count() == 0
+    # archive survives in the status surface
+    from modelardb_dynamic_spark.plans.pipeline import warehouse_status
+
+    st = warehouse_status(str(tmp_path / "arch"))
+    assert "series_arch" in st["tables"]

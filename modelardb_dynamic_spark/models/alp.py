@@ -50,51 +50,74 @@ _MAX_E = 14
 _SAFE = float(1 << 53)  # |c| <= 2^53: int64 <-> float64 casts are exact
 
 
+_SAMPLE = 2048
+
+
+def _trial(v: np.ndarray, bits: np.ndarray, e: int):
+    """One exponent pass: (n_exc, base, width, good_mask, ci). Whole-
+    vector ops only (rint, where, one division, one bit compare) — no
+    boolean fancy indexing in the hot path; NaN/inf need no special
+    case because they fail the |c| <= 2^53 comparison (NaN compares
+    false) and travel as exceptions."""
+    scale = 10.0**e
+    with np.errstate(invalid="ignore", over="ignore"):
+        c = np.rint(v * scale)
+        ok = np.abs(c) <= _SAFE
+        ci = np.where(ok, c, 0.0).astype("<i8")
+        rt = ci.astype("<f8") if e == 0 else ci.astype("<f8") / scale
+    good = ok & (rt.view("<u8") == bits)
+    n_exc = len(v) - int(np.count_nonzero(good))
+    if n_exc < len(v):
+        gi = ci[good] if n_exc else ci
+        base = int(gi.min())
+        rng = int(gi.max()) - base
+        w = 1 if rng < (1 << 8) else 2 if rng < (1 << 16) else 4 if rng < (1 << 32) else 8
+    else:
+        base, w = 0, 1
+    return n_exc, base, w, good, ci
+
+
 def encode_values(v: np.ndarray) -> bytes:
-    """Encode a float64 array. Empty input -> b''."""
+    """Encode a float64 array. Empty input -> b''.
+
+    Exponent selection is ALP's two-level scheme: the 15 candidate
+    exponents are costed on a DETERMINISTIC stride sample (<= 2048
+    values), then ONE full pass runs the winner — 15n work becomes
+    15*2048 + n, and the blob is byte-identical across reruns and
+    partitionings (no randomness). The full pass re-derives exceptions
+    and widths exactly, so a sample mispick can only cost bytes, never
+    correctness; the RAW-fallback decision uses the exact full-pass
+    cost. Early exit: the first exponent with zero sample exceptions
+    wins outright (larger e only scales c by 10, widening the range)."""
     v = np.ascontiguousarray(v, dtype="<f8")
     n = len(v)
     if n == 0:
         return b""
     bits = v.view("<u8")
 
-    best = None  # (cost, e, good_mask, ci, base, w)
+    if n > _SAMPLE:
+        stride = n // _SAMPLE
+        sv = np.ascontiguousarray(v[:: stride][:_SAMPLE])
+        sbits = sv.view("<u8")
+    else:
+        sv, sbits = v, bits
+    sn = len(sv)
+    best_e, best_cost = 0, None
     for e in range(_MAX_E + 1):
-        scale = 10.0**e
-        with np.errstate(invalid="ignore", over="ignore"):
-            x = v * scale
-            c = np.round(x)
-            ok = np.isfinite(x) & (np.abs(c) <= _SAFE)
-        ci = np.zeros(n, dtype="<i8")
-        ci[ok] = c[ok].astype("<i8")
-        rt = np.zeros(n, dtype="<f8")
-        if e == 0:
-            rt[ok] = ci[ok].astype("<f8")
-        else:
-            rt[ok] = ci[ok].astype("<f8") / scale
-        good = ok.copy()
-        good[ok] = rt[ok].view("<u8") == bits[ok]
-        n_good = int(np.count_nonzero(good))
-        n_exc = n - n_good
-        if n_good:
-            base = int(ci[good].min())
-            rng = int(ci[good].max()) - base
-            w = 1 if rng < (1 << 8) else 2 if rng < (1 << 16) else 4 if rng < (1 << 32) else 8
-        else:
-            base, w = 0, 1
-        cost = n * w + 16 * n_exc
-        if best is None or cost < best[0]:
-            best = (cost, e, good, ci, base, w)
-        if n_exc == 0 and w == 1:
-            break  # cannot do better than 1 B/value with zero exceptions
+        n_exc, _, w, _, _ = _trial(sv, sbits, e)
+        cost = sn * w + 16 * n_exc
+        if best_cost is None or cost < best_cost:
+            best_e, best_cost = e, cost
+        if n_exc == 0:
+            break  # larger e never beats an already-exact exponent
 
-    cost, e, good, ci, base, w = best
+    e = best_e
+    n_exc, base, w, good, ci = _trial(v, bits, e)
+    cost = n * w + 16 * n_exc
     if cost >= 8 * n:
         return _HDR.pack(_MAGIC, _MODE_RAW, 0, 8, n, 0, 0) + v.tobytes()
 
-    plane = np.zeros(n, dtype="<u8")
-    plane[good] = (ci[good] - base).astype("<u8")
-    plane = plane.astype(f"<u{w}")
+    plane = np.where(good, ci - base, 0).astype(f"<u{w}")
     exc_pos = np.flatnonzero(~good).astype("<i8")
     parts = [
         _HDR.pack(_MAGIC, _MODE_ALP, e, w, n, len(exc_pos), base),

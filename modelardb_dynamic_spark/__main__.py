@@ -39,6 +39,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="drop TABLE rows older than HORIZON_MS after the "
                          "build (repeatable); horizon recorded for "
                          "retention-aware range_agg routing")
+    ap.add_argument("--archive-series", type=int, default=None,
+                    metavar="HORIZON_MS",
+                    help="cold-archive series points below HORIZON_MS "
+                         "into DoD+ALP blob pairs (series_arch stage, "
+                         "exact restore), then retain the hot tier")
     ap.add_argument("--append-input", default=None,
                     help="incremental maintenance instead of a full run: "
                          "upsert this transcript batch (parquet path or "
@@ -143,6 +148,8 @@ def main(argv: list[str] | None = None) -> None:
     for spec in args.retain:
         table, horizon = spec.rsplit(":", 1)
         pipe.retain(table, int(horizon))
+    if args.archive_series is not None:
+        out["archive_series"] = pipe.archive_series(args.archive_series)
     if args.compact:
         table, _, n = args.compact.partition(":")
         out["compact"] = pipe.compact(table, target_files=int(n) if n else 1)

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "tfidf_keywords",
     "alp_points",
     "transition_entropy",
+    "sax_similar",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

@@ -1461,3 +1461,64 @@ def holt_levels(
             "ELSE abs(CAST(s AS DOUBLE) / n - forecast) END AS abs_err",
         )
     )
+
+
+def sax_similar_pairs(
+    words: DataFrame,
+    theta_num: int = 1,
+    theta_den: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Series shape-similarity search over the SAX symbolic layer — the
+    iSAX candidate-generation idea (Shieh & Keogh): two series whose
+    windows quantize to many of the SAME symbolic words moved the same
+    way, without ever comparing raw points. Input is sax_words output
+    (sid, word_ts, word); similarity is Jaccard over each series' set of
+    DISTINCT words, pairs kept by the EXACT integer predicate
+    theta_den * |A∩B| >= theta_num * |A∪B| (the turn_echo discipline: no
+    float threshold), with jaccard emitted as one shared division and
+    deterministic sid1 < sid2 orientation.
+
+    Scale: the classic inverted-index self-join — one row per DISTINCT
+    (sid, word), pairs generated ONLY for series sharing a word (never a
+    cross join of series); `max_df` drops words shared by more than
+    max_df series first (stop-shape removal — a word half the corpus
+    emits pairs quadratically and carries no discriminative signal; the
+    same df-cap every inverted-index join uses). Intersections are one
+    map-side-combinable groupBy on the pair; set sizes join back from a
+    catalog-sized per-sid count.
+    """
+    distinct_w = words.select("sid", "word").distinct()
+    if max_df is not None:
+        df_t = distinct_w.groupBy("word").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        distinct_w = distinct_w.join(
+            df_t.where(F.col("df") <= max_df).select("word"), ["word"]
+        )
+    sizes = distinct_w.groupBy("sid").agg(F.count(F.lit(1)).alias("n_w"))
+    a = distinct_w.selectExpr("word", "sid AS sid1")
+    b = distinct_w.selectExpr("word", "sid AS sid2")
+    inter = (
+        a.join(b, ["word"])
+        .where(F.col("sid1") < F.col("sid2"))
+        .groupBy("sid1", "sid2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    j = (
+        inter.join(sizes.selectExpr("sid AS sid1", "n_w AS n1"), ["sid1"])
+        .join(sizes.selectExpr("sid AS sid2", "n_w AS n2"), ["sid2"])
+        .selectExpr(
+            "sid1", "sid2", "n_inter",
+            "n1 + n2 - n_inter AS n_union",
+        )
+        .where(
+            F.expr(f"{theta_den} * n_inter >= {theta_num} * (n_union)")
+        )
+    )
+    return j.selectExpr(
+        "sid1", "sid2",
+        "CAST(n_inter AS BIGINT) AS n_inter",
+        "CAST(n_union AS BIGINT) AS n_union",
+        "CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard",
+    )

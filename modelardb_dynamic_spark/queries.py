@@ -5629,3 +5629,83 @@ def _transition_entropy_oracle_sql() -> str:
 
 
 ORACLES["transition_entropy"] = _transition_entropy_oracle_sql()
+
+
+SAX_SIM_NUM, SAX_SIM_DEN, SAX_SIM_MAXDF = 1, 4, 40
+
+
+def q_sax_similar(spark, sf_dir):
+    """Series shape-similarity search (operators/analytics.py
+    sax_similar_pairs): Jaccard over each series' distinct SAX words —
+    iSAX-style candidate pairs off the compressed store's symbolic
+    layer, inverted-index join with a df-cap, exact integer threshold;
+    the oracle composes the sax_words replay with the identical set
+    algebra."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        sax_similar_pairs,
+        sax_words,
+    )
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    words = sax_words(pts, paa_ms=HOUR_MS, word_positions=8, alphabet=8)
+    return sax_similar_pairs(
+        words,
+        theta_num=SAX_SIM_NUM,
+        theta_den=SAX_SIM_DEN,
+        max_df=SAX_SIM_MAXDF,
+    )
+
+
+QUERIES["sax_similar"] = q_sax_similar
+
+ORACLES["sax_similar"] = f"""
+    WITH b AS ({_MINUTE_BUCKETS}),
+    paa AS (
+        SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS h,
+               CAST(sum(v) AS BIGINT) AS paa_sum
+        FROM b GROUP BY 1, 2
+    ),
+    rng AS (
+        SELECT sid, min(paa_sum) AS lo, max(paa_sum) AS hi
+        FROM paa GROUP BY 1
+    ),
+    s AS (
+        SELECT paa.sid, h,
+               CAST((paa_sum - lo) * 8 // (hi - lo + 1) AS INT) AS sym
+        FROM paa JOIN rng USING (sid)
+    ),
+    wrd AS (
+        SELECT sid, (h // {SAX_WORD_MS}) * {SAX_WORD_MS} AS word_ts,
+               string_agg(substring('abcdefgh', sym + 1, 1), ''
+                          ORDER BY h) AS word
+        FROM s GROUP BY 1, 2
+    ),
+    dw AS (SELECT DISTINCT sid, word FROM wrd),
+    kept AS (
+        SELECT dw.sid, dw.word FROM dw
+        JOIN (SELECT word FROM dw GROUP BY word
+              HAVING count(*) <= {SAX_SIM_MAXDF}) ok USING (word)
+    ),
+    sizes AS (SELECT sid, count(*) AS n_w FROM kept GROUP BY sid),
+    inter AS (
+        SELECT a.sid AS sid1, b.sid AS sid2, count(*) AS n_inter
+        FROM kept a JOIN kept b ON a.word = b.word AND a.sid < b.sid
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT sid1, sid2, n_inter,
+               s1.n_w + s2.n_w - n_inter AS n_union
+        FROM inter
+        JOIN sizes s1 ON s1.sid = sid1
+        JOIN sizes s2 ON s2.sid = sid2
+    )
+    SELECT sid1, sid2,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+    FROM j
+    WHERE {SAX_SIM_DEN} * n_inter >= {SAX_SIM_NUM} * n_union
+"""

@@ -1025,3 +1025,45 @@ def test_seasonal_anomaly_matches_pandas_fuzz(spark):
     assert len(got) >= 3  # the injected spikes are actually caught
     for key in got:
         assert abs(got[key] - want[key]) < 1e-9
+
+
+def test_sax_similar_pairs_exact(spark):
+    """Hand-built word sets: Jaccard and the integer threshold replay the
+    set algebra exactly; the df-cap removes stop-shapes before pairing;
+    orientation is always sid1 < sid2."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        sax_similar_pairs,
+    )
+
+    rows = [
+        # s1 and s2 share 2 of 3 words each (union 4) -> J = 0.5
+        ("s1", 0, "aab"), ("s1", 1, "abc"), ("s1", 2, "zzz"),
+        ("s2", 0, "aab"), ("s2", 1, "abc"), ("s2", 2, "yyy"),
+        # s3 shares only the stop-shape with everyone
+        ("s3", 0, "stop"), ("s1", 3, "stop"), ("s2", 3, "stop"),
+        # duplicate (sid, word) rows must not inflate set sizes
+        ("s1", 4, "aab"),
+    ]
+    words = spark.createDataFrame(
+        rows, "sid string, word_ts long, word string"
+    )
+    out = sax_similar_pairs(
+        words, theta_num=1, theta_den=4, max_df=2
+    ).collect()
+    pairs = {(r["sid1"], r["sid2"]): r for r in out}
+    # with max_df=2 the 'stop' word (df=3) is dropped, so s3 pairs with
+    # nobody and s1/s2 intersect on exactly {aab, abc}
+    assert set(pairs) == {("s1", "s2")}
+    r = pairs[("s1", "s2")]
+    assert r["n_inter"] == 2 and r["n_union"] == 4
+    assert r["jaccard"] == 2.0 / 4.0
+    # threshold is exact integer algebra: with theta 3/4 the pair drops
+    none = sax_similar_pairs(
+        words, theta_num=3, theta_den=4, max_df=2
+    ).collect()
+    assert none == []
+    # without the df-cap the stop-shape creates all three pairs
+    allp = sax_similar_pairs(words, theta_num=1, theta_den=100).collect()
+    assert {(r["sid1"], r["sid2"]) for r in allp} == {
+        ("s1", "s2"), ("s1", "s3"), ("s2", "s3")
+    }

@@ -103,7 +103,61 @@ def main() -> None:
     ap.add_argument("--eb", type=float, default=10.0)
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--corpus", default=None)
+    ap.add_argument("--alp", action="store_true",
+                    help="bench the raw-tier ALP value codec + DoD "
+                         "timestamps instead of the segment cascade")
     args = ap.parse_args()
+
+    if args.alp:
+        import time as _time
+
+        from modelardb_dynamic_spark.models.alp import (
+            decode_values,
+            encode_values,
+        )
+        from modelardb_dynamic_spark.models.dod import decode_ts, encode_ts
+
+        rng = np.random.default_rng(1)
+        n = args.n
+        corpora = {
+            "decimal1": np.round(rng.uniform(0, 100, n), 1),
+            "ints": rng.integers(0, 1000, n).astype(float),
+            "noise_raw": rng.standard_normal(n),
+            "mixed5pct": np.where(
+                rng.random(n) < 0.95,
+                np.round(rng.uniform(0, 10, n), 1),
+                rng.standard_normal(n),
+            ),
+        }
+        res = {}
+        for cname, v in corpora.items():
+            t0 = _time.perf_counter()
+            blob = encode_values(v)
+            t1 = _time.perf_counter()
+            back = decode_values(blob)
+            t2 = _time.perf_counter()
+            assert back.view("<u8").tobytes() == np.ascontiguousarray(
+                v, "<f8"
+            ).view("<u8").tobytes(), cname
+            res[cname] = {
+                "enc_mvals": round(n / (t1 - t0) / 1e6, 1),
+                "dec_mvals": round(n / (t2 - t1) / 1e6, 1),
+                "bytes_per_val": round(len(blob) / n, 2),
+            }
+        ts = (np.cumsum(rng.integers(900, 1100, n)) * 1000).astype(np.int64)
+        t0 = _time.perf_counter()
+        b = encode_ts(ts)
+        t1 = _time.perf_counter()
+        r = decode_ts(b)
+        t2 = _time.perf_counter()
+        assert np.array_equal(r, ts)
+        res["dod_ts"] = {
+            "enc_mvals": round(n / (t1 - t0) / 1e6, 1),
+            "dec_mvals": round(n / (t2 - t1) / 1e6, 1),
+            "bytes_per_val": round(len(b) / n, 2),
+        }
+        print(json.dumps(res))
+        return
 
     gens = {
         "mixed": gen_mixed,

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "alp_points",
     "transition_entropy",
     "sax_similar",
+    "source_health",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

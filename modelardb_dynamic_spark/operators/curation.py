@@ -511,3 +511,83 @@ def curation_verdict(
             & F.col("quality_ok"),
         )
     )
+
+
+def source_health(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus health rollup — the dashboard a data-mixing
+    decision starts from: per source, document/token/char volume,
+    language spread with the dominant language (deterministic ties:
+    count DESC, lang ASC), and the fraction of its docs whose text is an
+    exact duplicate of ANY corpus doc (cross-source contamination shows
+    up here even when each source is internally deduped).
+
+    Exactness: every aggregate is an exact int64 (tokens via the shared
+    whitespace split, duplicates via corpus-wide md5 fingerprint
+    counts); mean_tokens and dup_frac are the only float ops, one shared
+    division each.
+
+    Scale: token counting is per-row expression work (no explode); the
+    fingerprint table is one map-side-combinable groupBy joined back on
+    the hash (corpus-sized but tiny rows); the rollup itself is one
+    groupBy over |sources| groups, and the dominant-language window runs
+    over the |sources| x |langs| matrix, never doc rows.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.size(words).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.md5(F.col(text_col)).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    from modelardb_dynamic_spark.operators.dedup import _materialize
+
+    base = _materialize(base)
+    fp_cnt = base.groupBy("fp").agg(F.count(F.lit(1)).alias("fpc"))
+    flagged = base.join(fp_cnt, ["fp"]).withColumn(
+        "is_dup", F.when(F.col("fpc") >= 2, F.lit(1)).otherwise(F.lit(0))
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("is_dup").alias("dup_docs"),
+    )
+    lang_rank = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("lc"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("lc"), F.asc("lang")
+                )
+            ),
+        )
+        .where(F.col("r") == 1)
+        .selectExpr("source", "lang AS top_lang", "lc AS top_lang_docs")
+    )
+    return agg.join(lang_rank, ["source"]).selectExpr(
+        "source",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_langs AS BIGINT) AS n_langs",
+        "top_lang",
+        "CAST(top_lang_docs AS BIGINT) AS top_lang_docs",
+        "CAST(tokens AS BIGINT) AS tokens",
+        "CAST(chars AS BIGINT) AS chars",
+        "CAST(tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens",
+        "CAST(dup_docs AS BIGINT) AS dup_docs",
+        "CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac",
+    )

@@ -5709,3 +5709,62 @@ ORACLES["sax_similar"] = f"""
     FROM j
     WHERE {SAX_SIM_DEN} * n_inter >= {SAX_SIM_NUM} * n_union
 """
+
+
+def q_source_health(spark, sf_dir):
+    """Per-source corpus health rollup (operators/curation.py
+    source_health): volumes, language spread + dominant language
+    (deterministic ties), and cross-source exact-dup contamination per
+    source — all exact ints plus two shared divisions."""
+    from modelardb_dynamic_spark.operators.curation import source_health
+
+    return source_health(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["source_health"] = q_source_health
+
+ORACLES["source_health"] = """
+    WITH base AS (
+        SELECT source, lang,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               w -> w != '')) AS n_tokens,
+               length(text) AS n_chars,
+               md5(text) AS fp
+        FROM documents
+    ),
+    fpc AS (SELECT fp, count(*) AS fpc FROM base GROUP BY fp),
+    flagged AS (
+        SELECT base.*, CASE WHEN fpc >= 2 THEN 1 ELSE 0 END AS is_dup
+        FROM base JOIN fpc USING (fp)
+    ),
+    agg AS (
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               sum(n_tokens) AS tokens,
+               sum(n_chars) AS chars,
+               sum(is_dup) AS dup_docs
+        FROM flagged GROUP BY source
+    ),
+    lr AS (
+        SELECT source, lang AS top_lang, lc AS top_lang_docs
+        FROM (
+            SELECT source, lang, count(*) AS lc,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY count(*) DESC, lang
+                   ) AS r
+            FROM base GROUP BY source, lang
+        ) WHERE r = 1
+    )
+    SELECT agg.source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           top_lang,
+           CAST(top_lang_docs AS BIGINT) AS top_lang_docs,
+           CAST(tokens AS BIGINT) AS tokens,
+           CAST(chars AS BIGINT) AS chars,
+           CAST(tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+           CAST(dup_docs AS BIGINT) AS dup_docs,
+           CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac
+    FROM agg JOIN lr ON lr.source = agg.source
+"""

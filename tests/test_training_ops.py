@@ -1910,3 +1910,35 @@ def test_transition_entropy_exact(spark):
     for s in det:
         assert out[s]["cond_entropy_bits"] == 0.0
     assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_source_health_exact(spark):
+    """Hand corpus: cross-source duplicate counted in BOTH sources;
+    dominant-language tie breaks lexicographically; token/char sums and
+    the two divisions are exact."""
+    rows = [
+        (1, "shared text body", "en", "sA"),
+        (2, "shared text body", "de", "sB"),   # cross-source exact dup
+        (3, "unique one two", "en", "sA"),
+        (4, "another unique doc here", "de", "sA"),
+        (5, "fünf wörter noch ein doc", "de", "sA"),
+        (6, "solo", "zh", "sB"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    from modelardb_dynamic_spark.operators.curation import source_health
+
+    out = {r["source"]: r for r in source_health(docs).collect()}
+    a, b = out["sA"], out["sB"]
+    assert a["n_docs"] == 4 and b["n_docs"] == 2
+    assert a["n_langs"] == 2 and b["n_langs"] == 2
+    # doc 1 (sA) and doc 2 (sB) are the same text -> both flagged
+    assert a["dup_docs"] == 1 and b["dup_docs"] == 1
+    assert a["dup_frac"] == 1.0 / 4.0 and b["dup_frac"] == 1.0 / 2.0
+    # sA langs: en x2, de x2 -> tie, 'de' wins lexicographically
+    assert a["top_lang"] == "de" and a["top_lang_docs"] == 2
+    toks_a = sum(len(t.split()) for i, t, l, s in rows if s == "sA")
+    chars_a = sum(len(t) for i, t, l, s in rows if s == "sA")
+    assert a["tokens"] == toks_a and a["chars"] == chars_a
+    assert a["mean_tokens"] == float(toks_a) / 4.0

@@ -433,3 +433,41 @@ def test_bpe_replace_chain_matches_symbolic_fuzz(words, n_merges):
         for _, lhs, rhs, _, _ in merges:
             sym = _bpe_apply_merge(sym, lhs, rhs)
         assert got == len(sym), (w, merges)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=(1 << 53) - 1),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_log2_int_stages_duckdb_matches_python_twin(ns):
+    """The shared log2 tree (textstats.log2_int_stages) evaluated by
+    DuckDB must BIT-match the Python twin (py_log2_stages) on arbitrary
+    positive int64 inputs — the engine-independence property every
+    log-bearing oracle in the gate leans on (Spark-vs-DuckDB equality is
+    asserted per query by the oracle sweep; this pins the third corner
+    of the triangle cheaply, no SparkSession)."""
+    import duckdb
+
+    from modelardb_dynamic_spark.operators.textstats import (
+        log2_int_stages,
+        py_log2_stages,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in ns])
+    prev, ctes = "s0", ["s0 AS (SELECT n FROM t)"]
+    for i, (name, expr) in enumerate(log2_int_stages("n", "l2"), 1):
+        ctes.append(f"s{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"s{i}"
+    sql = "WITH " + ", ".join(ctes) + f" SELECT n, l2 FROM {prev}"
+    got = dict(con.execute(sql).fetchall())
+    import math
+
+    for v in set(ns):
+        assert got[v] == py_log2_stages(v)  # bit-exact
+        assert abs(got[v] - math.log2(v)) < 5e-11

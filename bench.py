@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "transition_entropy",
     "sax_similar",
     "source_health",
+    "hist_sliding",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

@@ -1165,3 +1165,88 @@ def duck_hll_sliding_sql(
                {_lincount_expr()} AS distinct_est
         FROM {inner}
     """
+
+
+def hist_sliding(
+    tier: DataFrame,
+    keys: list[str],
+    window_buckets: int,
+    bucket_ms: int,
+) -> DataFrame:
+    """Trailing-window histogram merge — the quantile twin of
+    hll_sliding: each histogram-bucket row contributes to the
+    `window_buckets` windows ending at or after it (bounded explode of a
+    literal 0..W-1 sequence), counters re-merge by SUM, and
+    hist_quantiles on the result answers "trailing-24h p50/p90/p99 as of
+    every hour" — the standing SLO question — from sketch rows alone,
+    including at hours with no arrivals of their own. Exactly-once
+    contribution per (source bucket, window) is by construction (each
+    source row lands once per offset), which is what sum-merged
+    histograms require (the tiered_agg proof).
+
+    Scale: the shuffle carries <= W * 257 rows per (keys, window) —
+    sketch-sized, raw never rescanned."""
+    expanded = tier.select(
+        *keys,
+        F.explode(
+            F.expr(f"sequence(0, {window_buckets - 1})")
+        ).alias("k_off"),
+        "bucket_ts",
+        "idx",
+        "cnt",
+    ).selectExpr(
+        *keys,
+        f"bucket_ts + k_off * CAST({bucket_ms} AS BIGINT) AS bucket_ts",
+        "idx",
+        "cnt",
+    )
+    return expanded.groupBy(*keys, "bucket_ts", "idx").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def duck_hist_sliding_sql(
+    table: str,
+    keys_sql: str,
+    value_expr: str,
+    bucket_sql: str,
+    window_buckets: int,
+    bucket_ms: int,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB replay of hist_tier -> hist_sliding -> hist_quantiles."""
+    v = f"CAST({value_expr} AS BIGINT)"
+    qlit = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in qs)
+    lo, hi = _hist_bounds_sql("idx", "//")
+    return f"""
+        WITH fine AS (
+            SELECT {keys_sql}, {bucket_sql} AS bucket_ts,
+                   {_hist_idx_sql(v)} AS idx, count(*) AS cnt
+            FROM {table} WHERE ({value_expr}) IS NOT NULL GROUP BY ALL
+        ),
+        hist AS (
+            SELECT {keys_sql},
+                   bucket_ts + k_off * CAST({bucket_ms} AS BIGINT)
+                       AS bucket_ts,
+                   idx, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM fine,
+                 (SELECT unnest(range(0, {window_buckets})) AS k_off)
+            GROUP BY ALL
+        ),
+        ranked AS (
+            SELECT *, sum(cnt) OVER (PARTITION BY {keys_sql}, bucket_ts
+                                     ORDER BY idx) AS cum,
+                      sum(cnt) OVER (PARTITION BY {keys_sql}, bucket_ts)
+                          AS n
+            FROM hist
+        ),
+        x AS (
+            SELECT r.*, q FROM ranked r
+            CROSS JOIN (SELECT unnest([{qlit}]) AS q) qs
+        )
+        SELECT {keys_sql}, bucket_ts, q, CAST(idx AS INT) AS idx,
+               CAST({lo} AS BIGINT) AS q_lo, CAST({hi} AS BIGINT) AS q_hi
+        FROM x
+        WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+          AND cum - cnt < CAST(ceil(q * n) AS BIGINT)
+    """

@@ -5768,3 +5768,42 @@ ORACLES["source_health"] = """
            CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac
     FROM agg JOIN lr ON lr.source = agg.source
 """
+
+
+def q_hist_sliding(spark, sf_dir):
+    """Trailing-window quantiles off the mergeable histogram tier
+    (operators/sketches.py hist_sliding): trailing-24h p50/p90/p99 of
+    the events value (integer cents) per event_type at EVERY hourly
+    bucket — the standing SLO question, answered by bounded histogram
+    expansion + sum re-merge, never a raw rescan; all integer algebra +
+    shared double literals, fully value-gated."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        hist_quantiles,
+        hist_sliding,
+        hist_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    hourly = hist_tier(
+        ev, ["event_type"], "cents", f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}"
+    )
+    slid = hist_sliding(hourly, ["event_type"], 24, HOUR_MS)
+    return hist_quantiles(slid, ["event_type"])
+
+
+QUERIES["hist_sliding"] = q_hist_sliding
+
+from modelardb_dynamic_spark.operators.sketches import duck_hist_sliding_sql
+
+ORACLES["hist_sliding"] = duck_hist_sliding_sql(
+    "events",
+    "event_type",
+    "CAST(floor(value * 100) AS BIGINT)",
+    f"(epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS}",
+    24,
+    HOUR_MS,
+)

@@ -628,3 +628,53 @@ def test_hll_estimate_lincount_matches_ln(spark):
     truth = m * math.log(m / est["zeros"])
     assert abs(est["distinct_est"] - truth) / truth < 1e-9
     assert abs(est["distinct_est"] - 40) / 40 < 0.15
+
+
+def test_hist_sliding_equals_direct_window_sum(spark):
+    """The sliding histogram at bucket t must equal the counter sum of
+    the trailing W source buckets, and its quantiles must match
+    recomputing exactly over the window's raw values."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        hist_quantiles,
+        hist_sliding,
+        hist_tier,
+    )
+
+    rows = []
+    rng = __import__("numpy").random.default_rng(13)
+    for hour in range(5):
+        for v in rng.integers(1, 400, 200 + 100 * hour):
+            rows.append((int(v), hour * 3_600_000))
+    df = spark.createDataFrame(rows, "v long, ts_ms long")
+    tier = hist_tier(df, [], "v", "(ts_ms DIV 3600000) * 3600000")
+    slid = hist_sliding(tier, [], 2, 3_600_000)
+    got = {
+        (r["bucket_ts"], r["idx"]): r["cnt"] for r in slid.collect()
+    }
+    base = {
+        (r["bucket_ts"], r["idx"]): r["cnt"] for r in tier.collect()
+    }
+    expect: dict = {}
+    for (b, idx), c in base.items():
+        for k in (0, 1):
+            key = (b + k * 3_600_000, idx)
+            expect[key] = expect.get(key, 0) + c
+    assert got == expect
+
+    # quantile containment: the p50 bucket bounds must bracket the true
+    # median of the trailing window's raw values
+    q = {
+        (r["bucket_ts"], r["q"]): (r["q_lo"], r["q_hi"])
+        for r in hist_quantiles(slid, []).collect()
+    }
+    import numpy as np
+
+    for t in sorted({b for b, _ in got}):
+        vals = sorted(
+            v for v, ts in rows if t - 3_600_000 <= ts <= t
+        )
+        if not vals:
+            continue
+        true_p50 = vals[-(-len(vals) // 2) - 1]  # ceil-rank median
+        lo, hi = q[(t, 0.5)]
+        assert lo <= true_p50 <= hi, (t, lo, true_p50, hi)

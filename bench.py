@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "sax_similar",
     "source_health",
     "hist_sliding",
+    "hist_psi",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

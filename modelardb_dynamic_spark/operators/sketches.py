@@ -1250,3 +1250,168 @@ def duck_hist_sliding_sql(
         WHERE cum >= CAST(ceil(q * n) AS BIGINT)
           AND cum - cnt < CAST(ceil(q * n) AS BIGINT)
     """
+
+
+def hist_psi(
+    tier: DataFrame,
+    keys: list[str],
+    ts_a: int,
+    ts_b: int,
+) -> DataFrame:
+    """Numeric distribution drift between two windows, straight off the
+    mergeable histogram tier — the sketch-native companion of the
+    vocabulary KL monitor (textstats.vocab_kl_drift): per key, the
+    population-stability contribution of every histogram bucket between
+    the sketches at bucket_ts = ts_a (current) and ts_b (reference),
+
+        contrib_i = (p_i - q_i) * log2(p_i / q_i)   [PSI, in bits]
+
+    with add-one smoothing over the union bucket set (absent buckets are
+    drift signals, not holes). Each row also carries the bucket's exact
+    integer value bounds, so "WHERE did the metric move" reads directly
+    off the result; psi_bits is the per-key total (industry folklore:
+    >0.2-0.35 in ln units = action — scale by ln2 to compare).
+
+    Exactness: counts and totals are exact int64 columns; the four logs
+    come from the shared log2_int_stages tree APPLIED TO COLUMNS (per-key
+    totals can't be driver literals — there is one per key); p, q and
+    contrib are shared division/product trees; psi_bits folds the <= 257
+    per-key contributions in bucket-index order (the bounded-array fold
+    discipline). Scale: everything after the tier is sketch-sized — one
+    full outer join on (key, idx), two tiny aggregations, one join back.
+    """
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    a = tier.where(F.col("bucket_ts") == ts_a).select(
+        *keys, "idx", F.col("cnt").alias("ca")
+    )
+    b = tier.where(F.col("bucket_ts") == ts_b).select(
+        *keys, "idx", F.col("cnt").alias("cb")
+    )
+    u = (
+        a.join(b, [*keys, "idx"], "full_outer")
+        .select(
+            *keys,
+            "idx",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = u.groupBy(*keys).agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("nbuckets"),
+    )
+    j = (u.join(tot, [*keys]) if keys else u.crossJoin(tot)).selectExpr(
+        *keys,
+        "idx",
+        "ca",
+        "cb",
+        "ca + CAST(1 AS BIGINT) AS ca1",
+        "cb + CAST(1 AS BIGINT) AS cb1",
+        "na + nbuckets AS nat",
+        "nb + nbuckets AS nbt",
+    )
+    for name, expr in (
+        log2_int_stages("ca1", "l2ca")
+        + log2_int_stages("cb1", "l2cb")
+        + log2_int_stages("nat", "l2na")
+        + log2_int_stages("nbt", "l2nb")
+    ):
+        j = j.selectExpr("*", f"{expr} AS {name}")
+    lo, hi = _hist_bounds_sql("idx", "DIV")
+    per = j.selectExpr(
+        *keys,
+        "idx",
+        "CAST(ca AS BIGINT) AS cnt_a",
+        "CAST(cb AS BIGINT) AS cnt_b",
+        f"CAST({lo} AS BIGINT) AS v_lo",
+        f"CAST({hi} AS BIGINT) AS v_hi",
+        "(CAST(ca1 AS DOUBLE) / CAST(nat AS DOUBLE) - "
+        "CAST(cb1 AS DOUBLE) / CAST(nbt AS DOUBLE)) * "
+        "(l2ca - l2na - l2cb + l2nb) AS contrib",
+    )
+    total = per.groupBy(*keys).agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(idx, contrib))), "
+            "CAST(0 AS DOUBLE), (acc, s) -> acc + s.contrib)"
+        ).alias("psi_bits")
+    )
+    return per.join(total, [*keys]) if keys else per.crossJoin(total)
+
+
+def duck_hist_psi_sql(
+    table: str,
+    keys_sql: str,
+    value_expr: str,
+    bucket_sql: str,
+    ts_a_sql: str,
+    ts_b_sql: str,
+) -> str:
+    """DuckDB replay of hist_tier -> hist_psi; ts_a_sql / ts_b_sql are
+    scalar SQL expressions for the two window timestamps."""
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    v = f"CAST({value_expr} AS BIGINT)"
+    stages = (
+        log2_int_stages("ca1", "l2ca")
+        + log2_int_stages("cb1", "l2cb")
+        + log2_int_stages("nat", "l2na")
+        + log2_int_stages("nbt", "l2nb")
+    )
+    ctes, prev = [], "j0"
+    for i, (name, expr) in enumerate(stages, 1):
+        ctes.append(f"p{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"p{i}"
+    inner = ",\n        ".join(ctes)
+    lo, hi = _hist_bounds_sql("idx", "//")
+    return f"""
+        WITH fine AS (
+            SELECT {keys_sql}, {bucket_sql} AS bucket_ts,
+                   {_hist_idx_sql(v)} AS idx, count(*) AS cnt
+            FROM {table} WHERE ({value_expr}) IS NOT NULL GROUP BY ALL
+        ),
+        aa AS (SELECT {keys_sql}, idx, cnt AS ca FROM fine
+               WHERE bucket_ts = ({ts_a_sql})),
+        bb AS (SELECT {keys_sql}, idx, cnt AS cb FROM fine
+               WHERE bucket_ts = ({ts_b_sql})),
+        u AS (
+            SELECT coalesce(aa.{keys_sql}, bb.{keys_sql}) AS {keys_sql},
+                   coalesce(aa.idx, bb.idx) AS idx,
+                   coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+            FROM aa FULL OUTER JOIN bb
+              ON aa.{keys_sql} = bb.{keys_sql} AND aa.idx = bb.idx
+        ),
+        tot AS (SELECT {keys_sql}, sum(ca) AS na, sum(cb) AS nb,
+                       count(*) AS nbuckets
+                FROM u GROUP BY {keys_sql}),
+        j0 AS (
+            SELECT u.{keys_sql}, idx, ca, cb,
+                   ca + CAST(1 AS BIGINT) AS ca1,
+                   cb + CAST(1 AS BIGINT) AS cb1,
+                   na + nbuckets AS nat,
+                   nb + nbuckets AS nbt
+            FROM u JOIN tot ON tot.{keys_sql} = u.{keys_sql}
+        ),
+        {inner},
+        per AS (
+            SELECT {keys_sql}, idx,
+                   CAST(ca AS BIGINT) AS cnt_a,
+                   CAST(cb AS BIGINT) AS cnt_b,
+                   CAST({lo} AS BIGINT) AS v_lo,
+                   CAST({hi} AS BIGINT) AS v_hi,
+                   (CAST(ca1 AS DOUBLE) / CAST(nat AS DOUBLE) -
+                    CAST(cb1 AS DOUBLE) / CAST(nbt AS DOUBLE)) *
+                   (l2ca - l2na - l2cb + l2nb) AS contrib
+            FROM {prev}
+        ),
+        tt AS (
+            SELECT {keys_sql},
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(contrib ORDER BY idx)),
+                       (acc, x) -> acc + x) AS psi_bits
+            FROM per GROUP BY {keys_sql}
+        )
+        SELECT per.*, psi_bits
+        FROM per JOIN tt ON tt.{keys_sql} = per.{keys_sql}
+    """

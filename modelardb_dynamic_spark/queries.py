@@ -5807,3 +5807,48 @@ ORACLES["hist_sliding"] = duck_hist_sliding_sql(
     24,
     HOUR_MS,
 )
+
+
+def q_hist_psi(spark, sf_dir):
+    """Numeric distribution drift (PSI, bits) between the first two days
+    of the events value per event_type, straight off the histogram
+    sketch tier (operators/sketches.py hist_psi) — the sketch-native
+    companion of vocab_drift: per-bucket contributions with exact value
+    bounds + the per-key total via a bounded sorted fold; fully
+    value-gated."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        hist_psi,
+        hist_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    daily = hist_tier(
+        ev, ["event_type"], "cents", f"(ts_ms DIV {DAY_MS}) * {DAY_MS}"
+    )
+    day0 = int(
+        ev.agg(
+            F.expr(f"min((ts_ms DIV {DAY_MS}) * {DAY_MS})").alias("d")
+        ).collect()[0]["d"]
+    )
+    return hist_psi(daily, ["event_type"], day0 + DAY_MS, day0)
+
+
+QUERIES["hist_psi"] = q_hist_psi
+
+from modelardb_dynamic_spark.operators.sketches import duck_hist_psi_sql
+
+_PSI_DAY0 = (
+    f"(SELECT min((epoch_ms(ts) // {DAY_MS}) * {DAY_MS}) FROM events)"
+)
+ORACLES["hist_psi"] = duck_hist_psi_sql(
+    "events",
+    "event_type",
+    "CAST(floor(value * 100) AS BIGINT)",
+    f"(epoch_ms(ts) // {DAY_MS}) * {DAY_MS}",
+    f"{_PSI_DAY0} + {DAY_MS}",
+    _PSI_DAY0,
+)

@@ -678,3 +678,66 @@ def test_hist_sliding_equals_direct_window_sum(spark):
         true_p50 = vals[-(-len(vals) // 2) - 1]  # ceil-rank median
         lo, hi = q[(t, 0.5)]
         assert lo <= true_p50 <= hi, (t, lo, true_p50, hi)
+
+
+def test_hist_psi_exact_and_directional(spark):
+    """Hand-built two-window drift: identical windows give psi exactly 0
+    on every row; a shifted window yields positive total PSI with the
+    drifted buckets carrying the mass; contributions bit-match a Python
+    replay of the shared log2 series."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        hist_psi,
+        hist_tier,
+    )
+    from modelardb_dynamic_spark.operators.textstats import py_log2_stages
+
+    rows = []
+    for v in [10] * 50 + [20] * 30:
+        rows.append((int(v), 0))
+    for v in [10] * 30 + [200] * 50:   # mass moved 20 -> 200
+        rows.append((int(v), 86_400_000))
+    df = spark.createDataFrame(rows, "v long, ts_ms long")
+    tier = hist_tier(df, [], "v", "(ts_ms DIV 86400000) * 86400000")
+
+    same = hist_psi(tier, [], 0, 0).collect()
+    assert all(r["contrib"] == 0.0 and r["psi_bits"] == 0.0 for r in same)
+
+    out = hist_psi(tier, [], 86_400_000, 0).collect()
+    by_idx = {r["idx"]: r for r in out}
+    # replay: union buckets with smoothing
+    from collections import Counter
+
+    def hidx(v):
+        e = v.bit_length() - 1
+        shift = 0 if e < 2 else e - 2
+        return e * 4 + ((v >> shift) & 3)
+
+    ca = Counter([hidx(10)] * 30 + [hidx(200)] * 50)
+    cb = Counter([hidx(10)] * 50 + [hidx(20)] * 30)
+    buckets = sorted(set(ca) | set(cb))
+    nb_ = len(buckets)
+    na, nbv = sum(ca.values()), sum(cb.values())
+    psi = 0.0
+    for i in buckets:
+        p = float(ca[i] + 1) / float(na + nb_)
+        q = float(cb[i] + 1) / float(nbv + nb_)
+        contrib = (p - q) * (
+            py_log2_stages(ca[i] + 1)
+            - py_log2_stages(na + nb_)
+            - py_log2_stages(cb[i] + 1)
+            + py_log2_stages(nbv + nb_)
+        )
+        assert by_idx[i]["contrib"] == contrib  # bit-exact
+        psi = psi + contrib
+    assert out[0]["psi_bits"] == psi
+    assert psi > 0.1  # a real shift registers
+    # the bucket that gained mass (200s) has the largest contribution
+    top = max(out, key=lambda r: r["contrib"])
+    assert top["v_lo"] <= 200 <= top["v_hi"]
+    # value bounds contain the actual values
+    for r in out:
+        if r["cnt_a"]:
+            assert any(
+                r["v_lo"] <= v <= r["v_hi"]
+                for v in (10, 200)
+            ) or r["cnt_a"] == 0

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "source_health",
     "hist_sliding",
     "hist_psi",
+    "tool_affinity",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

@@ -1799,3 +1799,65 @@ def transition_entropy(tr: DataFrame) -> DataFrame:
         f"(CAST(n AS DOUBLE) / CAST({n_total} AS DOUBLE)) * ({h}) "
         "AS rate_term",
     )
+
+
+def tool_affinity(
+    tr: DataFrame, min_support: int = 5
+) -> DataFrame:
+    """Tool co-usage affinity over a transcript table (conv_id, tool):
+    for every unordered tool pair, the conversation co-occurrence count
+    and PMI = log2(N * n_ab / (n_a * n_b)) over conversation SETS (a
+    conversation counts once per tool however often it calls it) — which
+    tools travel together beyond what their individual popularity
+    predicts: the agent-workflow counterpart of word collocations
+    (pmi_collocations), same exactness contract: all counts exact int64,
+    logs from the shared log2_int_stages tree with log2 N via the
+    bit-exact Python twin literal, PMI a pure per-row expression,
+    deterministic (tool_a, tool_b) orientation.
+
+    Scale: the distinct (conv, tool) set is one map-side-combinable
+    distinct (bounded by convs x tools, far below turns); the pair join
+    keys on conv_id — each conversation contributes
+    C(tools-in-conv, 2) rows, quadratic only in the per-conversation
+    tool-set size (small by nature); tool marginals are a |tools|-sized
+    re-aggregation. N is ONE scalar.
+    """
+    ct = (
+        tr.where(F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    from modelardb_dynamic_spark.operators.dedup import _materialize
+
+    ct = _materialize(ct)
+    n_convs = int(
+        tr.select("conv_id").distinct().count()
+    )
+    marg = ct.groupBy("tool").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ct.selectExpr("conv_id", "tool AS tool_a")
+    b = ct.selectExpr("conv_id", "tool AS tool_b")
+    pairs = (
+        a.join(b, ["conv_id"])
+        .where(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    j = pairs.join(
+        marg.selectExpr("tool AS tool_a", "n_t AS n_a"), ["tool_a"]
+    ).join(marg.selectExpr("tool AS tool_b", "n_t AS n_b"), ["tool_b"])
+    for name, expr in (
+        log2_int_stages("n_ab", "l2ab")
+        + log2_int_stages("n_a", "l2a")
+        + log2_int_stages("n_b", "l2b")
+    ):
+        j = j.selectExpr("*", f"{expr} AS {name}")
+    l2n = _dlit(py_log2_stages(max(n_convs, 1)))
+    return j.selectExpr(
+        "tool_a",
+        "tool_b",
+        "CAST(n_ab AS BIGINT) AS n_ab",
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        f"{l2n} + l2ab - l2a - l2b AS pmi",
+    )

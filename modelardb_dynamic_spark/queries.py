@@ -5852,3 +5852,76 @@ ORACLES["hist_psi"] = duck_hist_psi_sql(
     f"{_PSI_DAY0} + {DAY_MS}",
     _PSI_DAY0,
 )
+
+
+TOOL_AFF_MIN = 5
+
+
+def q_tool_affinity(spark, sf_dir):
+    """Tool co-usage PMI (operators/textstats.py tool_affinity) over the
+    standard transcript mapping: which tools travel together in the same
+    conversation beyond popularity; exact conversation-set counts, logs
+    from the shared tree (log2 N via the Python twin), per-row PMI."""
+    from modelardb_dynamic_spark.operators.textstats import tool_affinity
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    return tool_affinity(tr, min_support=TOOL_AFF_MIN)
+
+
+QUERIES["tool_affinity"] = q_tool_affinity
+
+
+def _tool_affinity_oracle_sql() -> str:
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    stages = (
+        log2_int_stages("n_ab", "l2ab")
+        + log2_int_stages("n_a", "l2a")
+        + log2_int_stages("n_b", "l2b")
+        + log2_int_stages("n_convs", "l2n")
+    )
+    ctes, prev = [], "j0"
+    for i, (name, expr) in enumerate(stages, 1):
+        ctes.append(f"t{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"t{i}"
+    inner = ",\n        ".join(ctes)
+    return f"""
+    WITH tr AS (
+        SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) - 1
+                   AS INT) AS turn_idx,
+               event_type
+        FROM events
+    ),
+    ct AS (
+        SELECT DISTINCT conv_id, event_type AS tool
+        FROM tr WHERE turn_idx % 3 = 2
+    ),
+    nn AS (SELECT count(DISTINCT conv_id) AS n_convs FROM tr),
+    marg AS (SELECT tool, count(*) AS n_t FROM ct GROUP BY tool),
+    pairs AS (
+        SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS n_ab
+        FROM ct a JOIN ct b
+          ON a.conv_id = b.conv_id AND a.tool < b.tool
+        GROUP BY 1, 2
+        HAVING count(*) >= {TOOL_AFF_MIN}
+    ),
+    j0 AS (
+        SELECT tool_a, tool_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b,
+               (SELECT n_convs FROM nn) AS n_convs
+        FROM pairs
+        JOIN marg ma ON ma.tool = tool_a
+        JOIN marg mb ON mb.tool = tool_b
+    ),
+    {inner}
+    SELECT tool_a, tool_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           l2n + l2ab - l2a - l2b AS pmi
+    FROM {prev}
+    """
+
+
+ORACLES["tool_affinity"] = _tool_affinity_oracle_sql()

@@ -1942,3 +1942,42 @@ def test_source_health_exact(spark):
     chars_a = sum(len(t) for i, t, l, s in rows if s == "sA")
     assert a["tokens"] == toks_a and a["chars"] == chars_a
     assert a["mean_tokens"] == float(toks_a) / 4.0
+
+
+def test_tool_affinity_exact(spark):
+    """Hand-built conversations: always-together tools get high PMI,
+    independent tools sit near 0, repeated calls in one conversation
+    count once; values bit-match the Python twin."""
+    rows = []
+    # convs 1-6: A and B always together (B called twice -> still one)
+    for c in range(1, 7):
+        rows += [
+            (f"c{c}", 0, None),
+            (f"c{c}", 1, "toolA"),
+            (f"c{c}", 2, "toolB"),
+            (f"c{c}", 3, "toolB"),
+        ]
+    # convs 7-12: C alone
+    for c in range(7, 13):
+        rows += [(f"c{c}", 0, "toolC")]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string"
+    )
+    out = {
+        (r["tool_a"], r["tool_b"]): r
+        for r in textstats.tool_affinity(tr, min_support=2).collect()
+    }
+    assert set(out) == {("toolA", "toolB")}
+    r = out[("toolA", "toolB")]
+    assert r["n_ab"] == 6 and r["n_a"] == 6 and r["n_b"] == 6
+    n = 12
+    expect = (
+        textstats.py_log2_stages(n)
+        + textstats.py_log2_stages(6)
+        - textstats.py_log2_stages(6)
+        - textstats.py_log2_stages(6)
+    )
+    assert r["pmi"] == expect  # bit-exact: log2(12*6/36) = 1 bit
+    import math
+
+    assert abs(r["pmi"] - math.log2(12 * 6 / 36)) < 1e-9

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "hist_sliding",
     "hist_psi",
     "tool_affinity",
+    "trimmed_tokens",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",

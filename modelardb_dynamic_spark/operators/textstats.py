@@ -1861,3 +1861,75 @@ def tool_affinity(
         "CAST(n_b AS BIGINT) AS n_b",
         f"{l2n} + l2ab - l2a - l2b AS pmi",
     )
+
+
+def trimmed_stats(
+    g: DataFrame,
+    key,
+    value_col: str = "v",
+    t_num: int = 1,
+    t_den: int = 10,
+) -> DataFrame:
+    """Robust means by distributed selection — the gap_percentiles core
+    extended from order statistics to TRIMMED and WINSORIZED means: per
+    key, with k = floor(t_num * n / t_den) values cut from EACH tail,
+
+      trimmed_mean     mean of ranks k+1 .. n-k
+      winsorized_mean  tails replaced by the boundary order statistics
+                       v_(k+1) and v_(n-k) (Tukey's winsorizing)
+
+    plus the plain mean for contrast. Everything up to the two final
+    divisions is exact integer arithmetic on the (key, value, count)
+    value-count table: a row straddling a cutoff contributes
+    kept = clamp(min(cum, n-k) - max(cum-c, k), 0, c) values — no
+    per-key sort of raw rows ever happens (the reply_latency design),
+    and ties/multiplicities are handled exactly, where a float
+    "percentile then filter" approach would mis-trim tied values.
+    Requires t_den > 2*t_num (something must survive the trim).
+
+    Scale: one map-side-combinable value-count groupBy, one cumulative
+    window over distinct values per key, two tiny joins.
+    """
+    if t_den <= 2 * t_num:
+        raise ValueError("trim fraction must leave the middle nonempty")
+    keys = [key] if isinstance(key, str) else list(key)
+    v = value_col
+    counts = g.groupBy(*keys, v).agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy(*keys).orderBy(v)
+    cum = counts.withColumn("cum", F.sum("c").over(wr))
+    stats = counts.groupBy(*keys).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col(v)).alias("vsum"),
+    )
+    j = cum.join(F.broadcast(stats), keys).withColumn(
+        "k", F.expr(f"({t_num} * n) DIV {t_den}")
+    )
+    agg = j.groupBy(*keys).agg(
+        F.first("n").alias("n"),
+        F.first("vsum").alias("vsum"),
+        F.first("k").alias("k"),
+        F.sum(
+            F.expr(
+                f"greatest(CAST(0 AS BIGINT), "
+                f"least(cum, n - k) - greatest(cum - c, k)) * {v}"
+            )
+        ).alias("trimmed_sum"),
+        F.min(
+            F.expr(f"CASE WHEN cum >= k + 1 THEN {v} END")
+        ).alias("v_lo"),
+        F.min(
+            F.expr(f"CASE WHEN cum >= n - k THEN {v} END")
+        ).alias("v_hi"),
+    )
+    return agg.selectExpr(
+        *keys,
+        "CAST(n AS BIGINT) AS n",
+        "CAST(k AS BIGINT) AS k",
+        "CAST(vsum AS DOUBLE) / CAST(n AS DOUBLE) AS mean",
+        "CAST(trimmed_sum AS DOUBLE) / CAST(n - 2 * k AS DOUBLE) "
+        "AS trimmed_mean",
+        "v_lo",
+        "v_hi",
+        "CAST(trimmed_sum + k * v_lo + k * v_hi AS DOUBLE) / "
+        "CAST(n AS DOUBLE) AS winsorized_mean",
+    )

@@ -5925,3 +5925,83 @@ def _tool_affinity_oracle_sql() -> str:
 
 
 ORACLES["tool_affinity"] = _tool_affinity_oracle_sql()
+
+
+def q_trimmed_tokens(spark, sf_dir):
+    """Robust per-role token-length statistics (operators/textstats.py
+    trimmed_stats): 10% trimmed and winsorized means of per-turn token
+    counts per role — heavy-tail-immune rollups by exact integer
+    selection on the value-count table, never a per-key raw sort."""
+    from modelardb_dynamic_spark.operators.textstats import trimmed_stats
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    g = tr.select(
+        "role",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).cast("long").alias("v"),
+    )
+    return trimmed_stats(g, "role", "v", t_num=1, t_den=10)
+
+
+QUERIES["trimmed_tokens"] = q_trimmed_tokens
+
+ORACLES["trimmed_tokens"] = """
+    WITH tr AS (
+        SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) - 1
+                   AS INT) AS turn_idx,
+               event_type || ' ' ||
+               repeat(event_type || ' ', CAST(event_id % 5 AS INT) + 1) ||
+               event_type AS text
+        FROM events
+    ),
+    g AS (
+        SELECT CASE WHEN turn_idx % 3 = 0 THEN 'user'
+                    WHEN turn_idx % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               CAST(len(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'),
+                   w -> w != '')) AS BIGINT) AS v
+        FROM tr
+    ),
+    counts AS (SELECT role, v, count(*) AS c FROM g GROUP BY 1, 2),
+    cum AS (
+        SELECT *, sum(c) OVER (PARTITION BY role ORDER BY v) AS cum
+        FROM counts
+    ),
+    stats AS (
+        SELECT role, sum(c) AS n, sum(c * v) AS vsum
+        FROM counts GROUP BY role
+    ),
+    j AS (
+        SELECT cum.*, n, vsum, (1 * n) // 10 AS k
+        FROM cum JOIN stats USING (role)
+    ),
+    agg AS (
+        SELECT role,
+               any_value(n) AS n, any_value(vsum) AS vsum,
+               any_value(k) AS k,
+               sum(greatest(CAST(0 AS BIGINT),
+                   least(cum, n - k) - greatest(cum - c, k)) * v)
+                   AS trimmed_sum,
+               min(CASE WHEN cum >= k + 1 THEN v END) AS v_lo,
+               min(CASE WHEN cum >= n - k THEN v END) AS v_hi
+        FROM j GROUP BY role
+    )
+    SELECT role,
+           CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k,
+           CAST(vsum AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CAST(trimmed_sum AS DOUBLE) / CAST(n - 2 * k AS DOUBLE)
+               AS trimmed_mean,
+           v_lo,
+           v_hi,
+           CAST(trimmed_sum + k * v_lo + k * v_hi AS DOUBLE) /
+               CAST(n AS DOUBLE) AS winsorized_mean
+    FROM agg
+"""

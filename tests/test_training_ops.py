@@ -1981,3 +1981,41 @@ def test_tool_affinity_exact(spark):
     import math
 
     assert abs(r["pmi"] - math.log2(12 * 6 / 36)) < 1e-9
+
+
+def test_trimmed_stats_exact(spark):
+    """Hand data: a massive outlier moves the plain mean but not the
+    trimmed/winsorized means; tie-straddling cutoffs trim exact
+    multiplicities; k = floor(n/10)."""
+    import statistics
+
+    vals = [1, 2, 2, 2, 3, 3, 4, 5, 6, 1_000_000]  # n=10 -> k=1
+    g = spark.createDataFrame(
+        [("a", int(v)) for v in vals], "key string, v long"
+    )
+    out = textstats.trimmed_stats(g, "key", "v", 1, 10).collect()[0]
+    assert out["n"] == 10 and out["k"] == 1
+    mid = sorted(vals)[1:-1]
+    assert out["trimmed_mean"] == sum(mid) / 8.0
+    assert out["v_lo"] == 2 and out["v_hi"] == 6
+    wins = sorted(vals)
+    wins[0], wins[-1] = 2, 6
+    assert out["winsorized_mean"] == sum(wins) / 10.0
+    assert out["mean"] == sum(vals) / 10.0
+    assert out["trimmed_mean"] < 10 < out["mean"]
+
+    # ties straddling the cutoff: 12 values, k=1, the duplicate extremes
+    # are trimmed one-of-two each
+    vals2 = [1, 1, 2, 3, 3, 4, 5, 5, 6, 7, 9, 9]
+    g2 = spark.createDataFrame(
+        [("b", int(v)) for v in vals2], "key string, v long"
+    )
+    o2 = textstats.trimmed_stats(g2, "key", "v", 1, 10).collect()[0]
+    mid2 = sorted(vals2)[1:-1]
+    assert o2["k"] == 1
+    assert o2["trimmed_mean"] == sum(mid2) / 10.0
+    # invalid trim fraction refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textstats.trimmed_stats(g, "key", "v", 1, 2)

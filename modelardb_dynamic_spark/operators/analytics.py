@@ -1522,3 +1522,83 @@ def sax_similar_pairs(
         "CAST(n_union AS BIGINT) AS n_union",
         "CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard",
     )
+
+
+def km_survival(
+    lifetimes: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over right-censored lifetimes.
+
+    Input: one row per subject with `t` (positive int64 lifetime, e.g.
+    conversation length in turns) and `observed` (1 = the end of life was
+    seen, 0 = right-censored: the subject was still alive at the
+    observation cutoff). Output: one row per distinct lifetime value t
+    (per group) with the risk-set size, event/censor counts, and the
+    product-limit survival estimate
+
+        S(t) = prod_{u <= t} (n_u - d_u) / n_u
+
+    where n_u = subjects with T >= u and d_u = observed events at u.
+    Censored subjects leave the risk set without contributing a factor —
+    the reason KM, not the naive empirical CDF, is the right estimator
+    when some conversations are still in flight at snapshot time.
+
+    Bit-exact replay: d/c/n are exact int64 window sums; each factor is
+    ONE IEEE division of exactly-representable ints; S(t) is a
+    left-to-right fold of correctly-rounded double multiplies in
+    ascending-t order (sort_array on a (t, factor) struct list here,
+    frame-ordered list(factor) + list_reduce in DuckDB) — the repo's
+    standard sorted-fold contract, so both engines emit identical bits.
+
+    Scale notes (100 TB): lifetimes are one linear groupBy upstream; this
+    operator then runs entirely on the DISTINCT-lifetime table, bounded
+    by max(T) rows per group (conversation turn counts — hundreds), so
+    the O(k^2) window fold is on a catalog-sized frame, never raw rows.
+    No reference counterpart (survival analysis is an addition); the
+    segment store supplies lifetimes via one scan of the series catalog.
+    """
+    groups = list(group_cols or [])
+    per_t = (
+        lifetimes.selectExpr(
+            *groups,
+            "CAST(t AS BIGINT) AS t",
+            "CAST(observed AS BIGINT) AS obs",
+        )
+        .groupBy(*groups, "t")
+        .agg(
+            F.sum("obs").alias("d_events"),
+            F.sum(F.lit(1) - F.col("obs")).alias("c_censored"),
+        )
+    )
+    w_desc = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = per_t.withColumn(
+        "n_at_risk",
+        F.sum(F.col("d_events") + F.col("c_censored")).over(w_desc),
+    ).withColumn(
+        "factor",
+        (F.col("n_at_risk") - F.col("d_events")).cast("double")
+        / F.col("n_at_risk").cast("double"),
+    )
+    w_asc = (
+        Window.partitionBy(*groups)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("t"), F.col("factor"))).over(w_asc)
+    )
+    return at_risk.withColumn(
+        "surv", F.aggregate(lst, F.lit(1.0), lambda a, s: a * s["factor"])
+    ).select(
+        *groups,
+        "t",
+        "n_at_risk",
+        "d_events",
+        "c_censored",
+        "surv",
+    )

@@ -2243,6 +2243,33 @@ def q_reply_latency(spark, sf_dir):
     return reply_latency(tr)
 
 
+def q_km_survival(spark, sf_dir):
+    """Kaplan-Meier survival curve of conversation lifetimes with
+    right-censoring (operators/analytics.py km_survival): lifetime = turn
+    count per conversation; a conversation whose last turn falls within
+    6 h of the corpus snapshot is censored (still in flight), so the
+    naive empirical CDF under-counts long conversations and the
+    product-limit estimator is the honest answer. Exact int64 risk-set
+    window sums, one IEEE division per distinct lifetime, survival via
+    the repo's sorted-fold contract (ascending-t double product). The
+    oracle replays the identical lifetime/censor construction and fold
+    over the raw events."""
+    from modelardb_dynamic_spark.operators.analytics import km_survival
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    life = tr.groupBy("conv_id").agg(
+        (F.max("turn_idx").cast("long") + 1).alias("t"),
+        F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("lt"),
+    )
+    gmax = life.agg(F.max("lt")).collect()[0][0]
+    cutoff = int(gmax) - 6 * 3600 * 1000
+    return km_survival(
+        life.selectExpr(
+            "t", f"CASE WHEN lt < {cutoff} THEN 1 ELSE 0 END AS observed"
+        )
+    )
+
+
 QUERIES = {
     "seg_count_s": q_seg_count_s,
     "seg_agg_s": q_seg_agg_s,
@@ -2327,6 +2354,7 @@ QUERIES = {
     "cusum_shifts": q_cusum_shifts,
     "interarrival": q_interarrival,
     "twa": q_twa,
+    "km_survival": q_km_survival,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6004,4 +6032,46 @@ ORACLES["trimmed_tokens"] = """
            CAST(trimmed_sum + k * v_lo + k * v_hi AS DOUBLE) /
                CAST(n AS DOUBLE) AS winsorized_mean
     FROM agg
+"""
+
+ORACLES["km_survival"] = f"""
+    WITH tr AS ({_TR_FULL}),
+    life AS (
+        SELECT conv_id, CAST(max(turn_idx) AS BIGINT) + 1 AS t,
+               max(ts_ms) AS lt
+        FROM tr GROUP BY conv_id
+    ),
+    g AS (SELECT max(lt) AS gm FROM life),
+    obs AS (
+        SELECT t,
+               CASE WHEN lt < gm - 21600000 THEN 1 ELSE 0 END AS obs
+        FROM life, g
+    ),
+    per_t AS (
+        SELECT t, CAST(sum(obs) AS BIGINT) AS d_events,
+               CAST(sum(1 - obs) AS BIGINT) AS c_censored
+        FROM obs GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d_events, c_censored,
+               CAST(sum(d_events + c_censored) OVER (
+                   ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_at_risk
+        FROM per_t
+    ),
+    fac AS (
+        SELECT t, d_events, c_censored, n_at_risk,
+               CAST(n_at_risk - d_events AS DOUBLE) /
+               CAST(n_at_risk AS DOUBLE) AS factor
+        FROM risk
+    )
+    SELECT t, n_at_risk, d_events, c_censored,
+           list_reduce(
+               list_prepend(CAST(1 AS DOUBLE),
+                   list(factor) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (a, x) -> a * x) AS surv
+    FROM fac
 """

@@ -1067,3 +1067,47 @@ def test_sax_similar_pairs_exact(spark):
     assert {(r["sid1"], r["sid2"]) for r in allp} == {
         ("s1", "s2"), ("s1", "s3"), ("s2", "s3")
     }
+
+
+def test_km_survival_hand_curve(spark):
+    # Classic textbook set: lifetimes 1,2+,3,3,4+ (+' = censored).
+    # t=1: n=5 d=1 -> S=4/5; t=2: censor only -> S=4/5;
+    # t=3: n=3 d=2 -> S=4/5*1/3; t=4: censor only -> unchanged.
+    from modelardb_dynamic_spark.operators.analytics import km_survival
+
+    life = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0)], "t long, observed int"
+    )
+    rows = {r.t: r for r in km_survival(life).collect()}
+    assert [rows[t].n_at_risk for t in (1, 2, 3, 4)] == [5, 4, 3, 1]
+    assert [rows[t].d_events for t in (1, 2, 3, 4)] == [1, 0, 2, 0]
+    assert [rows[t].c_censored for t in (1, 2, 3, 4)] == [0, 1, 0, 1]
+    assert rows[1].surv == pytest.approx(0.8)
+    assert rows[2].surv == pytest.approx(0.8)
+    assert rows[3].surv == pytest.approx(0.8 / 3)
+    assert rows[4].surv == pytest.approx(0.8 / 3)
+
+
+def test_km_survival_no_censoring_is_empirical_survival(spark):
+    # With observed=1 everywhere, S(t) telescopes to #(T > t)/N.
+    from modelardb_dynamic_spark.operators.analytics import km_survival
+
+    ts = [1, 1, 2, 5, 5, 5, 9]
+    life = spark.createDataFrame([(t, 1) for t in ts], "t long, observed int")
+    for r in km_survival(life).collect():
+        expect = sum(1 for t in ts if t > r.t) / len(ts)
+        assert r.surv == pytest.approx(expect)
+
+
+def test_km_survival_grouped_partitions_independent(spark):
+    from modelardb_dynamic_spark.operators.analytics import km_survival
+
+    life = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("b", 2, 0), ("b", 3, 1)],
+        "g string, t long, observed int",
+    )
+    out = {(r.g, r.t): r.surv for r in km_survival(life, ["g"]).collect()}
+    assert out[("a", 1)] == pytest.approx(0.5)
+    assert out[("a", 2)] == pytest.approx(0.0)
+    assert out[("b", 2)] == pytest.approx(1.0)  # censor-only time
+    assert out[("b", 3)] == pytest.approx(0.0)

@@ -1602,3 +1602,66 @@ def km_survival(
         "c_censored",
         "surv",
     )
+
+
+def _dlit(v: float) -> str:
+    """Exact shared double literal: repr() round-trips the IEEE value and
+    the E-suffix forces both Spark and DuckDB to parse it directly as
+    DOUBLE (correctly rounded), bypassing DuckDB's DECIMAL literal path
+    whose DOUBLE conversion can be 1 ulp off."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
+def _wilson_expr(n: str, k: str, z: float, sign: str) -> str:
+    """One shared Spark/DuckDB expression tree for the Wilson score
+    interval bound: (p + z^2/2n +- z*sqrt((p(1-p) + z^2/4n)/n)) / (1 + z^2/n).
+    Inputs are exact int64 counts; every op is a correctly-rounded IEEE
+    +,-,*,/ or sqrt on doubles, so both engines emit identical bits for
+    the identical tree. z and z^2 are injected via _dlit (E-notation
+    double literals): a plain decimal literal parses as DECIMAL in both
+    engines, and DuckDB's DECIMAL->DOUBLE conversion is NOT correctly
+    rounded (observed 1 ulp off on 3.8415999999999997), whereas
+    E-notation hits the native correctly-rounded string->double path in
+    both engines."""
+    zl, z2 = _dlit(float(z)), _dlit(float(z) * float(z))
+    p = f"(CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    nf = f"CAST({n} AS DOUBLE)"
+    return (
+        f"(({p} + {z2} / (2 * {nf}) {sign} {zl} * "
+        f"sqrt(({p} * (1 - {p}) + {z2} / (4 * {nf})) / {nf})) "
+        f"/ (1 + {z2} / {nf}))"
+    )
+
+
+def wilson_intervals(
+    counts: DataFrame,
+    key_cols: list[str],
+    n_col: str = "n_trials",
+    k_col: str = "k_hits",
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score confidence interval per key over exact trial/hit
+    counts — the statistic behind "rank by lower bound": a key with 2/2
+    hits must NOT outrank one with 95/100, and the Wilson lower bound is
+    the standard small-n-safe ordering (Agresti & Coull 1998; the
+    reddit/Evan Miller comment-ranking formula). Output per key:
+    n_trials, k_hits, p_hat, wilson_lb, wilson_ub.
+
+    Bit-exact replay: counts are exact int64 aggregates (order-free);
+    both bounds are ONE shared IEEE tree (_wilson_expr) evaluated
+    identically by Spark and DuckDB. Scale notes (100 TB): one linear
+    map-side-combined groupBy; the interval math is per-row expression
+    on the key-sized result — no joins, no windows, no Python."""
+    agg = counts.groupBy(*key_cols).agg(
+        F.sum(F.col(n_col).cast("long")).alias("n_trials"),
+        F.sum(F.col(k_col).cast("long")).alias("k_hits"),
+    )
+    return agg.selectExpr(
+        *key_cols,
+        "n_trials",
+        "k_hits",
+        "CAST(k_hits AS DOUBLE) / CAST(n_trials AS DOUBLE) AS p_hat",
+        _wilson_expr("n_trials", "k_hits", z, "-") + " AS wilson_lb",
+        _wilson_expr("n_trials", "k_hits", z, "+") + " AS wilson_ub",
+    )

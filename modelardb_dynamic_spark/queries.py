@@ -2270,6 +2270,24 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_wilson_rates(spark, sf_dir):
+    """Wilson-lower-bound rate ranking per event type
+    (operators/analytics.py wilson_intervals): the share of events with
+    value > 100 per type, ranked safely under small-n uncertainty by the
+    score-interval lower bound instead of the raw proportion. Counts are
+    exact int64; both bounds are ONE shared IEEE tree the oracle embeds
+    verbatim (correctly-rounded +,-,*,/,sqrt on identical literals)."""
+    from modelardb_dynamic_spark.operators.analytics import wilson_intervals
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(1 AS BIGINT) AS n_trials",
+        "CASE WHEN value > 100.0 THEN CAST(1 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS k_hits",
+    )
+    return wilson_intervals(ev, ["event_type"])
+
+
 QUERIES = {
     "seg_count_s": q_seg_count_s,
     "seg_agg_s": q_seg_agg_s,
@@ -2355,6 +2373,7 @@ QUERIES = {
     "interarrival": q_interarrival,
     "twa": q_twa,
     "km_survival": q_km_survival,
+    "wilson_rates": q_wilson_rates,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6074,4 +6093,21 @@ ORACLES["km_survival"] = f"""
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
                (a, x) -> a * x) AS surv
     FROM fac
+"""
+
+from modelardb_dynamic_spark.operators.analytics import _wilson_expr  # noqa: E402
+
+ORACLES["wilson_rates"] = f"""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_trials,
+               CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS k_hits
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_trials, k_hits,
+           CAST(k_hits AS DOUBLE) / CAST(n_trials AS DOUBLE) AS p_hat,
+           {_wilson_expr("n_trials", "k_hits", 1.96, "-")} AS wilson_lb,
+           {_wilson_expr("n_trials", "k_hits", 1.96, "+")} AS wilson_ub
+    FROM agg
 """

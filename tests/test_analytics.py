@@ -1111,3 +1111,32 @@ def test_km_survival_grouped_partitions_independent(spark):
     assert out[("a", 2)] == pytest.approx(0.0)
     assert out[("b", 2)] == pytest.approx(1.0)  # censor-only time
     assert out[("b", 3)] == pytest.approx(0.0)
+
+
+def test_wilson_lower_bound_ranks_small_n_safely(spark):
+    # 2/2 hits must NOT outrank 95/100 by the lower bound, although the
+    # raw proportion says otherwise; bounds bracket p_hat and more
+    # trials at the same rate tighten the interval.
+    from modelardb_dynamic_spark.operators.analytics import wilson_intervals
+
+    rows = [("tiny", 1, 1)] * 2 + [("big", 1, 1)] * 95 + [("big", 1, 0)] * 5
+    df = spark.createDataFrame(rows, "k string, n_trials long, k_hits long")
+    out = {r.k: r for r in wilson_intervals(df, ["k"]).collect()}
+    assert out["tiny"].p_hat == 1.0 and out["big"].p_hat == 0.95
+    assert out["big"].wilson_lb > out["tiny"].wilson_lb
+    for r in out.values():
+        assert r.wilson_lb < r.p_hat <= r.wilson_ub or r.p_hat == 1.0
+    wide = out["tiny"].wilson_ub - out["tiny"].wilson_lb
+    narrow = out["big"].wilson_ub - out["big"].wilson_lb
+    assert narrow < wide
+
+
+def test_wilson_matches_textbook_value(spark):
+    # n=10, k=7, z=1.96: Wilson interval ~ (0.3968, 0.8922) (Agresti-
+    # Coull / Brown-Cai-DasGupta tables).
+    from modelardb_dynamic_spark.operators.analytics import wilson_intervals
+
+    df = spark.createDataFrame([("a", 10, 7)], "k string, n_trials long, k_hits long")
+    r = wilson_intervals(df, ["k"]).collect()[0]
+    assert r.wilson_lb == pytest.approx(0.3968, abs=2e-4)
+    assert r.wilson_ub == pytest.approx(0.8922, abs=2e-4)

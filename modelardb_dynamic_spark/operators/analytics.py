@@ -1665,3 +1665,80 @@ def wilson_intervals(
         _wilson_expr("n_trials", "k_hits", z, "-") + " AS wilson_lb",
         _wilson_expr("n_trials", "k_hits", z, "+") + " AS wilson_ub",
     )
+
+
+def lttb_downsample(points: DataFrame, n_out: int) -> DataFrame:
+    """Largest-Triangle-Three-Buckets visual downsampling (Steinarsson
+    2013) to <= n_out points per series — the shape-preserving
+    counterpart of m4_downsample (which pins pixel extremes; LTTB pins
+    perceived line shape). First/last points always kept; the n-2
+    interior points split into n_out-2 count-equal buckets (interior
+    index j -> bucket 1 + ((j-1)*(n_out-2)) // (n-2), the floor-inverse
+    both engines share); each bucket keeps the point maximizing the
+    triangle area against the PREVIOUS selection and the NEXT bucket's
+    average point. Series with n <= n_out pass through whole.
+
+    Exactness: ts is rebased per series (x = ts - first_ts) so the
+    doubled-and-next-count-scaled area
+        |(xa*nn - sx)*(yb - ya) - (xa - xb)*(sv - ya*nn)|
+    is EXACT int64 (no float averages, no rounding): argmax + smallest-
+    index tie-break is therefore bit-reproducible, and the DuckDB oracle
+    replays the identical recurrence as a recursive CTE with the same
+    integer algebra. Requires x_span * bucket_count * v_span < 2^63 —
+    holds for ms grids spanning years at int32 values.
+
+    Scale notes (100 TB): one shuffle on sid (applyInPandas); per series
+    the loop is over n_out buckets with vectorized numpy argmax inside —
+    O(n) work, n_out-bounded state. Selection is inherently sequential
+    per series (each pick conditions the next), so per-series is the
+    natural parallel grain; cross-series parallelism is the scale axis.
+    No reference counterpart (visualization family addition, like M4).
+    """
+    if n_out < 3:
+        raise ValueError("lttb_downsample needs n_out >= 3")
+    import numpy as np
+    import pandas as pd
+
+    B = int(n_out)
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_ms", kind="mergesort")
+        ts = pdf["ts_ms"].to_numpy(np.int64)
+        v = pdf["v"].to_numpy(np.int64)
+        n = len(ts)
+        if n <= B:
+            return pdf[["sid", "ts_ms", "v"]]
+        x = ts - ts[0]
+        M, K = n - 2, B - 2
+        j = np.arange(M, dtype=np.int64)  # interior j = i-1
+        k = 1 + (j * K) // M  # bucket label per interior point, 1..K
+        # bounds[b] = first j-position of bucket b+1 (len K+1, last = M)
+        starts = np.searchsorted(k, np.arange(1, K + 1))
+        bounds = np.append(starts, M)
+        sel = [0]
+        xa, ya = int(x[0]), int(v[0])
+        for kk in range(1, K + 1):
+            lo, hi = int(bounds[kk - 1]), int(bounds[kk])
+            if kk < K:
+                nlo, nhi = hi, int(bounds[kk + 1])
+                nn = nhi - nlo
+                sx = int(x[nlo + 1 : nhi + 1].sum())
+                sv = int(v[nlo + 1 : nhi + 1].sum())
+            else:
+                nn, sx, sv = 1, int(x[n - 1]), int(v[n - 1])
+            cx = x[lo + 1 : hi + 1]
+            cv = v[lo + 1 : hi + 1]
+            area = np.abs(
+                (xa * nn - sx) * (cv - ya) - (xa - cx) * (sv - ya * nn)
+            )
+            pick = lo + 1 + int(np.argmax(area))
+            sel.append(pick)
+            xa, ya = int(x[pick]), int(v[pick])
+        sel.append(n - 1)
+        return pdf.iloc[sel][["sid", "ts_ms", "v"]]
+
+    return (
+        points.select("sid", "ts_ms", "v")
+        .groupBy("sid")
+        .applyInPandas(_one, "sid string, ts_ms long, v long")
+    )

@@ -2270,6 +2270,23 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_lttb(spark, sf_dir):
+    """LTTB visual downsampling ON the compressed store
+    (operators/analytics.py lttb_downsample): segments -> datapoint view
+    -> <= 24 shape-preserving points per series. The greedy
+    previous-pick/next-average triangle recurrence runs on EXACT int64
+    doubled-scaled areas (ts rebased per series), so selection is
+    bit-deterministic and the oracle replays the identical recurrence as
+    a DuckDB recursive CTE over the raw minute buckets."""
+    from modelardb_dynamic_spark.operators.analytics import lttb_downsample
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return lttb_downsample(pts, n_out=24)
+
+
 def q_wilson_rates(spark, sf_dir):
     """Wilson-lower-bound rate ranking per event type
     (operators/analytics.py wilson_intervals): the share of events with
@@ -2374,6 +2391,7 @@ QUERIES = {
     "twa": q_twa,
     "km_survival": q_km_survival,
     "wilson_rates": q_wilson_rates,
+    "lttb": q_lttb,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6110,4 +6128,47 @@ ORACLES["wilson_rates"] = f"""
            {_wilson_expr("n_trials", "k_hits", 1.96, "-")} AS wilson_lb,
            {_wilson_expr("n_trials", "k_hits", 1.96, "+")} AS wilson_ub
     FROM agg
+"""
+
+_LTTB_B = 24
+ORACLES["lttb"] = f"""
+    WITH RECURSIVE b AS ({_MINUTE_BUCKETS}),
+    p AS (
+        SELECT sid, m, CAST(v AS BIGINT) AS v,
+               CAST(row_number() OVER (PARTITION BY sid ORDER BY m) - 1
+                   AS BIGINT) AS i,
+               CAST(count(*) OVER (PARTITION BY sid) AS BIGINT) AS n,
+               m - min(m) OVER (PARTITION BY sid) AS x
+        FROM b
+    ),
+    buck AS (
+        SELECT sid, m, v, i, n, x,
+               CASE WHEN i = 0 THEN CAST(0 AS BIGINT)
+                    WHEN i = n - 1 THEN CAST({_LTTB_B - 1} AS BIGINT)
+                    ELSE 1 + ((i - 1) * {_LTTB_B - 2}) // (n - 2)
+               END AS k
+        FROM p WHERE n > {_LTTB_B}
+    ),
+    nxt AS (
+        SELECT sid, k, CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(v) AS BIGINT) AS sv
+        FROM buck GROUP BY sid, k
+    ),
+    sel AS (
+        SELECT sid, k, i, x, v, m FROM buck WHERE i = 0
+        UNION ALL
+        SELECT c.sid, c.k, c.i, c.x, c.v, c.m
+        FROM sel s
+        JOIN buck c ON c.sid = s.sid AND c.k = s.k + 1
+            AND s.k + 1 <= {_LTTB_B - 2}
+        JOIN nxt nx ON nx.sid = c.sid AND nx.k = c.k + 1
+        QUALIFY row_number() OVER (PARTITION BY c.sid ORDER BY
+            abs((s.x * nx.nn - nx.sx) * (c.v - s.v) -
+                (s.x - c.x) * (nx.sv - s.v * nx.nn)) DESC, c.i ASC) = 1
+    )
+    SELECT sid, m AS ts_ms, v FROM sel
+    UNION ALL
+    SELECT sid, m AS ts_ms, v FROM buck WHERE i = n - 1
+    UNION ALL
+    SELECT sid, m AS ts_ms, v FROM p WHERE n <= {_LTTB_B}
 """

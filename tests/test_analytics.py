@@ -1140,3 +1140,65 @@ def test_wilson_matches_textbook_value(spark):
     r = wilson_intervals(df, ["k"]).collect()[0]
     assert r.wilson_lb == pytest.approx(0.3968, abs=2e-4)
     assert r.wilson_ub == pytest.approx(0.8922, abs=2e-4)
+
+
+def _lttb_reference(ts, vs, B):
+    # Straight float implementation from Steinarsson's thesis, with the
+    # same floor bucketing — independent of the operator's integer form.
+    n = len(ts)
+    x = [t - ts[0] for t in ts]
+    M, K = n - 2, B - 2
+    bounds = [[] for _ in range(K + 2)]
+    for j in range(M):
+        bounds[1 + (j * K) // M].append(j + 1)
+    bounds[K + 1] = [n - 1]
+    sel = [0]
+    xa, ya = x[0], vs[0]
+    for kk in range(1, K + 1):
+        nxt = bounds[kk + 1]
+        cx = sum(x[i] for i in nxt) / len(nxt)
+        cy = sum(vs[i] for i in nxt) / len(nxt)
+        best, best_a = None, -1.0
+        for i in bounds[kk]:
+            a = abs((xa - cx) * (vs[i] - ya) - (xa - x[i]) * (cy - ya))
+            if a > best_a:
+                best, best_a = i, a
+        sel.append(best)
+        xa, ya = x[best], vs[best]
+    sel.append(n - 1)
+    return sel
+
+
+def test_lttb_matches_float_reference(spark):
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import lttb_downsample
+
+    rng = np.random.default_rng(11)
+    n, B = 200, 17
+    ts = np.cumsum(rng.integers(1, 5, size=n)) * 60_000
+    vs = rng.integers(0, 1000, size=n)
+    rows = [("s", int(t), int(v)) for t, v in zip(ts, vs)]
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    got = sorted(
+        (r.ts_ms, r.v) for r in lttb_downsample(df, B).collect()
+    )
+    ref_idx = _lttb_reference([int(t) for t in ts], [int(v) for v in vs], B)
+    want = sorted((int(ts[i]), int(vs[i])) for i in ref_idx)
+    assert got == want
+    assert len(got) == B
+
+
+def test_lttb_small_series_pass_through_and_endpoints(spark):
+    from modelardb_dynamic_spark.operators.analytics import lttb_downsample
+
+    rows = [("tiny", i * 1000, i) for i in range(5)] + [
+        ("big", i * 1000, (i * 7) % 23) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    out = lttb_downsample(df, 10).collect()
+    tiny = sorted(r.ts_ms for r in out if r.sid == "tiny")
+    big = sorted(r.ts_ms for r in out if r.sid == "big")
+    assert tiny == [0, 1000, 2000, 3000, 4000]  # n <= B: keep all
+    assert len(big) == 10
+    assert big[0] == 0 and big[-1] == 99_000  # endpoints pinned

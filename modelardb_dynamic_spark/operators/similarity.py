@@ -459,3 +459,40 @@ def ivf_kmeans_topk_exact(
         .where(F.col("rank") <= k)
         .select("qid", F.col("id").alias("nid"), "rank")
     )
+
+
+def rrf_fuse(
+    arms: list[tuple[str, DataFrame]], k_rrf: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of N ranked
+    retrieval lists — the standard combiner for hybrid lexical+vector
+    search: rrf(id) = sum over arms of 1/(k_rrf + rank_arm(id)), ids
+    missing from an arm contribute 0. Each arm is (name, DataFrame with
+    columns (id, rank)); output is one row per id seen by any arm with
+    every arm's rank (NULL where absent) and the fused score.
+
+    Bit-exact replay: each term is ONE IEEE division of exact ints, and
+    the fused score is a STATIC left-to-right sum in the caller's arm
+    order (built into the expression tree, not an aggregation), so both
+    engines evaluate the identical correctly-rounded chain.
+
+    Scale notes (100 TB): the arms are top-k lists (k-sized, not
+    corpus-sized), so the full-outer join chain is between k-row inputs
+    — broadcastable by construction; no corpus-scale shuffle occurs in
+    the fusion itself."""
+    joined = None
+    for name, df in arms:
+        d = df.selectExpr("id", f"CAST(rank AS INT) AS rank_{name}")
+        joined = d if joined is None else joined.join(
+            d, ["id"], "full_outer"
+        )
+    terms = [
+        f"COALESCE(CAST(1 AS DOUBLE) / "
+        f"CAST({int(k_rrf)} + rank_{n} AS DOUBLE), CAST(0 AS DOUBLE))"
+        for n, _ in arms
+    ]
+    return joined.selectExpr(
+        "id",
+        *[f"rank_{n}" for n, _ in arms],
+        " + ".join(terms) + " AS rrf_score",
+    )

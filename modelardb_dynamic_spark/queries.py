@@ -2270,6 +2270,32 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion
+    (operators/similarity.py rrf_fuse): the BM25 lexical top-20 for the
+    fixed term query fused with the exact-cosine vector top-20 around
+    query embedding 0, rrf = 1/(60+rank_lex) + 1/(60+rank_vec). The
+    synthetic corpus aligns embeddings[i] with documents[i] (both tables
+    are id 0..N-1 by construction — a documented test-data convention,
+    like the multimodal payloads). Ranks are the two arms' deterministic
+    (score DESC, id ASC) positions; the oracle composes both arms'
+    replay SQL verbatim and the identical two-term IEEE sum."""
+    from modelardb_dynamic_spark.operators import similarity
+    from modelardb_dynamic_spark.operators.textstats import bm25_topk
+
+    lex = bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_TERMS, top_k=BM25_K
+    ).selectExpr("doc_id AS id", "rank")
+    vec = (
+        similarity.cosine_topk(
+            _t(spark, sf_dir, "embeddings"), query_ids=[0], k=BM25_K
+        )
+        .where(F.col("qid") == 0)
+        .selectExpr("nid AS id", "rank")
+    )
+    return similarity.rrf_fuse([("lex", lex), ("vec", vec)])
+
+
 def q_lttb(spark, sf_dir):
     """LTTB visual downsampling ON the compressed store
     (operators/analytics.py lttb_downsample): segments -> datapoint view
@@ -2392,6 +2418,7 @@ QUERIES = {
     "km_survival": q_km_survival,
     "wilson_rates": q_wilson_rates,
     "lttb": q_lttb,
+    "hybrid_rrf": q_hybrid_rrf,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -5065,6 +5092,36 @@ def _bm25_oracle_sql() -> str:
     """
 
 
+def _rrf_oracle_sql() -> str:
+    """Generated oracle for hybrid_rrf: composes the bm25_search replay
+    (idf literals re-derived from the parquet) with the qid-0 cosine
+    top-20 replay and the identical static two-term reciprocal-rank
+    sum."""
+    bm25 = _bm25_oracle_sql()
+    return f"""
+        WITH lex AS (
+            SELECT doc_id AS id, CAST(rank AS INT) AS rank_lex
+            FROM ({bm25})
+        ),
+        vec AS (
+            SELECT b.vec_id AS id,
+                   CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) DESC,
+                       b.vec_id) AS INT) AS rank_vec
+            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            WHERE a.vec_id = 0 QUALIFY rank_vec <= {BM25_K}
+        )
+        SELECT COALESCE(l.id, v.id) AS id, l.rank_lex, v.rank_vec,
+               COALESCE(CAST(1 AS DOUBLE) / CAST(60 + l.rank_lex AS DOUBLE),
+                        CAST(0 AS DOUBLE)) +
+               COALESCE(CAST(1 AS DOUBLE) / CAST(60 + v.rank_vec AS DOUBLE),
+                        CAST(0 AS DOUBLE)) AS rrf_score
+        FROM lex l FULL OUTER JOIN vec v ON l.id = v.id
+    """
+
+
 def build_oracles() -> dict[str, str]:
     """The static ORACLES plus entries generated from the data itself
     (kmeans centroid literals). __spark_entry__.oracle_sql() calls this so
@@ -5080,6 +5137,10 @@ def build_oracles() -> dict[str, str]:
         pass  # documents parquet unavailable -> rows-only fallback
     try:
         out["bm25_search"] = _bm25_oracle_sql()
+    except Exception:
+        pass  # documents parquet unavailable -> rows-only fallback
+    try:
+        out["hybrid_rrf"] = _rrf_oracle_sql()
     except Exception:
         pass  # documents parquet unavailable -> rows-only fallback
     try:

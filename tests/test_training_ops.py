@@ -2019,3 +2019,23 @@ def test_trimmed_stats_exact(spark):
 
     with _pytest.raises(ValueError):
         textstats.trimmed_stats(g, "key", "v", 1, 2)
+
+
+def test_rrf_fuse_two_arms(spark):
+    from modelardb_dynamic_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(12, 1), (10, 2), (13, 3)], "id long, rank int"
+    )
+    out = {r.id: r for r in rrf_fuse([("lex", lex), ("vec", vec)]).collect()}
+    assert set(out) == {10, 11, 12, 13}
+    assert out[10].rrf_score == pytest.approx(1 / 61 + 1 / 62)
+    assert out[11].rrf_score == pytest.approx(1 / 62)  # lex-only
+    assert out[13].rrf_score == pytest.approx(1 / 63)  # vec-only
+    assert out[11].rank_vec is None and out[13].rank_lex is None
+    # consensus doc (top-3 in both) outranks either single-arm doc
+    assert out[12].rrf_score > out[11].rrf_score
+    assert out[12].rrf_score > out[13].rrf_score

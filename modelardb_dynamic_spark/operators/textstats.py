@@ -1933,3 +1933,86 @@ def trimmed_stats(
         "CAST(trimmed_sum + k * v_lo + k * v_hi AS DOUBLE) / "
         "CAST(n AS DOUBLE) AS winsorized_mean",
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    period_ms: int = 7 * 86_400_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Growth accounting over activity events — the standard
+    new/retained/resurrected/churned user decomposition per period
+    (epoch-integer weeks by default) plus the quick ratio
+    (new+resurrected)/churned. Per period w:
+      new         = users whose FIRST-ever activity is w
+      retained    = users active in w and w-1
+      resurrected = users active in w, inactive in w-1, seen before
+      churned(w)  = users active in w-1 but not w  (attributed to w,
+                    reported only for w <= the corpus' last period)
+    and n_active = new + retained + resurrected (identity by
+    construction).
+
+    Exactness: period = ts_ms // period_ms (pure integer, no calendar),
+    all counts are exact int64 over the DISTINCT (user, period) table,
+    and the quick ratio is one shared IEEE division (NULL when churned
+    = 0). Scale notes (100 TB): one map-side distinct to (user, period)
+    — the only corpus-sized pass; two windows and the final groupBy run
+    on the user-period table, and the period join is period-count-sized.
+    """
+    up = (
+        events.selectExpr(
+            f"{user_col} AS u", f"CAST({ts_col} DIV {period_ms} AS BIGINT) AS w"
+        )
+        .distinct()
+    )
+    seq = Window.partitionBy("u").orderBy("w")
+    lab = up.select(
+        "u",
+        "w",
+        F.lag("w").over(seq).alias("pw"),
+        F.lead("w").over(seq).alias("nw"),
+        F.min("w").over(Window.partitionBy("u")).alias("fw"),
+        F.max("w").over(Window.partitionBy()).alias("maxw"),
+    )
+    active = lab.groupBy("w").agg(
+        F.sum(F.when(F.col("w") == F.col("fw"), 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(
+            F.when(F.col("pw") == F.col("w") - 1, 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("w") != F.col("fw"))
+                & (F.col("pw") < F.col("w") - 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+    churn = (
+        lab.where(
+            (F.col("nw").isNull() | (F.col("nw") > F.col("w") + 1))
+            & (F.col("w") + 1 <= F.col("maxw"))
+        )
+        .groupBy((F.col("w") + 1).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        active.join(churn, ["w"], "full_outer")
+        .selectExpr(
+            "w",
+            "CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new",
+            "CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained",
+            "CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected",
+            "CAST(COALESCE(n_active, 0) AS BIGINT) AS n_active",
+            "CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned",
+        )
+        .selectExpr(
+            "*",
+            "CASE WHEN n_churned > 0 THEN "
+            "CAST(n_new + n_resurrected AS DOUBLE) / "
+            "CAST(n_churned AS DOUBLE) END AS quick_ratio",
+        )
+    )

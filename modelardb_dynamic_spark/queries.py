@@ -2270,6 +2270,24 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting of the user base
+    (operators/textstats.py growth_accounting): per epoch-week, exact
+    new/retained/resurrected/churned user counts off the distinct
+    (user, week) activity table, with the quick ratio as the one shared
+    IEEE division. The oracle replays the identical integer-week lag/
+    lead/first-week classification."""
+    from modelardb_dynamic_spark.operators.textstats import (
+        growth_accounting,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return growth_accounting(ev)
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval via reciprocal-rank fusion
     (operators/similarity.py rrf_fuse): the BM25 lexical top-20 for the
@@ -2419,6 +2437,7 @@ QUERIES = {
     "wilson_rates": q_wilson_rates,
     "lttb": q_lttb,
     "hybrid_rrf": q_hybrid_rrf,
+    "growth_accounting": q_growth_accounting,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6232,4 +6251,49 @@ ORACLES["lttb"] = f"""
     SELECT sid, m AS ts_ms, v FROM buck WHERE i = n - 1
     UNION ALL
     SELECT sid, m AS ts_ms, v FROM p WHERE n <= {_LTTB_B}
+"""
+
+_WEEK_MS = 7 * 86_400_000
+ORACLES["growth_accounting"] = f"""
+    WITH up AS (
+        SELECT DISTINCT user_id AS u,
+               CAST(epoch_ms(ts) // {_WEEK_MS} AS BIGINT) AS w
+        FROM events
+    ),
+    lab AS (
+        SELECT u, w,
+               lag(w) OVER (PARTITION BY u ORDER BY w) AS pw,
+               lead(w) OVER (PARTITION BY u ORDER BY w) AS nw,
+               min(w) OVER (PARTITION BY u) AS fw,
+               max(w) OVER () AS maxw
+        FROM up
+    ),
+    act AS (
+        SELECT w,
+               CAST(sum(CASE WHEN w = fw THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+               CAST(sum(CASE WHEN pw = w - 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_retained,
+               CAST(sum(CASE WHEN w != fw AND pw < w - 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_resurrected,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM lab GROUP BY w
+    ),
+    chu AS (
+        SELECT w + 1 AS w, CAST(count(*) AS BIGINT) AS n_churned
+        FROM lab
+        WHERE (nw IS NULL OR nw > w + 1) AND w + 1 <= maxw
+        GROUP BY w + 1
+    )
+    SELECT COALESCE(a.w, c.w) AS w,
+           COALESCE(n_new, 0) AS n_new,
+           COALESCE(n_retained, 0) AS n_retained,
+           COALESCE(n_resurrected, 0) AS n_resurrected,
+           COALESCE(n_active, 0) AS n_active,
+           COALESCE(n_churned, 0) AS n_churned,
+           CASE WHEN COALESCE(n_churned, 0) > 0 THEN
+               CAST(COALESCE(n_new, 0) + COALESCE(n_resurrected, 0)
+                   AS DOUBLE) / CAST(n_churned AS DOUBLE)
+           END AS quick_ratio
+    FROM act a FULL OUTER JOIN chu c ON a.w = c.w
 """

@@ -2039,3 +2039,25 @@ def test_rrf_fuse_two_arms(spark):
     # consensus doc (top-3 in both) outranks either single-arm doc
     assert out[12].rrf_score > out[11].rrf_score
     assert out[12].rrf_score > out[13].rrf_score
+
+
+def test_growth_accounting_classification(spark):
+    from modelardb_dynamic_spark.operators.textstats import growth_accounting
+
+    W = 7 * 86_400_000
+    # u1: weeks 0,1,3 (new@0, retained@1, churn@2, resurrected@3)
+    # u2: week 1 only (new@1, churn@2)
+    # u3: weeks 2,3 (new@2, retained@3)
+    rows = [(1, 0 * W), (1, 1 * W), (1, 3 * W), (2, 1 * W),
+            (3, 2 * W), (3, 3 * W), (3, 3 * W + 5)]  # dup week collapses
+    ev = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    out = {r.w: r for r in growth_accounting(ev).collect()}
+    assert out[0].n_new == 1 and out[0].n_active == 1
+    assert out[1].n_new == 1 and out[1].n_retained == 1
+    assert out[2].n_new == 1 and out[2].n_churned == 2  # u1 and u2 left
+    assert out[3].n_resurrected == 1 and out[3].n_retained == 1
+    assert out[2].quick_ratio == pytest.approx(0.5)  # (1+0)/2
+    for r in out.values():  # identity: active = new+retained+resurrected
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+    # no week-4 churn row: beyond the last observed period
+    assert 4 not in out

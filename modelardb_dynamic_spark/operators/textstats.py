@@ -2016,3 +2016,49 @@ def growth_accounting(
             "CAST(n_churned AS DOUBLE) END AS quick_ratio",
         )
     )
+
+
+def activity_heatmap(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Day-of-week x hour-of-day activity matrix — the usage-seasonality
+    heatmap behind capacity planning and anomaly baselines. Per (dow 0 =
+    Sunday .. 6, hour 0..23): exact event count, exact distinct active
+    users, and the cell's share of all events (one shared IEEE division
+    against the window total).
+
+    Both axes are PURE epoch-integer arithmetic, never calendar
+    functions: dow = (ts_ms // day + 4) %% 7 (epoch day 0 = Thursday),
+    hour = (ts_ms // hour) %% 24 — Spark's dayofweek() (1 = Sunday) and
+    DuckDB's dayofweek() (0 = Sunday) disagree, so neither is used; the
+    integer form is identical in both engines, UTC by definition.
+
+    Scale notes (100 TB): one map-side-combinable groupBy to <= 168
+    cells (count + distinct-user via two-level agg); the share division
+    runs on the 168-row result with a window total — no corpus-sized
+    shuffle beyond the first aggregation."""
+    day_ms, hour_ms = 86_400_000, 3_600_000
+    cells = (
+        events.selectExpr(
+            f"CAST(({ts_col} DIV {day_ms} + 4) % 7 AS BIGINT) AS dow",
+            f"CAST(({ts_col} DIV {hour_ms}) % 24 AS BIGINT) AS hod",
+            f"{user_col} AS u",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("u").alias("n_users"),
+        )
+    )
+    return cells.select(
+        "dow",
+        "hod",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_users").cast("long").alias("n_users"),
+        (
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(Window.partitionBy()).cast("double")
+        ).alias("share"),
+    )

@@ -2270,6 +2270,23 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_activity_heatmap(spark, sf_dir):
+    """Day-of-week x hour-of-day usage heatmap (operators/textstats.py
+    activity_heatmap): exact event and distinct-user counts per cell via
+    pure epoch-integer axes (calendar functions disagree between engines
+    on dow origin), share as one shared division against the window
+    total. The oracle replays the identical integer arithmetic."""
+    from modelardb_dynamic_spark.operators.textstats import (
+        activity_heatmap,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return activity_heatmap(ev)
+
+
 def q_growth_accounting(spark, sf_dir):
     """Weekly growth accounting of the user base
     (operators/textstats.py growth_accounting): per epoch-week, exact
@@ -2438,6 +2455,7 @@ QUERIES = {
     "lttb": q_lttb,
     "hybrid_rrf": q_hybrid_rrf,
     "growth_accounting": q_growth_accounting,
+    "activity_heatmap": q_activity_heatmap,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6296,4 +6314,18 @@ ORACLES["growth_accounting"] = f"""
                    AS DOUBLE) / CAST(n_churned AS DOUBLE)
            END AS quick_ratio
     FROM act a FULL OUTER JOIN chu c ON a.w = c.w
+"""
+
+ORACLES["activity_heatmap"] = """
+    WITH cells AS (
+        SELECT CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS BIGINT) AS dow,
+               CAST((epoch_ms(ts) // 3600000) % 24 AS BIGINT) AS hod,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hod, n_events, n_users,
+           CAST(n_events AS DOUBLE) /
+           CAST(sum(n_events) OVER () AS DOUBLE) AS share
+    FROM cells
 """

@@ -2061,3 +2061,18 @@ def test_growth_accounting_classification(spark):
         assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
     # no week-4 churn row: beyond the last observed period
     assert 4 not in out
+
+
+def test_activity_heatmap_axes_and_share(spark):
+    from modelardb_dynamic_spark.operators.textstats import activity_heatmap
+
+    D, H = 86_400_000, 3_600_000
+    # 1970-01-01 (epoch day 0) was a THURSDAY = dow 4 under 0=Sunday.
+    rows = [(1, 0 * D + 13 * H), (2, 0 * D + 13 * H),  # Thu 13:00 x2
+            (1, 3 * D + 0 * H)]                        # Sun 00:00
+    ev = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    out = {(r.dow, r.hod): r for r in activity_heatmap(ev).collect()}
+    assert set(out) == {(4, 13), (0, 0)}
+    assert out[(4, 13)].n_events == 2 and out[(4, 13)].n_users == 2
+    assert out[(0, 0)].n_events == 1 and out[(0, 0)].n_users == 1
+    assert out[(4, 13)].share == pytest.approx(2 / 3)

@@ -2270,6 +2270,59 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_stream_zscore(spark, sf_dir):
+    """Streaming rolling z-score alerts under the value gate
+    (streaming/anomaly.py stream_zscore): the per-minute turn-rate
+    points replayed as an arriving file stream through the stateful
+    scorer (applyInPandasWithState, ring-buffer state per series). The
+    oracle is the SAME SQL the batch rolling_zscore is gated by, so the
+    gate pins streamed == batch == DuckDB — every column, including the
+    float z (identical IEEE ops) and the integer anomaly predicate."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from modelardb_dynamic_spark.streaming.anomaly import stream_zscore
+
+    pts = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "CAST(user_id AS STRING) AS sid",
+            f"(unix_millis(CAST(ts AS TIMESTAMP)) DIV {SI_MS}) * {SI_MS}"
+            " AS ts_ms",
+        )
+        .groupBy("sid", "ts_ms")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    d = tempfile.mkdtemp(prefix="mdbs_stream_z_")
+    try:
+        import os as _os
+
+        pts.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(d, "chunk=0")
+        )
+        schema = spark.read.parquet(_os.path.join(d, "chunk=0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(d, "chunk=*"))
+        )
+        name = "stream_z_" + uuid.uuid4().hex[:8]
+        q = (
+            stream_zscore(stream, window_buckets=24, min_periods=12, k=3)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).localCheckpoint()
+
+
 def q_activity_heatmap(spark, sf_dir):
     """Day-of-week x hour-of-day usage heatmap (operators/textstats.py
     activity_heatmap): exact event and distinct-user counts per cell via
@@ -2456,6 +2509,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "growth_accounting": q_growth_accounting,
     "activity_heatmap": q_activity_heatmap,
+    "stream_zscore": q_stream_zscore,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6329,3 +6383,6 @@ ORACLES["activity_heatmap"] = """
            CAST(sum(n_events) OVER () AS DOUBLE) AS share
     FROM cells
 """
+
+# the stream is gated by the BATCH operator's oracle: streamed == batch
+ORACLES["stream_zscore"] = ORACLES["rolling_zscore"]

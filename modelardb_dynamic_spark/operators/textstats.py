@@ -2062,3 +2062,51 @@ def activity_heatmap(
             / F.sum("n_events").over(Window.partitionBy()).cast("double")
         ).alias("share"),
     )
+
+
+def tool_sequences(tr: DataFrame, min_pairs: int = 1) -> DataFrame:
+    """Ordered tool-call transition mining: per (prev_tool -> tool)
+    bigram of CONSECUTIVE tool turns within a conversation, the pair
+    count, distinct-conversation support, and the conditional
+    next-tool probability P(tool | prev_tool) — the workflow-graph
+    edge weights behind "after web_search agents usually fetch".
+    Complements tool_affinity (unordered co-usage PMI over conversation
+    sets) with sequence structure: direction and adjacency.
+
+    Exactness: counts are exact int64; the conditional probability is
+    ONE shared IEEE division by the prev-tool's successor-pair total
+    (sum over the tool-matrix-sized result, exact). Scale notes
+    (100 TB): one filtered window pass (lag over tool turns per
+    conversation) + two matrix-sized groupBys; no joins over corpus
+    rows; the marginal is a window sum over the |tools|^2-sized matrix.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        tr.where(F.col("tool").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("tool"),
+            F.lag("tool").over(w).alias("prev_tool"),
+        )
+        .where(F.col("prev_tool").isNotNull())
+    )
+    mat = pairs.groupBy("prev_tool", "tool").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    return (
+        mat.where(F.col("n_pairs") >= min_pairs)
+        .select(
+            "prev_tool",
+            "tool",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_convs").cast("long").alias("n_convs"),
+            (
+                F.col("n_pairs").cast("double")
+                / F.sum("n_pairs")
+                .over(Window.partitionBy("prev_tool"))
+                .cast("double")
+            ).alias("p_next"),
+        )
+    )

@@ -2270,6 +2270,18 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_tool_sequences(spark, sf_dir):
+    """Ordered tool-call transition matrix (operators/textstats.py
+    tool_sequences) over the deterministic transcript mapping:
+    consecutive tool-turn bigrams per conversation with exact counts and
+    the conditional next-tool probability (one shared division by the
+    prev-tool successor total). The oracle replays the identical
+    filtered lag window and matrix aggregation."""
+    from modelardb_dynamic_spark.operators.textstats import tool_sequences
+
+    return tool_sequences(_events_as_transcripts(spark, sf_dir))
+
+
 def q_stream_zscore(spark, sf_dir):
     """Streaming rolling z-score alerts under the value gate
     (streaming/anomaly.py stream_zscore): the per-minute turn-rate
@@ -2510,6 +2522,7 @@ QUERIES = {
     "growth_accounting": q_growth_accounting,
     "activity_heatmap": q_activity_heatmap,
     "stream_zscore": q_stream_zscore,
+    "tool_sequences": q_tool_sequences,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6386,3 +6399,29 @@ ORACLES["activity_heatmap"] = """
 
 # the stream is gated by the BATCH operator's oracle: streamed == batch
 ORACLES["stream_zscore"] = ORACLES["rolling_zscore"]
+
+ORACLES["tool_sequences"] = f"""
+    WITH tr AS ({_TR_FULL}),
+    toolturns AS (
+        SELECT conv_id, turn_idx, event_type AS tool
+        FROM tr WHERE turn_idx % 3 = 2
+    ),
+    pairs AS (
+        SELECT conv_id, tool,
+               lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS prev_tool
+        FROM toolturns
+    ),
+    mat AS (
+        SELECT prev_tool, tool,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM pairs WHERE prev_tool IS NOT NULL
+        GROUP BY prev_tool, tool
+    )
+    SELECT prev_tool, tool, n_pairs, n_convs,
+           CAST(n_pairs AS DOUBLE) /
+           CAST(sum(n_pairs) OVER (PARTITION BY prev_tool) AS DOUBLE)
+               AS p_next
+    FROM mat
+"""

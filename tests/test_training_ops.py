@@ -2076,3 +2076,26 @@ def test_activity_heatmap_axes_and_share(spark):
     assert out[(4, 13)].n_events == 2 and out[(4, 13)].n_users == 2
     assert out[(0, 0)].n_events == 1 and out[(0, 0)].n_users == 1
     assert out[(4, 13)].share == pytest.approx(2 / 3)
+
+
+def test_tool_sequences_counts_and_conditional(spark):
+    from modelardb_dynamic_spark.operators.textstats import tool_sequences
+
+    rows = [
+        # conv c1 tool turns: A, B, A  -> pairs (A,B), (B,A)
+        ("c1", 0, "user", "x", None), ("c1", 2, "tool", "x", "A"),
+        ("c1", 5, "tool", "x", "B"), ("c1", 8, "tool", "x", "A"),
+        # conv c2 tool turns: A, B -> pair (A,B)
+        ("c2", 2, "tool", "x", "A"), ("c2", 5, "tool", "x", "B"),
+        # conv c3 tool turn: A alone -> no pair
+        ("c3", 2, "tool", "x", "A"),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    out = {(r.prev_tool, r.tool): r for r in tool_sequences(tr).collect()}
+    assert set(out) == {("A", "B"), ("B", "A")}
+    assert out[("A", "B")].n_pairs == 2 and out[("A", "B")].n_convs == 2
+    assert out[("B", "A")].n_pairs == 1
+    assert out[("A", "B")].p_next == pytest.approx(1.0)  # A always -> B
+    assert out[("B", "A")].p_next == pytest.approx(1.0)

@@ -1202,3 +1202,49 @@ def test_lttb_small_series_pass_through_and_endpoints(spark):
     assert tiny == [0, 1000, 2000, 3000, 4000]  # n <= B: keep all
     assert len(big) == 10
     assert big[0] == 0 and big[-1] == 99_000  # endpoints pinned
+
+
+@pytest.mark.parametrize("seed,n,B", [(1, 50, 5), (2, 333, 29), (3, 64, 33),
+                                      (4, 1000, 24), (5, 97, 12)])
+def test_lttb_fuzz_matches_float_reference(spark, seed, n, B):
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import lttb_downsample
+
+    rng = np.random.default_rng(seed)
+    ts = np.cumsum(rng.integers(1, 900_000, size=n))
+    vs = rng.integers(0, 1_000_000, size=n)
+    df = spark.createDataFrame(
+        [("s", int(t), int(v)) for t, v in zip(ts, vs)],
+        "sid string, ts_ms long, v long",
+    )
+    got = sorted((r.ts_ms, r.v) for r in lttb_downsample(df, B).collect())
+    ref = _lttb_reference([int(t) for t in ts], [int(v) for v in vs], B)
+    want = sorted((int(ts[i]), int(vs[i])) for i in ref)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [7, 8, 9, 10])
+def test_km_survival_fuzz_matches_reference(spark, seed):
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import km_survival
+
+    rng = np.random.default_rng(seed)
+    n = 200
+    t = rng.integers(1, 25, size=n)
+    obs = rng.integers(0, 2, size=n)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(t, obs)], "t long, observed int"
+    )
+    got = {r.t: r for r in km_survival(df).collect()}
+    # independent product-limit reference
+    surv = 1.0
+    for u in sorted(set(int(x) for x in t)):
+        at_risk = int((t >= u).sum())
+        d = int(((t == u) & (obs == 1)).sum())
+        c = int(((t == u) & (obs == 0)).sum())
+        surv *= (at_risk - d) / at_risk
+        r = got[u]
+        assert (r.n_at_risk, r.d_events, r.c_censored) == (at_risk, d, c)
+        assert r.surv == pytest.approx(surv, rel=1e-12)

@@ -2110,3 +2110,56 @@ def tool_sequences(tr: DataFrame, min_pairs: int = 1) -> DataFrame:
             ).alias("p_next"),
         )
     )
+
+
+def stickiness(
+    events: DataFrame,
+    window_days: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Exact DAU / trailing-MAU stickiness per epoch day — the
+    engagement ratio (DAU/MAU) computed EXACTLY instead of via sketch
+    union: each distinct (user, active-day) pair is expanded to the
+    window_days target days it keeps the user "monthly-active" for,
+    then distinct users are counted per target day. Days past the
+    corpus frontier are cut; days with zero same-day activity still
+    report their trailing MAU (dau = 0).
+
+    Exactness: counts are exact int64 distincts; stickiness is one
+    shared IEEE division. Scale notes (100 TB): the only corpus-sized
+    pass is the map-side distinct to (user, day); the expansion is a
+    BOUNDED explode (x window_days) of that user-day table — the same
+    bounded-expansion discipline as hll_sliding/hist_sliding — and both
+    aggregations are map-side-combinable groupBys. No self-joins, no
+    windows over raw rows."""
+    day_ms = 86_400_000
+    ud = (
+        events.selectExpr(
+            f"{user_col} AS u", f"CAST({ts_col} DIV {day_ms} AS BIGINT) AS d"
+        )
+        .distinct()
+    )
+    frontier = ud.select(F.max("d").alias("maxd"))
+    dau = ud.groupBy("d").agg(F.countDistinct("u").alias("dau"))
+    mau = (
+        ud.select(
+            "u",
+            F.explode(
+                F.sequence(F.col("d"), F.col("d") + (window_days - 1))
+            ).alias("d"),
+        )
+        .join(F.broadcast(frontier), F.col("d") <= F.col("maxd"))
+        .groupBy("d")
+        .agg(F.countDistinct("u").alias("mau"))
+    )
+    return (
+        mau.join(dau, ["d"], "left_outer")
+        .selectExpr(
+            "d",
+            "CAST(COALESCE(dau, 0) AS BIGINT) AS dau",
+            "CAST(mau AS BIGINT) AS mau",
+            "CAST(COALESCE(dau, 0) AS DOUBLE) / CAST(mau AS DOUBLE)"
+            " AS stickiness",
+        )
+    )

@@ -2270,6 +2270,21 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_stickiness(spark, sf_dir):
+    """Exact DAU / trailing-30d-MAU stickiness per epoch day
+    (operators/textstats.py stickiness): bounded 30x expansion of the
+    distinct (user, day) table, exact distinct counts, one shared
+    division; frontier-cut target days. The oracle replays the identical
+    expansion with a range() cross join."""
+    from modelardb_dynamic_spark.operators.textstats import stickiness
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return stickiness(ev)
+
+
 def q_tool_sequences(spark, sf_dir):
     """Ordered tool-call transition matrix (operators/textstats.py
     tool_sequences) over the deterministic transcript mapping:
@@ -2523,6 +2538,7 @@ QUERIES = {
     "activity_heatmap": q_activity_heatmap,
     "stream_zscore": q_stream_zscore,
     "tool_sequences": q_tool_sequences,
+    "stickiness": q_stickiness,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6424,4 +6440,26 @@ ORACLES["tool_sequences"] = f"""
            CAST(sum(n_pairs) OVER (PARTITION BY prev_tool) AS DOUBLE)
                AS p_next
     FROM mat
+"""
+
+ORACLES["stickiness"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id AS u,
+               CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d
+        FROM events
+    ),
+    fr AS (SELECT max(d) AS maxd FROM ud),
+    dau AS (SELECT d, CAST(count(DISTINCT u) AS BIGINT) AS dau
+            FROM ud GROUP BY d),
+    mau AS (
+        SELECT t.d, CAST(count(DISTINCT t.u) AS BIGINT) AS mau
+        FROM (SELECT u, d + s.range AS d
+              FROM ud CROSS JOIN range(30) s) t, fr
+        WHERE t.d <= fr.maxd
+        GROUP BY t.d
+    )
+    SELECT m.d, COALESCE(a.dau, 0) AS dau, m.mau,
+           CAST(COALESCE(a.dau, 0) AS DOUBLE) / CAST(m.mau AS DOUBLE)
+               AS stickiness
+    FROM mau m LEFT JOIN dau a ON a.d = m.d
 """

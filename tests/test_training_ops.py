@@ -2099,3 +2099,22 @@ def test_tool_sequences_counts_and_conditional(spark):
     assert out[("B", "A")].n_pairs == 1
     assert out[("A", "B")].p_next == pytest.approx(1.0)  # A always -> B
     assert out[("B", "A")].p_next == pytest.approx(1.0)
+
+
+def test_stickiness_window_and_frontier(spark):
+    from modelardb_dynamic_spark.operators.textstats import stickiness
+
+    D = 86_400_000
+    # u1 active day 0; u2 active days 0 and 40; window 30
+    ev = spark.createDataFrame(
+        [(1, 0 * D), (2, 0 * D), (2, 40 * D), (2, 40 * D + 7)],
+        "user_id long, ts_ms long",
+    )
+    out = {r.d: r for r in stickiness(ev).collect()}
+    # coverage: day-0 activity spans target days 0..29; day-40 activity
+    # spans only day 40 (frontier cut); days 30..39 have no coverage.
+    assert set(out) == set(range(30)) | {40}
+    assert out[0].dau == 2 and out[0].mau == 2
+    assert out[0].stickiness == pytest.approx(1.0)
+    assert out[29].dau == 0 and out[29].mau == 2  # both still monthly-active
+    assert out[40].dau == 1 and out[40].mau == 1

@@ -14,7 +14,7 @@ rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from modelardb_dynamic_spark.operators.dedup import _shingles, spark_h60
@@ -590,4 +590,49 @@ def source_health(
         "CAST(tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens",
         "CAST(dup_docs AS BIGINT) AS dup_docs",
         "CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac",
+    )
+
+
+def skew_audit(df: DataFrame, key_col: str) -> DataFrame:
+    """Hot-key skew audit — the question to ask BEFORE shuffling on a
+    key at 100 TB: per distinct key, its exact row count, frequency
+    share, Lorenz cumulative share (keys ranked ascending by count, key
+    ASC ties), and the distribution's Gini coefficient
+        G = 2*sum(i * x_i) / (n * sum(x)) - (n + 1) / n
+    (the discrete closed form over ascending-sorted counts). G ~ 0 means
+    uniform keys (shuffle-safe); G -> 1 means a handful of keys carry
+    the table (salt or isolate them — operators/compress.py's time-range
+    salting is the engine's own remedy).
+
+    Exactness: counts, ranks, and rank-weighted sums are exact int64
+    (tie order cannot change sum(i*x_i): tied x are equal); share /
+    cum_share / gini are shared IEEE divisions. Scale notes: ONE
+    map-side-combinable groupBy over the corpus; every window after it
+    runs on the distinct-key table. The single-partition rank window is
+    key-cardinality-bounded — the audit's own premise is that this
+    table is small; if keys are unbounded, audit a bucketed prefix."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy().orderBy(F.asc("n_rows"), F.asc("key"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("total", F.sum("n_rows").over(wall))
+        .withColumn("n_keys", F.count(F.lit(1)).over(wall))
+        .withColumn("cum", F.sum("n_rows").over(wcum))
+        .withColumn(
+            "sum_ix",
+            F.sum(F.col("rank") * F.col("n_rows")).over(wall),
+        )
+        .selectExpr(
+            "key",
+            "CAST(n_rows AS BIGINT) AS n_rows",
+            "rank",
+            "CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share",
+            "CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share",
+            "CAST(2 * sum_ix AS DOUBLE) / CAST(n_keys * total AS DOUBLE) "
+            "- CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE) AS gini",
+        )
     )

@@ -2270,6 +2270,17 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_skew_audit(spark, sf_dir):
+    """Hot-key skew audit of the events table keyed by user_id
+    (operators/curation.py skew_audit): exact per-key counts, Lorenz
+    cumulative shares, and the closed-form Gini over ascending-ranked
+    counts — the pre-shuffle skew detector. The oracle replays the
+    identical rank/cumsum/Gini algebra."""
+    from modelardb_dynamic_spark.operators.curation import skew_audit
+
+    return skew_audit(_t(spark, sf_dir, "events"), "user_id")
+
+
 def q_stickiness(spark, sf_dir):
     """Exact DAU / trailing-30d-MAU stickiness per epoch day
     (operators/textstats.py stickiness): bounded 30x expansion of the
@@ -2539,6 +2550,7 @@ QUERIES = {
     "stream_zscore": q_stream_zscore,
     "tool_sequences": q_tool_sequences,
     "stickiness": q_stickiness,
+    "skew_audit": q_skew_audit,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6462,4 +6474,30 @@ ORACLES["stickiness"] = """
            CAST(COALESCE(a.dau, 0) AS DOUBLE) / CAST(m.mau AS DOUBLE)
                AS stickiness
     FROM mau m LEFT JOIN dau a ON a.d = m.d
+"""
+
+ORACLES["skew_audit"] = """
+    WITH counts AS (
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT key, n_rows,
+               CAST(row_number() OVER (ORDER BY n_rows, key) AS BIGINT)
+                   AS rank,
+               CAST(sum(n_rows) OVER () AS BIGINT) AS total,
+               CAST(count(*) OVER () AS BIGINT) AS n_keys,
+               CAST(sum(n_rows) OVER (ORDER BY n_rows, key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM counts
+    )
+    SELECT key, n_rows, rank,
+           CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+           CAST(2 * sum(rank * n_rows) OVER () AS DOUBLE) /
+               CAST(n_keys * total AS DOUBLE) -
+           CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE) AS gini
+    FROM ranked
 """

@@ -2118,3 +2118,24 @@ def test_stickiness_window_and_frontier(spark):
     assert out[0].stickiness == pytest.approx(1.0)
     assert out[29].dau == 0 and out[29].mau == 2  # both still monthly-active
     assert out[40].dau == 1 and out[40].mau == 1
+
+
+def test_skew_audit_gini_extremes(spark):
+    from modelardb_dynamic_spark.operators.curation import skew_audit
+
+    # uniform: 4 keys x 5 rows -> G = 2*(1+2+3+4)*5/(4*20) - 5/4 = 0
+    uni = spark.createDataFrame(
+        [(k,) for k in "abcd" for _ in range(5)], "k string"
+    )
+    rows = skew_audit(uni, "k").collect()
+    assert all(r.gini == pytest.approx(0.0) for r in rows)
+    assert sorted(r.cum_share for r in rows) == pytest.approx(
+        [0.25, 0.5, 0.75, 1.0]
+    )
+    # extreme skew: one key holds 97 of 100 rows
+    skew = spark.createDataFrame(
+        [("hot",)] * 97 + [("a",), ("b",), ("c",)], "k string"
+    )
+    g = skew_audit(skew, "k").collect()[0].gini
+    # ascending counts 1,1,1,97: G = 2*(1+2+3+4*97)/(4*100) - 5/4 = 0.72
+    assert g == pytest.approx(0.72)

@@ -1,0 +1,101 @@
+"""Graph centrality over key-bounded interaction graphs (tool-call
+transition graphs, role flows): weighted PageRank by power iteration,
+engineered for bit-exact DuckDB replay.
+
+PageRank here is the standard damped random surfer over the
+row-normalized weighted adjacency, with dangling nodes completed by
+uniform out-edges to every node (mathematically identical to the usual
+"redistribute dangling mass uniformly" formulation, but it keeps each
+power step a single join + fold — one working-table reference, which is
+what a recursive-CTE oracle can replay):
+
+    r_{k+1}(v) = (1-d)/N + d * sum_{u->v} r_k(u) * w(u,v)
+
+Bit-exactness discipline (the repo's sorted-fold contract):
+- edge weights w = n_pairs / out_total and the initial rank 1/N are
+  single IEEE divisions of exact int64s;
+- each node's incoming sum folds in ascending-src order (sort_array of
+  a (src, contrib) struct here, list(c ORDER BY src) + list_reduce in
+  DuckDB);
+- damping literals go through _dlit (E-notation doubles — bare decimal
+  literals parse as DECIMAL in both engines and DuckDB's
+  DECIMAL->DOUBLE conversion is not correctly rounded).
+
+Scale notes (100 TB): the corpus-sized work is whatever builds the edge
+list (one groupBy in tool_sequences); the iteration runs on the
+node/edge tables, which the operator's premise bounds (tools, roles —
+catalogs, not corpora). Each step is one broadcastable join + one
+fold-aggregation; localCheckpoint keeps the loop's plan flat. For
+web-scale graphs you would swap the fold for float-tolerant summation
+and drop the oracle — the exact fold is the price of the value gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from modelardb_dynamic_spark.operators.analytics import _dlit
+
+_FOLD = (
+    "aggregate(sort_array(collect_list(struct(src, c))), "
+    "CAST(0 AS DOUBLE), (a, s) -> a + s.c)"
+)
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """edges: (src string, dst string, n_pairs long) multigraph counts.
+    Returns (node, r) after `iters` power steps from the uniform
+    start. Node set = union of srcs and dsts; dangling nodes receive
+    uniform out-edges to every node (including themselves)."""
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_tot = edges.groupBy("src").agg(
+        F.sum(F.col("n_pairs").cast("long")).alias("out_n")
+    )
+    real = edges.join(out_tot, ["src"]).selectExpr(
+        "src",
+        "dst",
+        "CAST(n_pairs AS DOUBLE) / CAST(out_n AS DOUBLE) AS w",
+    )
+    dang = nodes.join(
+        out_tot.selectExpr("src AS node"), ["node"], "left_anti"
+    )
+    complete = dang.selectExpr("node AS src").crossJoin(
+        nodes.selectExpr("node AS dst")
+    ).selectExpr(
+        "src", "dst", f"CAST(1 AS DOUBLE) / CAST({n} AS DOUBLE) AS w"
+    )
+    e = real.union(complete).localCheckpoint()
+
+    ranks = nodes.selectExpr(
+        "node", f"CAST(1 AS DOUBLE) / CAST({n} AS DOUBLE) AS r"
+    ).localCheckpoint()
+    base = f"{_dlit(1.0 - damping)} / CAST({n} AS DOUBLE)"
+    for _ in range(int(iters)):
+        s = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .selectExpr("dst", "src", "r * w AS c")
+            .groupBy("dst")
+            .agg(F.expr(_FOLD).alias("s"))
+        )
+        ranks = (
+            nodes.join(s, nodes["node"] == s["dst"], "left_outer")
+            .selectExpr(
+                "node",
+                f"{base} + {_dlit(damping)} * "
+                "COALESCE(s, CAST(0 AS DOUBLE)) AS r",
+            )
+            .localCheckpoint()
+        )
+    return ranks

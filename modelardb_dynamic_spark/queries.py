@@ -2270,6 +2270,23 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_tool_pagerank(spark, sf_dir):
+    """Weighted PageRank over the tool-call transition graph
+    (operators/graph.py pagerank): 8 power steps, damping 0.85, dangling
+    nodes completed with uniform out-edges; edge weights and every
+    per-node incoming sum follow the sorted-fold contract, so all 8
+    iterations replay bit-identically in the oracle's unrolled CTE
+    chain. The centrality answer to "which tool anchors agent
+    workflows" — tool_sequences gives the edges, this ranks the nodes."""
+    from modelardb_dynamic_spark.operators.graph import pagerank
+    from modelardb_dynamic_spark.operators.textstats import tool_sequences
+
+    edges = tool_sequences(_events_as_transcripts(spark, sf_dir)).selectExpr(
+        "prev_tool AS src", "tool AS dst", "n_pairs"
+    )
+    return pagerank(edges, iters=8, damping=0.85)
+
+
 def q_skew_audit(spark, sf_dir):
     """Hot-key skew audit of the events table keyed by user_id
     (operators/curation.py skew_audit): exact per-key counts, Lorenz
@@ -2551,6 +2568,7 @@ QUERIES = {
     "tool_sequences": q_tool_sequences,
     "stickiness": q_stickiness,
     "skew_audit": q_skew_audit,
+    "tool_pagerank": q_tool_pagerank,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6501,3 +6519,78 @@ ORACLES["skew_audit"] = """
            CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE) AS gini
     FROM ranked
 """
+
+
+def _pagerank_oracle_sql(iters: int = 8) -> str:
+    """Unrolled power-iteration replay of q_tool_pagerank: edge build
+    (the tool_sequences replay), dangling completion, then one CTE per
+    power step with the identical base/damping literals (_dlit) and the
+    ascending-src list_reduce fold."""
+    from modelardb_dynamic_spark.operators.analytics import _dlit
+
+    # 1.0-0.85 = 0.15000000000000002 in IEEE: must match the Spark
+    # operator's _dlit(1.0 - damping) literal bit for bit
+    base = f"{_dlit(1.0 - 0.85)} / CAST(m.n AS DOUBLE)"
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+    pr{k + 1} AS (
+        SELECT n2.node,
+               {base} + {_dlit(0.85)} *
+               COALESCE(q.s, CAST(0 AS DOUBLE)) AS r
+        FROM nodes n2 CROSS JOIN meta m
+        LEFT JOIN (
+            SELECT e.dst,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(p.r * e.w ORDER BY e.src)),
+                       (a, x) -> a + x) AS s
+            FROM pr{k} p JOIN e ON e.src = p.node
+            GROUP BY e.dst
+        ) q ON q.dst = n2.node
+    )""")
+    return f"""
+    WITH tr AS ({_TR_FULL}),
+    tt AS (
+        SELECT conv_id, turn_idx, event_type AS tool
+        FROM tr WHERE turn_idx % 3 = 2
+    ),
+    pairs AS (
+        SELECT conv_id, tool AS dst,
+               lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS src
+        FROM tt
+    ),
+    e0 AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e0
+            UNION ALL SELECT dst FROM e0)
+    ),
+    meta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    outt AS (
+        SELECT src, CAST(sum(n_pairs) AS BIGINT) AS out_n
+        FROM e0 GROUP BY src
+    ),
+    e AS (
+        SELECT src, dst,
+               CAST(n_pairs AS DOUBLE) / CAST(out_n AS DOUBLE) AS w
+        FROM e0 JOIN outt USING (src)
+        UNION ALL
+        SELECT d.node AS src, n2.node AS dst,
+               CAST(1 AS DOUBLE) / CAST(m.n AS DOUBLE) AS w
+        FROM (SELECT node FROM nodes
+              WHERE node NOT IN (SELECT src FROM outt)) d
+        CROSS JOIN nodes n2 CROSS JOIN meta m
+    ),
+    pr0 AS (
+        SELECT node, CAST(1 AS DOUBLE) / CAST(m.n AS DOUBLE) AS r
+        FROM nodes CROSS JOIN meta m
+    ),{",".join(steps)}
+    SELECT node, r FROM pr{iters}
+    """
+
+
+ORACLES["tool_pagerank"] = _pagerank_oracle_sql()

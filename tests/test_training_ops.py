@@ -2139,3 +2139,30 @@ def test_skew_audit_gini_extremes(spark):
     g = skew_audit(skew, "k").collect()[0].gini
     # ascending counts 1,1,1,97: G = 2*(1+2+3+4*97)/(4*100) - 5/4 = 0.72
     assert g == pytest.approx(0.72)
+
+
+def test_pagerank_matches_power_iteration_reference(spark):
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.graph import pagerank
+
+    # A -> B -> C -> A cycle plus B -> D; D dangling (no out-edges).
+    edges = spark.createDataFrame(
+        [("A", "B", 3), ("B", "C", 1), ("B", "D", 1), ("C", "A", 2)],
+        "src string, dst string, n_pairs long",
+    )
+    got = {r.node: r.r for r in pagerank(edges, iters=8).collect()}
+
+    names = ["A", "B", "C", "D"]
+    W = np.zeros((4, 4))
+    W[0, 1] = 1.0           # A: all mass to B
+    W[1, 2] = W[1, 3] = 0.5  # B: half to C, half to D
+    W[2, 0] = 1.0           # C: all to A
+    W[3, :] = 0.25           # D dangling: uniform completion
+    r = np.full(4, 0.25)
+    for _ in range(8):
+        r = 0.15 / 4 + 0.85 * (W.T @ r)
+    for i, nm in enumerate(names):
+        assert got[nm] == pytest.approx(r[i], rel=1e-12), nm
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    assert got["A"] > got["D"]  # cycle members outrank the sink

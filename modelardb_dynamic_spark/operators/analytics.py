@@ -1742,3 +1742,78 @@ def lttb_downsample(points: DataFrame, n_out: int) -> DataFrame:
         .groupBy("sid")
         .applyInPandas(_one, "sid string, ts_ms long, v long")
     )
+
+
+def _kalman_steps(
+    acc_l: str, acc_p: str, acc_s: str, x: str, q: str, r: str
+) -> tuple[str, str, str]:
+    """One Kalman local-level update as three engine-neutral expression
+    strings (new level, new variance, new innovation-SSE). Built from
+    accessor fragments so the Spark fold and the DuckDB oracle replay
+    the IDENTICAL IEEE tree: P_pred = P + Q; K = P_pred / (P_pred + R);
+    l' = l + K * (y - l); P' = (1 - K) * P_pred; s' = s + (y - l)^2."""
+    pp = f"({acc_p} + {q})"
+    k = f"({pp} / ({pp} + {r}))"
+    innov = f"({x} - {acc_l})"
+    return (
+        f"({acc_l} + {k} * {innov})",
+        f"((CAST(1 AS DOUBLE) - {k}) * {pp})",
+        f"({acc_s} + {innov} * {innov})",
+    )
+
+
+def kalman_level(
+    points: DataFrame,
+    q_var: float = 1.0,
+    r_var: float = 4.0,
+    p0: float = 1.0,
+) -> DataFrame:
+    """Kalman filter, local-level model (state-space twin of the EWMA/
+    Holt family): x_k = x_{k-1} + w (Q), y_k = x_k + v (R). Per series,
+    the filter folds over the time-ordered values and reports the final
+    filtered level, its posterior variance, the innovation SSE, and the
+    one-step-ahead RMSE — the model-fit number you compare against
+    ewma_backtest/holt_backtest to pick a smoother. Unlike fixed-alpha
+    EWMA, the Kalman gain ADAPTS (large early, converging to the
+    steady-state Q/R balance), which is the practical reason to own it.
+
+    Bit-exact replay: the fold is a fixed IEEE double sequence
+    (init l = first value, P = p0, SSE = 0) whose per-step tree
+    (_kalman_steps) both engines evaluate verbatim; Q/R/p0 are _dlit
+    literals; rmse = sqrt(SSE/(n-1)) is the one closing shared tree.
+
+    Scale notes (100 TB): one shuffle (groupBy sid) collecting each
+    series' values in time order — per-series sequential state is the
+    model's nature; the array is retention-bounded (a month of minutes
+    = 43k doubles). The fold itself is JVM higher-order SQL, no Python.
+    """
+    ql, rl, p0l = _dlit(q_var), _dlit(r_var), _dlit(p0)
+    newl, newp, news = _kalman_steps(
+        "acc.l", "acc.p", "acc.s", "x", ql, rl
+    )
+    fold = (
+        f"aggregate(slice(vs, 2, size(vs) - 1), "
+        f"named_struct('l', vs[0], 'p', {p0l}, 's', CAST(0 AS DOUBLE)), "
+        f"(acc, x) -> named_struct("
+        f"'l', {newl}, 'p', {newp}, 's', {news}))"
+    )
+    g = points.groupBy("sid").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts_ms, v))), "
+            "s -> CAST(s.v AS DOUBLE))"
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("n_pts"),
+    )
+    return g.selectExpr(
+        "sid",
+        "CAST(n_pts AS BIGINT) AS n_pts",
+        f"{fold} AS kf",
+    ).selectExpr(
+        "sid",
+        "n_pts",
+        "kf.l AS level",
+        "kf.p AS p_var",
+        "kf.s AS sse",
+        "CASE WHEN n_pts >= 2 THEN "
+        "sqrt(kf.s / CAST(n_pts - 1 AS DOUBLE)) END AS rmse",
+    )

@@ -2270,6 +2270,23 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_kalman_level(spark, sf_dir):
+    """Kalman local-level filter per series (operators/analytics.py
+    kalman_level) over the minute turn-rate points: adaptive-gain
+    filtered level, posterior variance, innovation SSE, one-step RMSE —
+    the state-space member of the smoother family (EWMA fixed gain,
+    Holt trend, Kalman adaptive gain). The oracle replays the identical
+    fold via the padded-list list_reduce with the same _kalman_steps
+    tree and _dlit literals."""
+    from modelardb_dynamic_spark.operators.analytics import kalman_level
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return kalman_level(pts, q_var=1.0, r_var=4.0, p0=1.0)
+
+
 def q_tool_pagerank(spark, sf_dir):
     """Weighted PageRank over the tool-call transition graph
     (operators/graph.py pagerank): 8 power steps, damping 0.85, dangling
@@ -2569,6 +2586,7 @@ QUERIES = {
     "stickiness": q_stickiness,
     "skew_audit": q_skew_audit,
     "tool_pagerank": q_tool_pagerank,
+    "kalman_level": q_kalman_level,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6594,3 +6612,39 @@ def _pagerank_oracle_sql(iters: int = 8) -> str:
 
 
 ORACLES["tool_pagerank"] = _pagerank_oracle_sql()
+
+
+def _kalman_oracle_sql() -> str:
+    from modelardb_dynamic_spark.operators.analytics import (
+        _dlit,
+        _kalman_steps,
+    )
+
+    ql, rl, p0l = _dlit(1.0), _dlit(4.0), _dlit(1.0)
+    newl, newp, news = _kalman_steps(
+        "acc[1]", "acc[2]", "acc[3]", "e[1]", ql, rl
+    )
+    return f"""
+    WITH m AS ({_MINUTE_BUCKETS}),
+    g AS (
+        SELECT sid, list(CAST(v AS DOUBLE) ORDER BY m) AS vs,
+               CAST(count(*) AS BIGINT) AS n_pts
+        FROM m GROUP BY sid
+    ),
+    l AS (
+        SELECT sid, n_pts,
+               list_reduce(
+                   [[vs[1], {p0l}, CAST(0 AS DOUBLE)]] ||
+                   [[x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]
+                    FOR x IN vs[2:]],
+                   (acc, e) -> [{newl}, {newp}, {news}]) AS kf
+        FROM g
+    )
+    SELECT sid, n_pts, kf[1] AS level, kf[2] AS p_var, kf[3] AS sse,
+           CASE WHEN n_pts >= 2 THEN
+               sqrt(kf[3] / CAST(n_pts - 1 AS DOUBLE)) END AS rmse
+    FROM l
+    """
+
+
+ORACLES["kalman_level"] = _kalman_oracle_sql()

@@ -1248,3 +1248,43 @@ def test_km_survival_fuzz_matches_reference(spark, seed):
         r = got[u]
         assert (r.n_at_risk, r.d_events, r.c_censored) == (at_risk, d, c)
         assert r.surv == pytest.approx(surv, rel=1e-12)
+
+
+def test_kalman_level_matches_python_filter(spark):
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import kalman_level
+
+    rng = np.random.default_rng(17)
+    vs = rng.integers(0, 50, size=40)
+    df = spark.createDataFrame(
+        [("s", i * 60_000, int(v)) for i, v in enumerate(vs)],
+        "sid string, ts_ms long, v long",
+    )
+    r = kalman_level(df, q_var=1.0, r_var=4.0, p0=1.0).collect()[0]
+    # independent scalar filter
+    l, p, sse = float(vs[0]), 1.0, 0.0
+    for y in vs[1:]:
+        pp = p + 1.0
+        k = pp / (pp + 4.0)
+        innov = float(y) - l
+        l = l + k * innov
+        p = (1.0 - k) * pp
+        sse = sse + innov * innov
+    assert r.n_pts == 40
+    assert r.level == pytest.approx(l, rel=1e-12)
+    assert r.p_var == pytest.approx(p, rel=1e-12)
+    assert r.rmse == pytest.approx((sse / 39) ** 0.5, rel=1e-12)
+    # gain adapts: with Q=1, R=4 the steady-state variance solves
+    # P = (1-K)(P+Q) -> P ~ 1.56; final p_var must be near it
+    assert 1.3 < r.p_var < 1.8
+
+
+def test_kalman_level_single_point(spark):
+    from modelardb_dynamic_spark.operators.analytics import kalman_level
+
+    df = spark.createDataFrame(
+        [("s", 0, 7)], "sid string, ts_ms long, v long"
+    )
+    r = kalman_level(df).collect()[0]
+    assert (r.n_pts, r.level, r.p_var, r.sse, r.rmse) == (1, 7.0, 1.0, 0.0, None)

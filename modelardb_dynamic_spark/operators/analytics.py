@@ -1817,3 +1817,32 @@ def kalman_level(
         "CASE WHEN n_pts >= 2 THEN "
         "sqrt(kf.s / CAST(n_pts - 1 AS DOUBLE)) END AS rmse",
     )
+
+
+def sax_discords(words: DataFrame, top_k: int = 1) -> DataFrame:
+    """Discord candidates off the symbolic layer — HOT SAX's ordering
+    heuristic made the answer: a series' most anomalous windows are the
+    ones whose SAX word is RAREST corpus-wide (Keogh's discord search
+    visits windows in ascending word frequency precisely because the
+    true discord is almost always there). Per series, the top_k windows
+    by (corpus word frequency ASC, word_ts ASC) — exact integer counts,
+    deterministic ties, no distance computations at all, so the whole
+    operator is value-replayable and runs on the compressed store's
+    word table. Returns (sid, word_ts, word, word_freq, rnk).
+
+    Scale notes (100 TB): word frequencies are one map-side-combinable
+    groupBy over the word table (already PAA-compressed, ~1/480th of
+    raw minutes at the 8h word); the join is vocabulary-sized and
+    broadcastable; the per-series window ranks word-table rows only."""
+    cf = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("word_freq")
+    )
+    w = Window.partitionBy("sid").orderBy(
+        F.asc("word_freq"), F.asc("word_ts")
+    )
+    return (
+        words.join(F.broadcast(cf), ["word"])
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= top_k)
+        .select("sid", "word_ts", "word", "word_freq", "rnk")
+    )

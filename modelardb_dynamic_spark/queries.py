@@ -2270,6 +2270,26 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_sax_discords(spark, sf_dir):
+    """Discord windows off the compressed store's symbolic layer
+    (operators/analytics.py sax_discords): per series, the 2 windows
+    whose SAX word is rarest corpus-wide (HOT SAX ordering as the
+    answer), exact counts and deterministic ties. The oracle composes
+    the sax_words replay verbatim with the identical frequency join +
+    QUALIFY ranking."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        sax_discords,
+        sax_words,
+    )
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    words = sax_words(pts, paa_ms=HOUR_MS, word_positions=8)
+    return sax_discords(words, top_k=2)
+
+
 def q_kalman_level(spark, sf_dir):
     """Kalman local-level filter per series (operators/analytics.py
     kalman_level) over the minute turn-rate points: adaptive-gain
@@ -2587,6 +2607,7 @@ QUERIES = {
     "skew_audit": q_skew_audit,
     "tool_pagerank": q_tool_pagerank,
     "kalman_level": q_kalman_level,
+    "sax_discords": q_sax_discords,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6648,3 +6669,16 @@ def _kalman_oracle_sql() -> str:
 
 
 ORACLES["kalman_level"] = _kalman_oracle_sql()
+
+ORACLES["sax_discords"] = f"""
+    WITH words AS ({ORACLES["sax_words"]}),
+    cf AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS word_freq
+        FROM words GROUP BY word
+    )
+    SELECT w.sid, w.word_ts, w.word, cf.word_freq,
+           CAST(row_number() OVER (PARTITION BY w.sid
+               ORDER BY cf.word_freq ASC, w.word_ts ASC) AS INT) AS rnk
+    FROM words w JOIN cf USING (word)
+    QUALIFY rnk <= 2
+"""

@@ -1288,3 +1288,27 @@ def test_kalman_level_single_point(spark):
     )
     r = kalman_level(df).collect()[0]
     assert (r.n_pts, r.level, r.p_var, r.sse, r.rmse) == (1, 7.0, 1.0, 0.0, None)
+
+
+def test_sax_discords_picks_rarest_window(spark):
+    from modelardb_dynamic_spark.operators.analytics import (
+        sax_discords,
+        sax_words,
+    )
+
+    H = 3_600_000
+    rows = []
+    for sid in ("a", "b"):
+        for h in range(32):  # flat series: identical common words
+            rows.append((sid, h * H, 10))
+    # plant one spike window in series a (hours 16..23 -> one 8h word)
+    rows = [
+        (s, t, 99 if (s == "a" and 16 * H <= t < 24 * H) else v)
+        for (s, t, v) in rows
+    ]
+    pts = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    words = sax_words(pts, paa_ms=H, word_positions=8)
+    top = {r.sid: r for r in sax_discords(words, top_k=1).collect()}
+    assert top["a"].word_ts == 16 * H  # the planted anomaly window
+    assert top["a"].word_freq == 1  # unique corpus-wide
+    assert top["b"].word_freq > 1  # flat series: only common words

@@ -1846,3 +1846,71 @@ def sax_discords(words: DataFrame, top_k: int = 1) -> DataFrame:
         .where(F.col("rnk") <= top_k)
         .select("sid", "word_ts", "word", "word_freq", "rnk")
     )
+
+
+def croston(
+    points: DataFrame,
+    si_ms: int,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT series (+ the Syntetos-Boylan
+    bias correction) — the forecaster built for exactly what sparse
+    conversation activity looks like: most grid periods empty, demand
+    arriving in bursts, where plain EWMA systematically overshoots
+    right after each arrival. Two coupled exponential smoothers run
+    only on demand events: size zhat' = a*z + (1-a)*zhat and
+    inter-arrival phat' = a*g + (1-a)*phat (g in grid periods);
+    forecast per period = zhat/phat, SBA = (1 - a/2) * (zhat/phat).
+
+    Init: zhat = first demand size; phat = 1 (the first observation
+    defines the grid origin, so its waiting time is one period by
+    convention — phat then converges to the true mean interval as
+    demands arrive); the fold starts at the second demand. points are
+    the engine's sparse minute buckets —
+    ABSENT rows are the zero periods, so no densification is needed.
+
+    Bit-exact replay: gaps/positions are exact int64 window algebra;
+    the fold is the repo's padded-list pattern with _dlit alpha
+    literals; both forecasts are shared closing trees. Scale notes:
+    one lag window + one groupBy(sid) collecting DEMAND events only
+    (the series' sparsity is the state bound — zero periods cost
+    nothing, the whole point of Croston over dense smoothers)."""
+    a, one_a = _dlit(alpha), _dlit(1.0 - alpha)
+    w = Window.partitionBy("sid").orderBy("ts_ms")
+    ev = (
+        points.withColumn(
+            "pos", ((F.col("ts_ms") - F.min("ts_ms").over(
+                Window.partitionBy("sid"))) / si_ms).cast("long") + 1
+        )
+        .withColumn("gap", F.coalesce(
+            F.col("pos") - F.lag("pos").over(w), F.col("pos")
+        ))
+        .selectExpr("sid", "pos", "gap", "CAST(v AS LONG) AS z")
+    )
+    newz = f"({a} * CAST(x.z AS DOUBLE) + {one_a} * acc.zh)"
+    newp = f"({a} * CAST(x.gap AS DOUBLE) + {one_a} * acc.ph)"
+    fold = (
+        f"aggregate(slice(es, 2, size(es) - 1), "
+        f"named_struct('zh', CAST(es[0].z AS DOUBLE), "
+        f"'ph', CAST(es[0].gap AS DOUBLE)), "
+        f"(acc, x) -> named_struct('zh', {newz}, 'ph', {newp}))"
+    )
+    g = ev.groupBy("sid").agg(
+        F.expr("sort_array(collect_list(struct(pos, gap, z)))").alias("es"),
+        F.count(F.lit(1)).alias("n_demands"),
+        F.max("pos").alias("n_periods"),
+    )
+    return g.selectExpr(
+        "sid",
+        "CAST(n_demands AS BIGINT) AS n_demands",
+        "CAST(n_periods AS BIGINT) AS n_periods",
+        f"{fold} AS cr",
+    ).selectExpr(
+        "sid",
+        "n_demands",
+        "n_periods",
+        "cr.zh AS zhat",
+        "cr.ph AS phat",
+        "cr.zh / cr.ph AS croston_fcst",
+        f"{_dlit(1.0 - alpha / 2.0)} * (cr.zh / cr.ph) AS sba_fcst",
+    )

@@ -2270,6 +2270,21 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_croston(spark, sf_dir):
+    """Croston intermittent-demand forecast + SBA correction per series
+    (operators/analytics.py croston) over the sparse minute buckets of
+    the compressed store: coupled size/interval smoothers folded over
+    demand events only, alpha 0.1. The oracle replays the identical
+    position/gap algebra and padded-list fold."""
+    from modelardb_dynamic_spark.operators.analytics import croston
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return croston(pts, si_ms=SI_MS, alpha=0.1)
+
+
 def q_sax_discords(spark, sf_dir):
     """Discord windows off the compressed store's symbolic layer
     (operators/analytics.py sax_discords): per series, the 2 windows
@@ -2608,6 +2623,7 @@ QUERIES = {
     "tool_pagerank": q_tool_pagerank,
     "kalman_level": q_kalman_level,
     "sax_discords": q_sax_discords,
+    "croston": q_croston,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6682,3 +6698,50 @@ ORACLES["sax_discords"] = f"""
     FROM words w JOIN cf USING (word)
     QUALIFY rnk <= 2
 """
+
+
+def _croston_oracle_sql() -> str:
+    from modelardb_dynamic_spark.operators.analytics import _dlit
+
+    a, one_a = _dlit(0.1), _dlit(1.0 - 0.1)
+    newz = f"({a} * e[2] + {one_a} * acc[1])"
+    newp = f"({a} * e[1] + {one_a} * acc[2])"
+    return f"""
+    WITH m AS ({_MINUTE_BUCKETS}),
+    ev AS (
+        SELECT sid,
+               CAST((m - min(m) OVER (PARTITION BY sid)) / {SI_MS}
+                   AS BIGINT) + 1 AS pos,
+               CAST(v AS BIGINT) AS z
+        FROM m
+    ),
+    gaps AS (
+        SELECT sid, pos, z,
+               COALESCE(pos - lag(pos) OVER (
+                   PARTITION BY sid ORDER BY pos), pos) AS gap
+        FROM ev
+    ),
+    g AS (
+        SELECT sid,
+               list([CAST(gap AS DOUBLE), CAST(z AS DOUBLE)]
+                    ORDER BY pos) AS es,
+               CAST(count(*) AS BIGINT) AS n_demands,
+               CAST(max(pos) AS BIGINT) AS n_periods
+        FROM gaps GROUP BY sid
+    ),
+    f AS (
+        SELECT sid, n_demands, n_periods,
+               list_reduce(
+                   [[es[1][2], es[1][1]]] || es[2:],
+                   (acc, e) -> [{newz}, {newp}]) AS cr
+        FROM g
+    )
+    SELECT sid, n_demands, n_periods,
+           cr[1] AS zhat, cr[2] AS phat,
+           cr[1] / cr[2] AS croston_fcst,
+           {_dlit(1.0 - 0.1 / 2.0)} * (cr[1] / cr[2]) AS sba_fcst
+    FROM f
+    """
+
+
+ORACLES["croston"] = _croston_oracle_sql()

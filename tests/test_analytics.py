@@ -1312,3 +1312,27 @@ def test_sax_discords_picks_rarest_window(spark):
     assert top["a"].word_ts == 16 * H  # the planted anomaly window
     assert top["a"].word_freq == 1  # unique corpus-wide
     assert top["b"].word_freq > 1  # flat series: only common words
+
+
+def test_croston_matches_scalar_reference(spark):
+    from modelardb_dynamic_spark.operators.analytics import croston
+
+    SI = 60_000
+    # grid positions are 1-based FROM THE FIRST OBSERVED minute (the
+    # series starts when it is first seen), so demands of size 6,3,9 at
+    # minutes +0,+4,+5 sit at positions 1,5,6 with gaps 1,4,1; zero
+    # periods are simply absent rows.
+    base = 1_000_000 * SI
+    rows = [("s", base + 0 * SI, 6), ("s", base + 4 * SI, 3),
+            ("s", base + 5 * SI, 9)]
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    r = croston(df, si_ms=SI, alpha=0.1).collect()[0]
+    zh, ph = 6.0, 1.0  # init: first size, first (1-based) position
+    for g, z in [(4.0, 3.0), (1.0, 9.0)]:
+        zh = 0.1 * z + 0.9 * zh
+        ph = 0.1 * g + 0.9 * ph
+    assert r.n_demands == 3 and r.n_periods == 6
+    assert r.zhat == pytest.approx(zh, rel=1e-12)
+    assert r.phat == pytest.approx(ph, rel=1e-12)
+    assert r.croston_fcst == pytest.approx(zh / ph, rel=1e-12)
+    assert r.sba_fcst == pytest.approx(0.95 * (zh / ph), rel=1e-12)

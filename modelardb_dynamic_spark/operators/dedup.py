@@ -645,3 +645,52 @@ def novelty_scores(
             / F.col("n_shingles").cast("double"),
         )
     )
+
+
+def editdist_verify(
+    docs: DataFrame,
+    candidates: DataFrame,
+    max_dist: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact edit-distance verification of near-dup CANDIDATE pairs —
+    the verify stage the LSH recall story needs: MinHash/SimHash bucket
+    join proposes (cheap, linear, probabilistic), Levenshtein disposes
+    (exact, quadratic per pair, affordable only because it runs on the
+    candidate set). Keeps pairs with lev <= max_dist; also reports
+    sim = 1 - lev / max(len_a, len_b) as one shared division.
+
+    Both engines ship an integer levenshtein() built-in, BUT they
+    disagree on non-ASCII input (Spark counts codepoints, DuckDB
+    bytes), so the operator filters both sides to ASCII-only texts —
+    the honest scope of the exact claim; non-ASCII corpora need a
+    normalization pass first. candidates: (ida, idb) with ida < idb.
+
+    Scale notes (100 TB): the join fans each candidate pair to its two
+    texts (candidate-set-sized, not corpus-sized); the O(len_a * len_b)
+    DP runs JVM-side per pair. max_dist bounds nothing in the built-in
+    (no early-exit banding), so cap candidate text lengths upstream if
+    pairs can be arbitrarily long."""
+    t = docs.selectExpr(
+        f"{id_col} AS id", f"{text_col} AS t"
+    ).where(F.expr("t = regexp_replace(t, '[^\\\\x00-\\\\x7F]', '')"))
+    j = (
+        candidates.join(t.selectExpr("id AS ida", "t AS ta"), ["ida"])
+        .join(t.selectExpr("id AS idb", "t AS tb"), ["idb"])
+        .selectExpr(
+            "ida",
+            "idb",
+            "CAST(levenshtein(ta, tb) AS BIGINT) AS lev",
+            "CAST(greatest(length(ta), length(tb)) AS BIGINT) AS maxlen",
+        )
+        .where(F.col("lev") <= max_dist)
+    )
+    return j.selectExpr(
+        "ida",
+        "idb",
+        "lev",
+        "maxlen",
+        "CAST(1 AS DOUBLE) - CAST(lev AS DOUBLE) / CAST(maxlen AS DOUBLE)"
+        " AS sim",
+    )

@@ -2270,6 +2270,20 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_editdist_dups(spark, sf_dir):
+    """Edit-distance verification of the MinHash candidate pairs
+    (operators/dedup.py editdist_verify): LSH proposes, exact integer
+    Levenshtein disposes (lev <= 64), sim as one shared division; both
+    sides ASCII-filtered because Spark counts codepoints and DuckDB
+    bytes on non-ASCII. The oracle composes the minhash_pairs replay
+    verbatim with DuckDB's own levenshtein()."""
+    from modelardb_dynamic_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_pairs(docs)
+    return dedup.editdist_verify(docs, cands, max_dist=64)
+
+
 def q_croston(spark, sf_dir):
     """Croston intermittent-demand forecast + SBA correction per series
     (operators/analytics.py croston) over the sparse minute buckets of
@@ -2624,6 +2638,7 @@ QUERIES = {
     "kalman_level": q_kalman_level,
     "sax_discords": q_sax_discords,
     "croston": q_croston,
+    "editdist_dups": q_editdist_dups,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6745,3 +6760,24 @@ def _croston_oracle_sql() -> str:
 
 
 ORACLES["croston"] = _croston_oracle_sql()
+
+ORACLES["editdist_dups"] = f"""
+    WITH cands AS ({ORACLES["minhash_pairs"]}),
+    t AS (
+        SELECT doc_id AS id, text AS t FROM documents
+        WHERE text = regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')
+    ),
+    j AS (
+        SELECT c.ida, c.idb,
+               CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS lev,
+               CAST(greatest(length(ta.t), length(tb.t)) AS BIGINT)
+                   AS maxlen
+        FROM cands c
+        JOIN t ta ON ta.id = c.ida
+        JOIN t tb ON tb.id = c.idb
+    )
+    SELECT ida, idb, lev, maxlen,
+           CAST(1 AS DOUBLE) - CAST(lev AS DOUBLE) / CAST(maxlen AS DOUBLE)
+               AS sim
+    FROM j WHERE lev <= 64
+"""

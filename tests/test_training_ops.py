@@ -2166,3 +2166,23 @@ def test_pagerank_matches_power_iteration_reference(spark):
         assert got[nm] == pytest.approx(r[i], rel=1e-12), nm
     assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
     assert got["A"] > got["D"]  # cycle members outrank the sink
+
+
+def test_editdist_verify_filters_and_scores(spark):
+    from modelardb_dynamic_spark.operators.dedup import editdist_verify
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc"), (2, "aaaa bbbb cccx"),  # lev 1
+         (3, "zzzz yyyy xxxx"),                          # far from 1
+         (4, "café latte")],                        # non-ASCII: excluded
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "ida long, idb long"
+    )
+    out = {(r.ida, r.idb): r for r in
+           editdist_verify(docs, cands, max_dist=5).collect()}
+    assert set(out) == {(1, 2)}  # (1,3) too far, (1,4) non-ASCII dropped
+    r = out[(1, 2)]
+    assert r.lev == 1 and r.maxlen == 14
+    assert r.sim == pytest.approx(1 - 1 / 14)

@@ -471,3 +471,33 @@ def test_log2_int_stages_duckdb_matches_python_twin(ns):
     for v in set(ns):
         assert got[v] == py_log2_stages(v)  # bit-exact
         assert abs(got[v] - math.log2(v)) < 5e-11
+
+
+def test_dlit_roundtrips_bit_exact_in_both_engines(spark):
+    """_dlit is the foundation of every shared float literal: for a
+    spread of doubles (including the 17-significant-digit cases where
+    DuckDB's DECIMAL literal path is a ulp off), the literal must parse
+    to the IDENTICAL bits in Spark and DuckDB."""
+    import struct
+
+    import duckdb
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import _dlit
+
+    rng = np.random.default_rng(101)
+    vals = [float(x) for x in rng.standard_normal(120)]
+    vals += [float(x) for x in rng.uniform(-1e300, 1e300, 40)]
+    vals += [float(x) for x in rng.uniform(-1e-300, 1e-300, 40)]
+    vals += [0.15000000000000002, 3.8415999999999997, 1.96, 0.3,
+             1e-323, -0.0, 2.0 ** -1074, (1 + 2 ** -52) * 2 ** 1023]
+
+    def bits(x: float) -> int:
+        return struct.unpack(">q", struct.pack(">d", x))[0]
+
+    exprs = ", ".join(_dlit(v) for v in vals)
+    drow = duckdb.sql(f"SELECT {exprs}").fetchall()[0]
+    srow = spark.sql(f"SELECT {exprs}").collect()[0]
+    for v, dv, sv in zip(vals, drow, srow):
+        assert bits(dv) == bits(v), (v, dv)
+        assert bits(sv) == bits(v), (v, sv)

@@ -636,3 +636,72 @@ def skew_audit(df: DataFrame, key_col: str) -> DataFrame:
             "- CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE) AS gini",
         )
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    str_cols: list[str],
+    int_cols: list[str],
+) -> DataFrame:
+    """Typed column profiling — the data-quality first look, long-form:
+    one row per profiled column with exact n_rows / n_nulls /
+    n_distinct, typed min/max (BIGINT columns in min_int/max_int,
+    STRING columns lexicographically in min_str/max_str — ASCII byte
+    order agrees across engines; doubles are deliberately out of scope
+    because double->string FORMATTING diverges between engines), and
+    the modal value (ties: count DESC, value ASC) with its count.
+
+    Exactness: every statistic is an exact integer or a native-type
+    min/max; no floats anywhere. Scale notes (100 TB): per column, one
+    map-side-combinable value-count groupBy (the same pass yields
+    distinct count, mode, and null count) + a TakeOrdered(1) for the
+    mode; columns profile independently (the union is column-count
+    sized). Profile a sampled or bucketed prefix if a column's value
+    cardinality itself is corpus-scale."""
+    spark = df.sparkSession
+    outs = []
+    for c, kind in [(c, "s") for c in str_cols] + [
+        (c, "i") for c in int_cols
+    ]:
+        cast = "STRING" if kind == "s" else "BIGINT"
+        vals = df.selectExpr(f"CAST({c} AS {cast}) AS v")
+        cnt = vals.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+        top = (
+            cnt.where(F.col("v").isNotNull())
+            .orderBy(F.desc("n"), F.asc("v"))
+            .limit(1)
+            .selectExpr(
+                "CAST(v AS STRING) AS top_value",
+                "CAST(n AS BIGINT) AS top_count",
+            )
+        )
+        agg = cnt.agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("v").isNull(), F.col("n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_nulls"),
+            F.count(F.when(F.col("v").isNotNull(), F.lit(1)))
+            .cast("long")
+            .alias("n_distinct"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        prof = agg.crossJoin(top).selectExpr(
+            f"'{c}' AS col",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            f"CAST({'NULL' if kind == 's' else 'mn'} AS BIGINT) AS min_int",
+            f"CAST({'NULL' if kind == 's' else 'mx'} AS BIGINT) AS max_int",
+            f"CAST({'mn' if kind == 's' else 'NULL'} AS STRING) AS min_str",
+            f"CAST({'mx' if kind == 's' else 'NULL'} AS STRING) AS max_str",
+            "top_value",
+            "top_count",
+        )
+        outs.append(prof)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res

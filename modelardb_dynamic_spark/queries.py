@@ -2270,6 +2270,22 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_profile_events(spark, sf_dir):
+    """Typed column profiling of the events table
+    (operators/curation.py profile_columns): long-form per-column exact
+    n_rows/n_nulls/n_distinct, typed min/max (ints native, strings
+    lexicographic; doubles excluded by design — their string FORMATTING
+    diverges between engines), and the modal value with deterministic
+    ties. The oracle replays each column block and unions them."""
+    from modelardb_dynamic_spark.operators.curation import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "events"),
+        str_cols=["event_type", "props"],
+        int_cols=["event_id", "user_id"],
+    )
+
+
 def q_editdist_dups(spark, sf_dir):
     """Edit-distance verification of the MinHash candidate pairs
     (operators/dedup.py editdist_verify): LSH proposes, exact integer
@@ -2639,6 +2655,7 @@ QUERIES = {
     "sax_discords": q_sax_discords,
     "croston": q_croston,
     "editdist_dups": q_editdist_dups,
+    "profile_events": q_profile_events,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6781,3 +6798,43 @@ ORACLES["editdist_dups"] = f"""
                AS sim
     FROM j WHERE lev <= 64
 """
+
+
+def _profile_oracle_sql() -> str:
+    blocks = []
+    for c, kind in [("event_type", "s"), ("props", "s"),
+                    ("event_id", "i"), ("user_id", "i")]:
+        cast = "VARCHAR" if kind == "s" else "BIGINT"
+        mn_i = "NULL" if kind == "s" else "mn"
+        mx_i = "NULL" if kind == "s" else "mx"
+        mn_s = "mn" if kind == "s" else "NULL"
+        mx_s = "mx" if kind == "s" else "NULL"
+        blocks.append(f"""
+        SELECT '{c}' AS col, n_rows, n_nulls, n_distinct,
+               CAST({mn_i} AS BIGINT) AS min_int,
+               CAST({mx_i} AS BIGINT) AS max_int,
+               CAST({mn_s} AS VARCHAR) AS min_str,
+               CAST({mx_s} AS VARCHAR) AS max_str,
+               top_value, top_count
+        FROM (
+            SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(sum(n) FILTER (WHERE v IS NULL), 0)
+                       AS BIGINT) AS n_nulls,
+                   CAST(count(v) AS BIGINT) AS n_distinct,
+                   min(v) AS mn, max(v) AS mx
+            FROM (SELECT CAST({c} AS {cast}) AS v,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1)
+        ), (
+            SELECT CAST(v AS VARCHAR) AS top_value,
+                   CAST(n AS BIGINT) AS top_count
+            FROM (SELECT CAST({c} AS {cast}) AS v,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1)
+            WHERE v IS NOT NULL
+            ORDER BY n DESC, v ASC LIMIT 1
+        )""")
+    return " UNION ALL ".join(blocks)
+
+
+ORACLES["profile_events"] = _profile_oracle_sql()

@@ -2186,3 +2186,22 @@ def test_editdist_verify_filters_and_scores(spark):
     r = out[(1, 2)]
     assert r.lev == 1 and r.maxlen == 14
     assert r.sim == pytest.approx(1 - 1 / 14)
+
+
+def test_profile_columns_stats_and_mode_ties(spark):
+    from modelardb_dynamic_spark.operators.curation import profile_columns
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("b", 2), ("b", None), (None, 2)],
+        "s string, k int",
+    )
+    out = {r.col: r for r in
+           profile_columns(df, str_cols=["s"], int_cols=["k"]).collect()}
+    rs, rk = out["s"], out["k"]
+    assert (rs.n_rows, rs.n_nulls, rs.n_distinct) == (5, 1, 2)
+    assert (rs.min_str, rs.max_str) == ("a", "b")
+    assert rs.min_int is None
+    assert (rs.top_value, rs.top_count) == ("a", 2)  # tie a/b -> value ASC
+    assert (rk.n_rows, rk.n_nulls, rk.n_distinct) == (5, 1, 3)
+    assert (rk.min_int, rk.max_int) == (1, 3)
+    assert (rk.top_value, rk.top_count) == ("2", 2)

@@ -6530,8 +6530,12 @@ ORACLES["activity_heatmap"] = """
     FROM cells
 """
 
-# the stream is gated by the BATCH operator's oracle: streamed == batch
-ORACLES["stream_zscore"] = ORACLES["rolling_zscore"]
+# the stream is gated by the BATCH operator's oracle: streamed == batch;
+# in-order gate input means the late-drop counter must be exactly 0
+ORACLES["stream_zscore"] = (
+    "SELECT *, CAST(0 AS BIGINT) AS n_late_dropped FROM ("
+    + ORACLES["rolling_zscore"] + ")"
+)
 
 ORACLES["tool_sequences"] = f"""
     WITH tr AS ({_TR_FULL}),

@@ -14,9 +14,11 @@ tree performs, so streamed rows equal the batch operator's rows exactly
 at the frontier (pinned in tests/test_streaming_anomaly.py).
 
 In-order contract: rows are processed in (ts_ms) order per series and a
-row at or before the series' high-water mark is DROPPED (counted
-nowhere), mirroring the engine's batch ingest contract for late
-arrivals (reference analog: the in-order segment generator,
+row at or before the series' high-water mark is DROPPED from scoring,
+mirroring the engine's batch ingest contract for late
+arrivals — every drop increments the per-series n_late_dropped
+counter carried on each emitted row, so lateness is observable, never
+silent (reference analog: the in-order segment generator,
 core/SegmentGenerator.java:152-304 — out-of-order input is a caller
 error there too). Use the watermarked continuous aggregate
 (streaming/rollup.py) when lateness tolerance matters more than alert
@@ -40,9 +42,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = (
     "sid string, ts_ms long, v long, n_w long, s_w long, ss_w long, "
-    "z double, is_anomaly boolean"
+    "z double, is_anomaly boolean, n_late_dropped long"
 )
-STATE_SCHEMA = "ts array<long>, v array<long>, hwm long"
+STATE_SCHEMA = "ts array<long>, v array<long>, hwm long, dropped long"
 
 
 def _score_block(
@@ -109,16 +111,17 @@ def stream_zscore(
     ) -> Iterator[pd.DataFrame]:
         sid = key[0]
         if state.exists:
-            st_ts, st_v, hwm = state.get
+            st_ts, st_v, hwm, dropped = state.get
             buf_ts = list(st_ts)
             buf_v = list(st_v)
         else:
-            buf_ts, buf_v, hwm = [], [], -(1 << 62)
+            buf_ts, buf_v, hwm, dropped = [], [], -(1 << 62), 0
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values("ts_ms", kind="mergesort")
         ts = batch["ts_ms"].to_numpy(np.int64)
         vs = batch["v"].to_numpy(np.int64)
         keep = ts > hwm  # in-order contract: late/dup rows dropped
+        dropped += int((~keep).sum())  # counted, never silent
         ts, vs = ts[keep], vs[keep]
         if len(ts):
             out = _score_block(
@@ -130,11 +133,14 @@ def stream_zscore(
                 min_periods,
                 k,
             )
+            out["n_late_dropped"] = dropped
             buf_ts = (buf_ts + [int(t) for t in ts])[-window_buckets:]
             buf_v = (buf_v + [int(x) for x in vs])[-window_buckets:]
             hwm = int(ts[-1])
-            state.update((buf_ts, buf_v, hwm))
+            state.update((buf_ts, buf_v, hwm, dropped))
             yield out
+        elif state.exists:
+            state.update((buf_ts, buf_v, hwm, dropped))
 
     return points.groupBy("sid").applyInPandasWithState(
         handler,

@@ -112,3 +112,7 @@ def test_streamed_zscore_drops_late_rows(spark, tmp_path):
     assert 9_000 in rows  # fresh row scored
     assert rows[3_000].v == 10  # late duplicate dropped: original stands
     assert len(rows) == 9
+    # the drop is counted, never silent: the second chunk's emitted row
+    # carries the cumulative late counter
+    assert rows[9_000].n_late_dropped == 1
+    assert rows[7_000].n_late_dropped == 0  # first chunk saw no lateness

@@ -2270,6 +2270,22 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 validity intervals of each user's event_type history
+    (operators/textstats.py scd2_intervals): gaps-and-islands on value
+    CHANGES, [valid_from, valid_to) bounds, deterministic under
+    duplicate timestamps. The oracle replays the identical change-flag /
+    running-count / lead algebra."""
+    from modelardb_dynamic_spark.operators.textstats import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return scd2_intervals(ev)
+
+
 def q_profile_events(spark, sf_dir):
     """Typed column profiling of the events table
     (operators/curation.py profile_columns): long-form per-column exact
@@ -2656,6 +2672,7 @@ QUERIES = {
     "croston": q_croston,
     "editdist_dups": q_editdist_dups,
     "profile_events": q_profile_events,
+    "scd2_history": q_scd2_history,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6842,3 +6859,35 @@ def _profile_oracle_sql() -> str:
 
 
 ORACLES["profile_events"] = _profile_oracle_sql()
+
+ORACLES["scd2_history"] = """
+    WITH e AS (
+        SELECT user_id AS key, event_type AS attr_value,
+               epoch_ms(ts) AS ts
+        FROM events
+    ),
+    runs AS (
+        SELECT key, attr_value, ts,
+               CASE WHEN lag(attr_value) OVER w IS NULL
+                         OR lag(attr_value) OVER w != attr_value
+                    THEN 1 ELSE 0 END AS chg
+        FROM e WINDOW w AS (PARTITION BY key ORDER BY ts, attr_value)
+    ),
+    isl AS (
+        SELECT key, attr_value, ts,
+               sum(chg) OVER (PARTITION BY key ORDER BY ts, attr_value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+        FROM runs
+    ),
+    agg AS (
+        SELECT key, run_id, min(attr_value) AS attr_value,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM isl GROUP BY key, run_id
+    )
+    SELECT key, attr_value, valid_from,
+           lead(valid_from) OVER wk AS valid_to, n_events,
+           lead(valid_from) OVER wk IS NULL AS is_current
+    FROM agg WINDOW wk AS (PARTITION BY key ORDER BY run_id)
+"""

@@ -2205,3 +2205,24 @@ def test_profile_columns_stats_and_mode_ties(spark):
     assert (rk.n_rows, rk.n_nulls, rk.n_distinct) == (5, 1, 3)
     assert (rk.min_int, rk.max_int) == (1, 3)
     assert (rk.top_value, rk.top_count) == ("2", 2)
+
+
+def test_scd2_intervals_runs_and_bounds(spark):
+    from modelardb_dynamic_spark.operators.textstats import scd2_intervals
+
+    ev = spark.createDataFrame(
+        [(1, "A", 10), (1, "A", 20), (1, "B", 30), (1, "A", 40),
+         (2, "X", 5)],
+        "user_id long, event_type string, ts_ms long",
+    )
+    out = sorted(
+        scd2_intervals(ev).collect(), key=lambda r: (r.key, r.valid_from)
+    )
+    got = [(r.key, r.attr_value, r.valid_from, r.valid_to, r.n_events,
+            r.is_current) for r in out]
+    assert got == [
+        (1, "A", 10, 30, 2, False),   # run of two A observations
+        (1, "B", 30, 40, 1, False),
+        (1, "A", 40, None, 1, True),  # value returning opens a NEW run
+        (2, "X", 5, None, 1, True),
+    ]

@@ -694,3 +694,72 @@ def editdist_verify(
         "CAST(1 AS DOUBLE) - CAST(lev AS DOUBLE) / CAST(maxlen AS DOUBLE)"
         " AS sim",
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    theta_num: int = 4,
+    theta_den: int = 5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = 200,
+) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT
+    C(A, B) = |A ∩ B| / |A| over DISTINCT word shingles — the quote /
+    boilerplate / subset-document case symmetric Jaccard structurally
+    misses: a 50-shingle doc fully embedded in a 5000-shingle doc has
+    Jaccard ~ 0.01 but containment 1.0 (Broder's original resemblance
+    vs containment distinction). Emits (ida < idb) pairs where
+    max(C(A,B), C(B,A)) = shared / min(|A|, |B|) clears theta, the
+    exact integer predicate theta_den * shared >= theta_num * least —
+    no float in the filter; the reported containment is one shared
+    division, and contained_id names the embedded (smaller-set) doc.
+
+    Scale notes (100 TB): identical shape to ngram_jaccard_pairs —
+    shingle-key self-join with the max_df posting cap keeping buckets
+    linear; distinct (id, shingle) first so multiplicity cannot inflate
+    either numerator or denominator."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(text_col, n)).alias("s"),
+    ).distinct()
+    if max_df is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sh = _materialize(sh)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = (
+        shared.join(sizes.selectExpr("id AS ida", "sz AS sz_a"), ["ida"])
+        .join(sizes.selectExpr("id AS idb", "sz AS sz_b"), ["idb"])
+        .where(
+            F.expr(
+                f"{theta_den} * shared >= {theta_num} * least(sz_a, sz_b)"
+            )
+        )
+    )
+    return j.selectExpr(
+        "ida",
+        "idb",
+        "CAST(shared AS BIGINT) AS shared",
+        "CAST(sz_a AS BIGINT) AS sz_a",
+        "CAST(sz_b AS BIGINT) AS sz_b",
+        "CAST(shared AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE)"
+        " AS containment",
+        "CASE WHEN sz_a <= sz_b THEN ida ELSE idb END AS contained_id",
+    )

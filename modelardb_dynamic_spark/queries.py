@@ -2270,6 +2270,21 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dups (operators/dedup.py
+    containment_pairs): subset/superset document pairs symmetric
+    Jaccard misses, exact integer threshold 5*shared >= 4*least(|A|,
+    |B|) over distinct capped shingles, contained_id naming the
+    embedded doc. The oracle replays the shared shingle/cap machinery
+    with the identical predicate."""
+    from modelardb_dynamic_spark.operators import dedup
+
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        theta_num=4, theta_den=5, n=3, max_df=NGRAM_MAX_DF,
+    )
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD type-2 validity intervals of each user's event_type history
     (operators/textstats.py scd2_intervals): gaps-and-islands on value
@@ -2673,6 +2688,7 @@ QUERIES = {
     "editdist_dups": q_editdist_dups,
     "profile_events": q_profile_events,
     "scd2_history": q_scd2_history,
+    "containment_pairs": q_containment_pairs,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6890,4 +6906,30 @@ ORACLES["scd2_history"] = """
            lead(valid_from) OVER wk AS valid_to, n_events,
            lead(valid_from) OVER wk IS NULL AS is_current
     FROM agg WINDOW wk AS (PARTITION BY key ORDER BY run_id)
+"""
+
+ORACLES["containment_pairs"] = f"""
+    WITH sh0 AS (
+        SELECT doc_id AS id, unnest(list_distinct([
+            array_to_string(words[i : i + 2], ' ')
+            FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+        ])) AS s
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words
+              FROM documents)
+    ), df AS (SELECT s, count(*) AS c FROM sh0 GROUP BY s),
+    sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN df USING (s)
+           WHERE c <= {NGRAM_MAX_DF}),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+    shared AS (
+        SELECT a.id AS ida, b.id AS idb, CAST(count(*) AS BIGINT) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT ida, idb, shared, sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST(shared AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+               AS containment,
+           CASE WHEN sa.sz <= sb.sz THEN ida ELSE idb END AS contained_id
+    FROM shared
+    JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
+    WHERE 5 * shared >= 4 * least(sa.sz, sb.sz)
 """

@@ -2226,3 +2226,25 @@ def test_scd2_intervals_runs_and_bounds(spark):
         (1, "A", 40, None, 1, True),  # value returning opens a NEW run
         (2, "X", 5, None, 1, True),
     ]
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from modelardb_dynamic_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different words here ok")],
+        "doc_id long, text string",
+    )
+    cont = {(r.ida, r.idb): r for r in
+            containment_pairs(docs, 4, 5, n=3, max_df=None).collect()}
+    assert (1, 2) in cont  # small fully embedded in big
+    assert cont[(1, 2)].containment == pytest.approx(1.0)
+    assert cont[(1, 2)].contained_id == 1
+    # symmetric Jaccard at the same 0.8 bar misses it
+    jac = ngram_jaccard_pairs(docs, threshold=0.8, n=3).collect()
+    assert not any(r.ida == 1 and r.idb == 2 for r in jac)

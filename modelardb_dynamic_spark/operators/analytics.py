@@ -1914,3 +1914,39 @@ def croston(
         "cr.zh / cr.ph AS croston_fcst",
         f"{_dlit(1.0 - alpha / 2.0)} * (cr.zh / cr.ph) AS sba_fcst",
     )
+
+
+def dispersion_index(
+    points: DataFrame,
+    bucket_ms: int,
+) -> DataFrame:
+    """Index of dispersion (Fano factor) per series: sample variance /
+    mean of the per-bucket counts — the one-number burstiness verdict
+    (Poisson arrivals give ~1; > 1 bursty/clumped, < 1 regular/paced).
+    Complements burst_episodes (which finds the bursts) with the
+    series-level statistic you THRESHOLD to decide who needs burst
+    analysis at all.
+
+    Exactness: bucket counts and both moments are exact int64; the
+    index is ONE shared division
+        D = (n * sum(x^2) - sum(x)^2) / ((n - 1) * sum(x))
+    (sample variance over mean, algebraically cleared), NULL when n < 2
+    or sum(x) = 0. Scale notes: two map-side-combinable groupBys
+    (bucket counts, then per-series moments); no windows, no joins."""
+    b = points.groupBy(
+        "sid",
+        F.expr(f"(ts_ms DIV {bucket_ms}) * {bucket_ms}").alias("b"),
+    ).agg(F.sum("v").cast("long").alias("x"))
+    m = b.groupBy("sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return m.selectExpr(
+        "sid",
+        "n_buckets",
+        "sx AS total",
+        "CASE WHEN n_buckets >= 2 AND sx > 0 THEN "
+        "CAST(n_buckets * sxx - sx * sx AS DOUBLE) / "
+        "CAST((n_buckets - 1) * sx AS DOUBLE) END AS dispersion",
+    )

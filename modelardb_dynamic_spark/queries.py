@@ -2270,6 +2270,23 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_dispersion(spark, sf_dir):
+    """Per-series burstiness verdict (operators/analytics.py
+    dispersion_index): Fano factor of hourly turn counts off the
+    compressed store, exact int64 moments, one shared division. The
+    oracle replays the identical bucket/moment algebra over raw
+    minutes."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        dispersion_index,
+    )
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return dispersion_index(pts, bucket_ms=HOUR_MS)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -2689,6 +2706,7 @@ QUERIES = {
     "profile_events": q_profile_events,
     "scd2_history": q_scd2_history,
     "containment_pairs": q_containment_pairs,
+    "dispersion": q_dispersion,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6932,4 +6950,24 @@ ORACLES["containment_pairs"] = f"""
     FROM shared
     JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
     WHERE 5 * shared >= 4 * least(sa.sz, sb.sz)
+"""
+
+ORACLES["dispersion"] = f"""
+    WITH m AS ({_MINUTE_BUCKETS}),
+    b AS (
+        SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS b,
+               CAST(sum(v) AS BIGINT) AS x
+        FROM m GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT sid, CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM b GROUP BY sid
+    )
+    SELECT sid, n_buckets, sx AS total,
+           CASE WHEN n_buckets >= 2 AND sx > 0 THEN
+               CAST(n_buckets * sxx - sx * sx AS DOUBLE) /
+               CAST((n_buckets - 1) * sx AS DOUBLE) END AS dispersion
+    FROM mom
 """

@@ -1336,3 +1336,25 @@ def test_croston_matches_scalar_reference(spark):
     assert r.phat == pytest.approx(ph, rel=1e-12)
     assert r.croston_fcst == pytest.approx(zh / ph, rel=1e-12)
     assert r.sba_fcst == pytest.approx(0.95 * (zh / ph), rel=1e-12)
+
+
+def test_dispersion_index_poisson_vs_bursty(spark):
+    from modelardb_dynamic_spark.operators.analytics import dispersion_index
+
+    H = 3_600_000
+    rows = []
+    # regular: exactly 5 per hour -> variance 0 -> D = 0
+    for h in range(24):
+        rows.append(("regular", h * H, 5))
+    # bursty: same total, all in two hours
+    rows += [("bursty", 0 * H, 60), ("bursty", 1 * H, 60)] + [
+        ("bursty", h * H, 0) for h in range(2, 24)
+    ]
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    out = {r.sid: r for r in dispersion_index(df, H).collect()}
+    assert out["regular"].dispersion == pytest.approx(0.0)
+    assert out["bursty"].dispersion > 10  # heavily clumped
+    assert out["regular"].total == out["bursty"].total == 120
+    # hand value for bursty: n=24, sx=120, sxx=7200
+    want = (24 * 7200 - 120 * 120) / (23 * 120)
+    assert out["bursty"].dispersion == pytest.approx(want)

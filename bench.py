@@ -138,6 +138,11 @@ BENCH_QUERIES = [
     "turn_echo",
     "verbosity_latency",
     "trending_terms",
+    "dispersion",
+    "peak_concurrency",
+    "flatline_runs",
+    "benford",
+    "decayed_counts",
 ]
 
 

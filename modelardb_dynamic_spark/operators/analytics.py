@@ -1950,3 +1950,208 @@ def dispersion_index(
         "CAST(n_buckets * sxx - sx * sx AS DOUBLE) / "
         "CAST((n_buckets - 1) * sx AS DOUBLE) END AS dispersion",
     )
+
+
+def peak_concurrency(
+    sessions: DataFrame,
+    bucket_ms: int,
+    start_col: str = "start_ms",
+    end_col: str = "end_ms",
+) -> DataFrame:
+    """Sweep-line peak concurrency: per time bucket, the maximum number
+    of sessions simultaneously active at any within-bucket boundary
+    instant, and the first instant attaining it. A session covers the
+    closed interval [start_ms, end_ms]. Capacity planning's first
+    question ("how many at once, and when"), exact — no sampling grid.
+
+    Semantics: concurrency is evaluated at interval BOUNDARIES (starts
+    and ends+1), where every change happens; a bucket containing no
+    boundary carries a constant level from before and is omitted (its
+    level is readable from the previous bucket's step function).
+
+    Exactness: all integer (counts, epoch ms); ties at one instant
+    collapse into a net delta before the running sum, so ordering
+    within an instant can't matter.
+
+    Scale notes: the +1/-1 deltas are groupBy-collapsed to one row per
+    DISTINCT boundary instant (map-side combinable) before the running
+    sum, so the global-order window carries |distinct boundaries| rows,
+    not |sessions| — with ms granularity that is bounded by the time
+    span, not the corpus. At 100 TB replace the single window with the
+    standard two-pass range-partitioned prefix sum (per-partition
+    subtotals broadcast as offsets); the bucket max/argmax stage is
+    unchanged."""
+    ends = sessions.select(
+        (F.col(end_col) + 1).alias("t"), F.lit(-1).alias("d")
+    )
+    starts = sessions.select(F.col(start_col).alias("t"), F.lit(1).alias("d"))
+    net = starts.unionByName(ends).groupBy("t").agg(F.sum("d").alias("d"))
+    run = net.withColumn(
+        "c",
+        F.sum("d").over(
+            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("b", F.expr(f"(t DIV {bucket_ms}) * {bucket_ms}"))
+    w = Window.partitionBy("b").orderBy(F.desc("c"), F.asc("t"))
+    return (
+        run.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("b").alias("bucket_ts"),
+            F.col("c").cast("long").alias("peak"),
+            F.col("t").alias("peak_at_ms"),
+        )
+    )
+
+
+def flatline_runs(points: DataFrame, si_ms: int) -> DataFrame:
+    """Longest flatline per series: the maximal run of consecutive
+    grid points (spacing exactly si_ms — a gap breaks the run) holding
+    the SAME value. The stuck-sensor / dead-counter detector: a healthy
+    busy series flatlines for minutes, a wedged one for days.
+
+    Gaps-and-islands, all integer: within (sid, v), consecutive grid
+    indices minus their per-partition row_number are constant per run;
+    a timestamp gap jumps the index and splits the island. Returns one
+    row per sid: longest run (points), its value, and its start ts
+    (ties: earliest run wins, deterministic).
+
+    Scale notes: two window passes partitioned by sid (the storage
+    partitioning, so no extra shuffle after the datapoint view) and one
+    map-side-combinable groupBy; state per row is O(1)."""
+    idx = points.select(
+        "sid", "v", (F.col("ts_ms") / si_ms).cast("long").alias("i")
+    )
+    wv = Window.partitionBy("sid", "v").orderBy("i")
+    isl = idx.withColumn("g", F.col("i") - F.row_number().over(wv))
+    runs = isl.groupBy("sid", "v", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        (F.min("i") * si_ms).alias("run_start_ms"),
+    )
+    wr = Window.partitionBy("sid").orderBy(
+        F.desc("run_len"), F.asc("run_start_ms"), F.asc("v")
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("sid", "run_len", F.col("v").alias("run_value"), "run_start_ms")
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), emitted once as
+# E-notation double literals so Spark and DuckDB evaluate the identical
+# constants (the shared-literal trick used throughout this module).
+import math as _math
+
+BENFORD_P = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_audit(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """First-significant-digit audit per event_type: observed digit-1
+    share and the chi-square statistic against Benford's law. Fabricated
+    or unit-mangled value streams jump out (chi2 explodes); organically
+    spread magnitudes conform. Values are read at cent precision
+    (round(v*100)), non-positive cents skipped.
+
+    Exactness: digit extraction is integer string math on the exact
+    cents; expected shares are shared double literals; the chi-square
+    fold runs digit-ascending over all 9 digits (absent digits count
+    obs=0) so the 9-term float sum has ONE evaluation order in both
+    engines.
+
+    Scale notes: one map-side-combinable groupBy to |types| x 9 cells,
+    then a per-type fold over <= 9 elements — driver-free, join-free
+    (the digit frame is a 9-row broadcast)."""
+    cents = events.select(
+        "event_type",
+        F.expr(f"CAST(round({value_col} * 100) AS BIGINT)").alias("cents"),
+    ).where(F.col("cents") > 0)
+    dig = cents.withColumn(
+        "digit", F.expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)")
+    )
+    obs = dig.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    spark = events.sparkSession
+    frame = (
+        obs.select("event_type").distinct()
+        .crossJoin(F.broadcast(spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))))
+    )
+    full = frame.join(obs, ["event_type", "digit"], "left").fillna(0, ["obs"])
+    n = full.groupBy("event_type").agg(F.sum("obs").alias("n"))
+    p_case = "CASE digit " + " ".join(
+        f"WHEN {d + 1} THEN {_dlit(p)}" for d, p in enumerate(BENFORD_P)
+    ) + " END"
+    terms = full.join(n, "event_type").selectExpr(
+        "event_type",
+        "n",
+        "digit",
+        "CASE WHEN digit = 1 THEN CAST(obs AS DOUBLE) / CAST(n AS DOUBLE) END"
+        " AS d1",
+        f"(CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * ({p_case}))"
+        f" * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * ({p_case}))"
+        f" / (CAST(n AS DOUBLE) * ({p_case})) AS term",
+    )
+    return (
+        terms.groupBy("event_type", "n")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(digit, term))), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x.term)"
+            ).alias("chi2"),
+            F.max("d1").alias("digit1_share"),
+        )
+        .select("event_type", "n", "digit1_share", "chi2")
+    )
+
+
+def decayed_counts(
+    events: DataFrame,
+    half_life_days: int = 7,
+    horizon_days: int = 31,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Recency-weighted activity score per user: each event weighs
+    2^-(age_days // half_life_days), age measured in whole UTC days
+    back from the newest event day in the table; events older than
+    horizon_days weigh 0. The "who is active NOW" ranking that a plain
+    count gets wrong.
+
+    Exactness: the weight ladder is integer — an event contributes
+    2^(31 - age//h) to an int64 sum, and the score is that sum divided
+    by the double literal 2^31 (one exact division; every power of two
+    here is exactly representable), so NO float accumulation order
+    exists at all.
+
+    Scale notes: per-(user, age-step) counts collapse map-side; the
+    anchor day is one broadcast scalar; the weighted sum is a second
+    map-side-combinable groupBy. Overflow headroom: 2^31 * count —
+    safe below ~4e9 events per user within the horizon."""
+    day = F.expr(f"unix_millis(CAST({ts_col} AS TIMESTAMP)) DIV {86_400_000}")
+    anchor = events.agg(F.max(day).alias("anchor_d"))
+    aged = (
+        events.select(F.col(id_col), day.alias("d"))
+        .crossJoin(F.broadcast(anchor))
+        .where(F.col("anchor_d") - F.col("d") <= horizon_days)
+        .selectExpr(
+            id_col,
+            f"(anchor_d - d) DIV {half_life_days} AS step",
+        )
+    )
+    return (
+        aged.groupBy(id_col, "step")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .selectExpr(
+            id_col,
+            "cnt * shiftleft(CAST(1 AS BIGINT), CAST(31 - step AS INT)) AS wsum",
+            "cnt",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.expr(f"CAST(sum(wsum) AS DOUBLE) / {_dlit(float(2**31))}").alias(
+                "decayed_score"
+            ),
+            F.sum("cnt").cast("long").alias("n_window"),
+        )
+    )

@@ -2287,6 +2287,54 @@ def q_dispersion(spark, sf_dir):
     return dispersion_index(pts, bucket_ms=HOUR_MS)
 
 
+
+def q_peak_concurrency(spark, sf_dir):
+    """Sweep-line peak concurrency (operators/analytics.py
+    peak_concurrency): max simultaneously-active user sessions per UTC
+    day and the first ms attaining it. All-integer running sum over
+    net deltas at distinct boundary instants; the oracle replays the
+    identical sweep in DuckDB."""
+    from modelardb_dynamic_spark.operators.analytics import peak_concurrency
+
+    ev = _t(spark, sf_dir, "events")
+    sess = textstats.sessionize(ev, gap_ms=30 * 60_000)
+    return peak_concurrency(sess, bucket_ms=DAY_MS)
+
+
+def q_flatline_runs(spark, sf_dir):
+    """Stuck-series detector (operators/analytics.py flatline_runs):
+    longest gap-free constant run per series off the COMPRESSED store
+    (datapoint view of the minute-count series), gaps-and-islands on
+    exact grid indices, earliest-run tie-break."""
+    from modelardb_dynamic_spark.operators.analytics import flatline_runs
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return flatline_runs(pts, si_ms=SI_MS)
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit (operators/analytics.py benford_audit):
+    per event_type, digit-1 share and the chi-square against Benford's
+    law over exact cents; the 9-term chi-square folds digit-ascending in
+    both engines, expectations are shared double literals."""
+    from modelardb_dynamic_spark.operators.analytics import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "events"))
+
+
+def q_decayed_counts(spark, sf_dir):
+    """Recency-weighted activity (operators/analytics.py decayed_counts):
+    per-user score with power-of-two day decay (half-life 7 d, horizon
+    31 d, anchored at the newest event day). Integer weight ladder -- a
+    single exact division by 2^31 at the end, no float accumulation."""
+    from modelardb_dynamic_spark.operators.analytics import decayed_counts
+
+    return decayed_counts(_t(spark, sf_dir, "events"))
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -2707,6 +2755,10 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "containment_pairs": q_containment_pairs,
     "dispersion": q_dispersion,
+    "peak_concurrency": q_peak_concurrency,
+    "flatline_runs": q_flatline_runs,
+    "benford": q_benford,
+    "decayed_counts": q_decayed_counts,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -6970,4 +7022,134 @@ ORACLES["dispersion"] = f"""
                CAST(n_buckets * sxx - sx * sx AS DOUBLE) /
                CAST((n_buckets - 1) * sx AS DOUBLE) END AS dispersion
     FROM mom
+"""
+
+from modelardb_dynamic_spark.operators.analytics import (  # noqa: E402
+    BENFORD_P as _BENF_P,
+    _dlit as _benford_dlit,
+)
+
+_BENF_CASE = "CASE digit " + " ".join(
+    f"WHEN {d + 1} THEN {_benford_dlit(p)}" for d, p in enumerate(_BENF_P)
+) + " END"
+
+_SESS_BOUNDS = """
+    marked AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    OR lag(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ms,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    ), bounds AS (
+        SELECT user_id, sess_id, min(ms) AS start_ms, max(ms) AS end_ms
+        FROM sess GROUP BY 1, 2
+    )
+"""
+
+ORACLES["peak_concurrency"] = f"""
+    WITH {_SESS_BOUNDS},
+    ev AS (
+        SELECT start_ms AS t, 1 AS d FROM bounds
+        UNION ALL SELECT end_ms + 1 AS t, -1 AS d FROM bounds
+    ),
+    net AS (SELECT t, sum(d) AS d FROM ev GROUP BY t),
+    run AS (
+        SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS c,
+               (t // {DAY_MS}) * {DAY_MS} AS b
+        FROM net
+    )
+    SELECT b AS bucket_ts, CAST(c AS BIGINT) AS peak, t AS peak_at_ms
+    FROM run
+    QUALIFY row_number() OVER (PARTITION BY b ORDER BY c DESC, t ASC) = 1
+"""
+
+ORACLES["flatline_runs"] = f"""
+    WITH m AS ({_MINUTE_BUCKETS}),
+    idx AS (SELECT sid, CAST(v AS BIGINT) AS v, m // {SI_MS} AS i FROM m),
+    isl AS (
+        SELECT sid, v, i,
+               i - row_number() OVER (PARTITION BY sid, v ORDER BY i) AS g
+        FROM idx
+    ),
+    runs AS (
+        SELECT sid, v, g, CAST(count(*) AS BIGINT) AS run_len,
+               min(i) * {SI_MS} AS run_start_ms
+        FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT sid, run_len, v AS run_value, run_start_ms
+    FROM runs
+    QUALIFY row_number() OVER (
+        PARTITION BY sid ORDER BY run_len DESC, run_start_ms ASC, v ASC) = 1
+"""
+
+ORACLES["benford"] = f"""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    d AS (
+        SELECT event_type,
+               CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM c WHERE cents > 0
+    ),
+    obs AS (
+        SELECT event_type, digit, CAST(count(*) AS BIGINT) AS obs
+        FROM d GROUP BY 1, 2
+    ),
+    frame AS (
+        SELECT et.event_type, dg.digit
+        FROM (SELECT DISTINCT event_type FROM obs) et
+        CROSS JOIN (SELECT CAST(range AS INT) AS digit FROM range(1, 10)) dg
+    ),
+    filled AS (
+        SELECT f.event_type, f.digit, coalesce(o.obs, 0) AS obs
+        FROM frame f LEFT JOIN obs o
+          ON o.event_type = f.event_type AND o.digit = f.digit
+    ),
+    n AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS n FROM filled GROUP BY 1),
+    terms AS (
+        SELECT filled.event_type, n.n, filled.digit,
+               CASE WHEN filled.digit = 1 THEN
+                   CAST(obs AS DOUBLE) / CAST(n AS DOUBLE) END AS d1,
+               (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENF_CASE}))
+               * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENF_CASE}))
+               / (CAST(n AS DOUBLE) * ({_BENF_CASE})) AS term
+        FROM filled JOIN n ON n.event_type = filled.event_type
+    )
+    SELECT event_type, n,
+           max(d1) AS digit1_share,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(term ORDER BY digit ASC)), (a, x) -> a + x) AS chi2
+    FROM terms GROUP BY 1, 2
+"""
+
+ORACLES["decayed_counts"] = f"""
+    WITH a AS (
+        SELECT max(epoch_ms(ts) // 86400000) AS anchor_d FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               (a.anchor_d - epoch_ms(ts) // 86400000) // 7 AS step
+        FROM events, a
+        WHERE a.anchor_d - epoch_ms(ts) // 86400000 <= 31
+    ),
+    g AS (
+        SELECT user_id, step, CAST(count(*) AS BIGINT) AS cnt
+        FROM s GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT user_id,
+               cnt * (CAST(1 AS BIGINT) << CAST(31 - step AS INT)) AS wsum,
+               cnt
+        FROM g
+    )
+    SELECT user_id,
+           CAST(sum(wsum) AS DOUBLE) / {_benford_dlit(float(2 ** 31))}
+               AS decayed_score,
+           CAST(sum(cnt) AS BIGINT) AS n_window
+    FROM w GROUP BY user_id
 """

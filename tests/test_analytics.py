@@ -1358,3 +1358,83 @@ def test_dispersion_index_poisson_vs_bursty(spark):
     # hand value for bursty: n=24, sx=120, sxx=7200
     want = (24 * 7200 - 120 * 120) / (23 * 120)
     assert out["bursty"].dispersion == pytest.approx(want)
+
+
+def test_peak_concurrency_sweep(spark):
+    from modelardb_dynamic_spark.operators.analytics import peak_concurrency
+
+    D = 86_400_000
+    # day 0: three sessions, max overlap 2 first reached at t=100
+    # day 1: one session alone -> peak 1 at its start
+    rows = [
+        (100, 500),
+        (300, 900),   # overlaps first from 300, but [100,500]+[300,900] -> 2 at 300
+        (600, 700),   # overlaps second -> 2 again at 600
+        (D + 50, D + 60),
+    ]
+    df = spark.createDataFrame(rows, "start_ms long, end_ms long")
+    out = {r.bucket_ts: r for r in peak_concurrency(df, D).collect()}
+    assert out[0].peak == 2 and out[0].peak_at_ms == 300
+    assert out[D].peak == 1 and out[D].peak_at_ms == D + 50
+    # ends release: at 501 concurrency drops to 1 (not asserted directly,
+    # but a third overlapping session would make the peak 3)
+    df3 = spark.createDataFrame(rows + [(250, 650)], "start_ms long, end_ms long")
+    out3 = {r.bucket_ts: r for r in peak_concurrency(df3, D).collect()}
+    assert out3[0].peak == 3 and out3[0].peak_at_ms == 300
+
+
+def test_flatline_runs_gaps_and_ties(spark):
+    from modelardb_dynamic_spark.operators.analytics import flatline_runs
+
+    M = 60_000
+    pts = []
+    # sid a: 7,7,7 then gap then 7,7 -> longest run 3 starting at 0
+    for i in [0, 1, 2, 5, 6]:
+        pts.append(("a", i * M, 7))
+    # sid b: two runs of 2 (values 1 then 2) -> earliest wins
+    for i, v in [(0, 1), (1, 1), (2, 2), (3, 2)]:
+        pts.append(("b", i * M, v))
+    df = spark.createDataFrame(pts, "sid string, ts_ms long, v long")
+    out = {r.sid: r for r in flatline_runs(df, M).collect()}
+    assert out["a"].run_len == 3 and out["a"].run_start_ms == 0
+    assert out["a"].run_value == 7
+    assert out["b"].run_len == 2 and out["b"].run_value == 1
+    assert out["b"].run_start_ms == 0
+
+
+def test_benford_audit_hand_values(spark):
+    import math
+
+    from modelardb_dynamic_spark.operators.analytics import benford_audit
+
+    # 60 values with first digit 1, 40 with first digit 2 (cents)
+    rows = [("t", 1.23)] * 60 + [("t", 25.0)] * 40
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = benford_audit(df).collect()[0]
+    assert r.n == 100
+    assert r.digit1_share == pytest.approx(0.6)
+    p = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    obs = [60, 40] + [0] * 7
+    chi2 = sum((o - 100 * pi) ** 2 / (100 * pi) for o, pi in zip(obs, p))
+    assert r.chi2 == pytest.approx(chi2, rel=1e-12)
+
+
+def test_decayed_counts_weight_ladder(spark):
+    from modelardb_dynamic_spark.operators.analytics import decayed_counts
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)  # anchor day
+    rows = []
+    # u1: 2 events on anchor day (w=1), 3 events 7 days back (w=1/2),
+    #     1 event 40 days back (outside horizon, dropped)
+    rows += [(1, base)] * 2
+    rows += [(1, base - dt.timedelta(days=7))] * 3
+    rows += [(1, base - dt.timedelta(days=40))]
+    # u2: 4 events 20 days back -> step 20//7=2 -> w=1/4
+    rows += [(2, base - dt.timedelta(days=20))] * 4
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.user_id: r for r in decayed_counts(df).collect()}
+    assert out[1].decayed_score == pytest.approx(2 + 3 / 2)
+    assert out[1].n_window == 5
+    assert out[2].decayed_score == pytest.approx(1.0)
+    assert out[2].n_window == 4

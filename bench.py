@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "flatline_runs",
     "benford",
     "decayed_counts",
+    "mann_kendall",
+    "slo_burn",
 ]
 
 

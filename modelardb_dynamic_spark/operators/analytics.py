@@ -2155,3 +2155,111 @@ def decayed_counts(
             F.sum("cnt").cast("long").alias("n_window"),
         )
     )
+
+
+def mann_kendall(points: DataFrame, bucket_ms: int) -> DataFrame:
+    """Mann-Kendall nonparametric trend test per series: S = sum over
+    bucket pairs i<j of sign(x_j - x_i), tie-corrected variance, and
+    the standardized Z. The "is it trending" verdict that OLS slope
+    (trend_ols) gets wrong under outliers and Theil-Sen only answers
+    with a magnitude — M-K gives the significance.
+
+    Exactness: S, n, and the tie term sum_t t(t-1)(2t+5) are exact
+    int64; Z is ONE shared IEEE tree over them:
+        var = (n(n-1)(2n+5) - T) / 18
+        Z   = (S -+ 1) / sqrt(var)   (continuity-corrected, 0 at S=0)
+
+    Scale notes: the pair join is quadratic in BUCKETS per series —
+    bounded by the time span / bucket width (e.g. 720 pairs at 30 daily
+    buckets), independent of raw corpus size; it shuffles once on sid
+    (the storage partitioning). Tie and count terms are map-side
+    combinable groupBys on the same bucketed table."""
+    b = points.groupBy(
+        "sid", F.expr(f"(ts_ms DIV {bucket_ms}) * {bucket_ms}").alias("b")
+    ).agg(F.sum("v").cast("long").alias("x"))
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), ["sid"])
+        .where(F.expr("l.b < r.b"))
+        .groupBy("sid")
+        .agg(F.sum(F.signum(F.expr("r.x - l.x"))).cast("long").alias("s"))
+    )
+    ties = (
+        b.groupBy("sid", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("sid")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("long").alias("tt"),
+            F.sum(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+    )
+    return pairs.join(ties, "sid").selectExpr(
+        "sid",
+        "n_buckets",
+        "s",
+        "CASE WHEN n_buckets >= 2 AND "
+        "     CAST(n_buckets * (n_buckets - 1) * (2 * n_buckets + 5) - tt"
+        "          AS DOUBLE) / CAST(18 AS DOUBLE) > 0 THEN "
+        "  CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) ELSE "
+        "       CASE WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) "
+        "            ELSE CAST(0 AS DOUBLE) END END "
+        "  / sqrt(CAST(n_buckets * (n_buckets - 1) * (2 * n_buckets + 5) - tt"
+        "              AS DOUBLE) / CAST(18 AS DOUBLE)) "
+        "END AS z",
+    )
+
+
+def slo_burn(
+    events: DataFrame,
+    slo: float = 0.99,
+    short_buckets: int = 1,
+    long_buckets: int = 6,
+    bucket_ms: int = 3_600_000,
+    short_threshold: float = 14.4,
+    long_threshold: float = 6.0,
+    error_type: str = "error",
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the SRE-workbook pager
+    rule): per bucket, error share over the trailing short and long
+    windows divided by the error budget (1 - slo); page when BOTH
+    windows burn above their thresholds (fast-burn confirmation +
+    slow-burn persistence, immune to single-bucket blips).
+
+    Exactness: error/total counts are exact int64 range-window sums on
+    the integer bucket index; each burn rate is one shared division by
+    the _dlit budget literal; threshold comparisons are on those exact
+    doubles. Scale notes: one groupBy to |buckets| rows, then two
+    integer-frame range windows over that tiny table."""
+    budget = 1.0 - slo
+    hb = events.groupBy(
+        F.expr(f"unix_millis(CAST(ts AS TIMESTAMP)) DIV {bucket_ms}").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("tot"),
+        F.sum(F.expr(f"CASE WHEN event_type = '{error_type}' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("err"),
+    )
+    ws = Window.orderBy("h").rangeBetween(-(short_buckets - 1), 0)
+    wl = Window.orderBy("h").rangeBetween(-(long_buckets - 1), 0)
+    agg = hb.select(
+        "h",
+        F.sum("err").over(ws).cast("long").alias("err_s"),
+        F.sum("tot").over(ws).cast("long").alias("tot_s"),
+        F.sum("err").over(wl).cast("long").alias("err_l"),
+        F.sum("tot").over(wl).cast("long").alias("tot_l"),
+    )
+    return agg.selectExpr(
+        f"h * {bucket_ms} AS bucket_ts",
+        "err_s",
+        "tot_s",
+        "err_l",
+        "tot_l",
+        f"CAST(err_s AS DOUBLE) / CAST(tot_s AS DOUBLE) / {_dlit(budget)}"
+        " AS burn_short",
+        f"CAST(err_l AS DOUBLE) / CAST(tot_l AS DOUBLE) / {_dlit(budget)}"
+        " AS burn_long",
+        f"CAST(err_s AS DOUBLE) / CAST(tot_s AS DOUBLE) / {_dlit(budget)}"
+        f" > {_dlit(short_threshold)} AND "
+        f"CAST(err_l AS DOUBLE) / CAST(tot_l AS DOUBLE) / {_dlit(budget)}"
+        f" > {_dlit(long_threshold)} AS page",
+    )

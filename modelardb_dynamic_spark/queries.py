@@ -2335,6 +2335,31 @@ def q_decayed_counts(spark, sf_dir):
     return decayed_counts(_t(spark, sf_dir, "events"))
 
 
+
+def q_mann_kendall(spark, sf_dir):
+    """Nonparametric trend verdict (operators/analytics.py
+    mann_kendall): per-series M-K S statistic, tie-corrected variance,
+    continuity-corrected Z over daily turn counts off the compressed
+    store. Exact int64 pair signs + ONE shared IEEE closing tree."""
+    from modelardb_dynamic_spark.operators.analytics import mann_kendall
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return mann_kendall(pts, bucket_ms=DAY_MS)
+
+
+def q_slo_burn(spark, sf_dir):
+    """Multi-window SLO burn-rate pager (operators/analytics.py
+    slo_burn): hourly error share over trailing 1h/6h windows against a
+    99% SLO, page when both windows burn hot. Exact range-window counts,
+    shared-literal divisions."""
+    from modelardb_dynamic_spark.operators.analytics import slo_burn
+
+    return slo_burn(_t(spark, sf_dir, "events"))
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -2759,6 +2784,8 @@ QUERIES = {
     "flatline_runs": q_flatline_runs,
     "benford": q_benford,
     "decayed_counts": q_decayed_counts,
+    "mann_kendall": q_mann_kendall,
+    "slo_burn": q_slo_burn,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7153,3 +7180,72 @@ ORACLES["decayed_counts"] = f"""
            CAST(sum(cnt) AS BIGINT) AS n_window
     FROM w GROUP BY user_id
 """
+
+
+ORACLES["mann_kendall"] = f'''
+    WITH m AS ({_MINUTE_BUCKETS}),
+    b AS (
+        SELECT sid, (m // {DAY_MS}) * {DAY_MS} AS b,
+               CAST(sum(v) AS BIGINT) AS x
+        FROM m GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT l.sid, CAST(sum(sign(r.x - l.x)) AS BIGINT) AS s
+        FROM b l JOIN b r ON r.sid = l.sid AND l.b < r.b
+        GROUP BY 1
+    ),
+    tt AS (
+        SELECT sid, CAST(count(*) AS BIGINT) AS t
+        FROM b GROUP BY sid, x
+    ),
+    ties AS (
+        SELECT sid,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM tt GROUP BY sid
+    )
+    SELECT p.sid, n_buckets, s,
+           CASE WHEN n_buckets >= 2 AND
+                CAST(n_buckets * (n_buckets - 1) * (2 * n_buckets + 5) - tt
+                     AS DOUBLE) / CAST(18 AS DOUBLE) > 0 THEN
+             CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) ELSE
+                  CASE WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END END
+             / sqrt(CAST(n_buckets * (n_buckets - 1) * (2 * n_buckets + 5) - tt
+                         AS DOUBLE) / CAST(18 AS DOUBLE))
+           END AS z
+    FROM pairs p JOIN ties t ON t.sid = p.sid
+'''
+
+from modelardb_dynamic_spark.operators.analytics import _dlit as _an_dlit
+
+_SLO_BURN_S = f"CAST(err_s AS DOUBLE) / CAST(tot_s AS DOUBLE) / {_an_dlit(1.0 - 0.99)}"
+_SLO_BURN_L = f"CAST(err_l AS DOUBLE) / CAST(tot_l AS DOUBLE) / {_an_dlit(1.0 - 0.99)}"
+
+ORACLES["slo_burn"] = f'''
+    WITH hb AS (
+        SELECT epoch_ms(ts) // {HOUR_MS} AS h,
+               CAST(count(*) AS BIGINT) AS tot,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS err
+        FROM events GROUP BY 1
+    ),
+    agg AS (
+        SELECT h,
+               CAST(sum(err) OVER (ORDER BY h RANGE BETWEEN 0 PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS err_s,
+               CAST(sum(tot) OVER (ORDER BY h RANGE BETWEEN 0 PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS tot_s,
+               CAST(sum(err) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS err_l,
+               CAST(sum(tot) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS tot_l
+        FROM hb
+    )
+    SELECT h * {HOUR_MS} AS bucket_ts, err_s, tot_s, err_l, tot_l,
+           {_SLO_BURN_S} AS burn_short,
+           {_SLO_BURN_L} AS burn_long,
+           {_SLO_BURN_S} > {_an_dlit(14.4)} AND {_SLO_BURN_L} > {_an_dlit(6.0)}
+               AS page
+    FROM agg
+'''

@@ -1438,3 +1438,61 @@ def test_decayed_counts_weight_ladder(spark):
     assert out[1].n_window == 5
     assert out[2].decayed_score == pytest.approx(1.0)
     assert out[2].n_window == 4
+
+
+def test_mann_kendall_monotone_and_ties(spark):
+    import math
+
+    from modelardb_dynamic_spark.operators.analytics import mann_kendall
+
+    D = 86_400_000
+    rows = []
+    # up: strictly increasing 10 days -> S = 45, no ties
+    for i in range(10):
+        rows.append(("up", i * D, 1 + i))
+    # flat: all equal -> S = 0, full tie -> var 0 -> z NULL
+    for i in range(10):
+        rows.append(("flat", i * D, 5))
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    out = {r.sid: r for r in mann_kendall(df, D).collect()}
+    assert out["up"].s == 45
+    n = 10
+    var = n * (n - 1) * (2 * n + 5) / 18
+    assert out["up"].z == pytest.approx((45 - 1) / math.sqrt(var), rel=1e-12)
+    assert out["flat"].s == 0 and out["flat"].z is None
+
+
+def test_slo_burn_pages_on_double_window(spark):
+    import datetime as dt
+
+    from modelardb_dynamic_spark.operators.analytics import slo_burn
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 6 quiet hours: 100 events, 0 errors; then an hour with 30% errors
+    for h in range(6):
+        for i in range(100):
+            rows.append((base + dt.timedelta(hours=h, seconds=i), "ok"))
+    for i in range(70):
+        rows.append((base + dt.timedelta(hours=6, seconds=i), "ok"))
+    for i in range(30):
+        rows.append((base + dt.timedelta(hours=6, seconds=100 + i), "error"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = sorted(slo_burn(df).collect(), key=lambda r: r.bucket_ts)
+    quiet, hot = out[0], out[-1]
+    assert quiet.page is False and quiet.burn_short == 0.0
+    # hot hour: short burn = 0.30/0.01 = 30 > 14.4;
+    # long = 30/600/0.01 = 5 -> NOT > 6 -> no page (slow window vetoes)
+    assert hot.burn_short == pytest.approx(30.0)
+    assert hot.burn_long == pytest.approx(5.0)
+    assert hot.page is False
+    # with a second hot hour the long window crosses too
+    rows2 = rows + [
+        (base + dt.timedelta(hours=7, seconds=i), "error") for i in range(30)
+    ] + [(base + dt.timedelta(hours=7, seconds=100 + i), "ok") for i in range(70)]
+    df2 = spark.createDataFrame(rows2, "ts timestamp, event_type string")
+    hot2 = sorted(slo_burn(df2).collect(), key=lambda r: r.bucket_ts)[-1]
+    assert hot2.burn_short == pytest.approx(30.0)
+    # long window = 6 trailing buckets (hours 2..7): 600 events, 60 errors
+    assert hot2.burn_long == pytest.approx(60 / 600 / 0.01)
+    assert hot2.page is True

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "decayed_counts",
     "mann_kendall",
     "slo_burn",
+    "pacf",
 ]
 
 

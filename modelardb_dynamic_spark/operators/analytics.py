@@ -2263,3 +2263,49 @@ def slo_burn(
         f"CAST(err_l AS DOUBLE) / CAST(tot_l AS DOUBLE) / {_dlit(budget)}"
         f" > {_dlit(long_threshold)} AS page",
     )
+
+
+# Durbin-Levinson closed forms for PACF lags 2 and 3 over the pivoted
+# ACF columns r1/r2/r3: ONE textual expression tree evaluated verbatim
+# by Spark and DuckDB (the shared-tree contract; r_k themselves come
+# from acf_lags' already-gated exact-moment algebra). a21 is the
+# order-2 AR coefficient phi_{2,1} = phi_{1,1} - phi_{22}*phi_{1,1}.
+_PACF_P2 = "((r2 - r1 * r1) / (CAST(1 AS DOUBLE) - r1 * r1))"
+_PACF_A21 = f"(r1 - {_PACF_P2} * r1)"
+_PACF_P3 = (
+    f"((r3 - {_PACF_A21} * r2 - {_PACF_P2} * r1) / "
+    f"(CAST(1 AS DOUBLE) - {_PACF_A21} * r1 - {_PACF_P2} * r2))"
+)
+
+
+def pacf3(points: DataFrame, si_ms: int) -> DataFrame:
+    """Partial autocorrelation at lags 1..3 per series — the AR-order
+    diagnostic ACF can't give (ACF of an AR(1) decays forever; its PACF
+    cuts off after lag 1). phi1 = r1; phi2 and phi3 by the
+    Durbin-Levinson recursion unrolled into a fixed expression tree.
+
+    Exactness: r1..r3 are acf_lags' shared-tree values (exact int64
+    moments, one IEEE closing tree); the DL recursion is the SAME text
+    in both engines, so every intermediate rounds identically. Series
+    missing any of the three lags (too short / gap-broken) return NULL
+    for the affected orders.
+
+    Scale notes: inherits acf_lags' shape (equi-join on the (sid, ts)
+    co-partitioning key, 3 probe rows per point, map-side-combinable
+    moments); the pivot is a |series| x 3 groupBy."""
+    a = acf_lags(points, 3, si_ms)
+    piv = a.groupBy("sid").agg(
+        F.expr("max(CASE WHEN lag = 1 THEN acf END)").alias("r1"),
+        F.expr("max(CASE WHEN lag = 2 THEN acf END)").alias("r2"),
+        F.expr("max(CASE WHEN lag = 3 THEN acf END)").alias("r3"),
+        F.expr("max(CASE WHEN lag = 1 THEN n_pairs END)").alias("n_pairs_1"),
+    )
+    return piv.selectExpr(
+        "sid",
+        "n_pairs_1",
+        "r1 AS phi1",
+        f"CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN {_PACF_P2} END"
+        " AS phi2",
+        "CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL "
+        f"THEN {_PACF_P3} END AS phi3",
+    )

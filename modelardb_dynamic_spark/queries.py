@@ -2360,6 +2360,24 @@ def q_slo_burn(spark, sf_dir):
     return slo_burn(_t(spark, sf_dir, "events"))
 
 
+
+def q_pacf(spark, sf_dir):
+    """Partial autocorrelation lags 1-3 (operators/analytics.py pacf3):
+    AR-order diagnostic over hourly turn counts off the compressed
+    store; Durbin-Levinson unrolled into the shared expression tree on
+    acf_lags' exact-moment r_k."""
+    from modelardb_dynamic_spark.operators.analytics import pacf3
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    hourly = pts.groupBy(
+        "sid", F.expr(f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}").alias("ts_ms")
+    ).agg(F.sum("v").cast("long").alias("v"))
+    return pacf3(hourly, si_ms=HOUR_MS)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -2786,6 +2804,7 @@ QUERIES = {
     "decayed_counts": q_decayed_counts,
     "mann_kendall": q_mann_kendall,
     "slo_burn": q_slo_burn,
+    "pacf": q_pacf,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7249,3 +7268,54 @@ ORACLES["slo_burn"] = f'''
                AS page
     FROM agg
 '''
+
+
+from modelardb_dynamic_spark.operators.analytics import (  # noqa: E402
+    _PACF_P2 as _PP2,
+    _PACF_P3 as _PP3,
+)
+
+ORACLES["pacf"] = f"""
+    WITH mb AS ({_MINUTE_BUCKETS}),
+    b AS (
+        SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS m,
+               CAST(sum(v) AS BIGINT) AS v
+        FROM mb GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT sid, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(v * v) AS BIGINT) AS q
+        FROM b GROUP BY sid
+    ),
+    lags AS (SELECT * FROM (VALUES (1), (2), (3)) t(lag)),
+    p AS (
+        SELECT a.sid, l.lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(a.v) AS BIGINT) AS sa,
+               CAST(sum(c.v) AS BIGINT) AS sb,
+               CAST(sum(a.v * c.v) AS BIGINT) AS sab
+        FROM b a CROSS JOIN lags l
+        JOIN b c ON c.sid = a.sid AND c.m = a.m + l.lag * {HOUR_MS}
+        GROUP BY 1, 2
+    ),
+    acfs AS (
+        SELECT p.sid, lag, n_pairs, {_ACF_EXPR} AS acf
+        FROM p JOIN base ON base.sid = p.sid
+        WHERE q * n != s * s
+    ),
+    piv AS (
+        SELECT sid,
+               max(CASE WHEN lag = 1 THEN acf END) AS r1,
+               max(CASE WHEN lag = 2 THEN acf END) AS r2,
+               max(CASE WHEN lag = 3 THEN acf END) AS r3,
+               max(CASE WHEN lag = 1 THEN n_pairs END) AS n_pairs_1
+        FROM acfs GROUP BY sid
+    )
+    SELECT sid, n_pairs_1, r1 AS phi1,
+           CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN {_PP2} END
+               AS phi2,
+           CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL
+           THEN {_PP3} END AS phi3
+    FROM piv
+"""

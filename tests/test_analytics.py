@@ -1496,3 +1496,39 @@ def test_slo_burn_pages_on_double_window(spark):
     # long window = 6 trailing buckets (hours 2..7): 600 events, 60 errors
     assert hot2.burn_long == pytest.approx(60 / 600 / 0.01)
     assert hot2.page is True
+
+
+def test_pacf3_matches_scalar_durbin_levinson(spark):
+    from modelardb_dynamic_spark.operators.analytics import pacf3
+
+    H = 3_600_000
+    # deterministic wavy integer series, 48 hourly points
+    vals = [10 + ((3 * i * i + 7 * i) % 11) - 5 for i in range(48)]
+    df = spark.createDataFrame(
+        [("s", i * H, v) for i, v in enumerate(vals)],
+        "sid string, ts_ms long, v long",
+    )
+    r = pacf3(df, H).collect()[0]
+
+    # scalar reference with the SAME sparse-acf convention
+    n = len(vals)
+    s = sum(vals)
+    q = sum(v * v for v in vals)
+    mu = s / n
+    den = q - 2 * mu * s + n * mu * mu
+
+    def acf(k):
+        pairs = [(vals[i], vals[i + k]) for i in range(n - k)]
+        sa = sum(a for a, _ in pairs)
+        sb = sum(b for _, b in pairs)
+        sab = sum(a * b for a, b in pairs)
+        return (sab - mu * sb - mu * sa + len(pairs) * mu * mu) / den
+
+    r1, r2, r3 = acf(1), acf(2), acf(3)
+    assert r.phi1 == pytest.approx(r1, rel=1e-9)
+    p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    assert r.phi2 == pytest.approx(p2, rel=1e-9)
+    a21 = r1 - p2 * r1
+    p3 = (r3 - a21 * r2 - p2 * r1) / (1 - a21 * r1 - p2 * r2)
+    assert r.phi3 == pytest.approx(p3, rel=1e-9)
+    assert r.n_pairs_1 == 47

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "mann_kendall",
     "slo_burn",
     "pacf",
+    "temporal_entropy",
 ]
 
 

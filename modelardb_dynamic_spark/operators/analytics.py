@@ -2309,3 +2309,51 @@ def pacf3(points: DataFrame, si_ms: int) -> DataFrame:
         "CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL "
         f"THEN {_PACF_P3} END AS phi3",
     )
+
+
+def temporal_entropy(points: DataFrame, bucket_ms: int = 3_600_000,
+                     n_phases: int = 24) -> DataFrame:
+    """Shannon entropy (bits) of each series' activity distribution
+    across the `n_phases` phases of the daily cycle — the one-number
+    answer to "is this usage round-the-clock or spiky at one hour?"
+    (0 bits = all mass in one hour; log2 24 ~ 4.58 = uniform). The
+    scheduling complement of dispersion_index (which scores burstiness
+    in TIME; this scores concentration in PHASE).
+
+    H = log2(N) - (sum_i c_i * log2 c_i) / N over exact int64 phase
+    counts c_i (empty phases contribute 0 by the 0*log 0 = 0 limit and
+    are naturally absent). Every log2 comes from the shared
+    log2_int_stages IEEE tree (no engine transcendental); the <=
+    n_phases term sum folds phase-ascending so both engines add in ONE
+    order.
+
+    Scale notes: one map-side-combinable groupBy to |series| x n_phases
+    cells, staged column math per cell, one |series|-sized fold."""
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    ph = points.groupBy(
+        "sid",
+        F.expr(f"(ts_ms DIV {bucket_ms}) % {n_phases}").alias("hb"),
+    ).agg(F.sum("v").cast("long").alias("c"))
+    for name, expr in log2_int_stages("c", "l2c"):
+        ph = ph.selectExpr("*", f"{expr} AS {name}")
+    folded = (
+        ph.selectExpr("sid", "hb", "CAST(c AS DOUBLE) * l2c AS term", "c")
+        .groupBy("sid")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(hb, term))), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x.term)"
+            ).alias("tsum"),
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_phases_used"),
+        )
+    )
+    for name, expr in log2_int_stages("n", "l2n"):
+        folded = folded.selectExpr("*", f"{expr} AS {name}")
+    return folded.selectExpr(
+        "sid",
+        "n",
+        "n_phases_used",
+        "l2n - tsum / CAST(n AS DOUBLE) AS h_bits",
+    )

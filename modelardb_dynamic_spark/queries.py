@@ -2378,6 +2378,21 @@ def q_pacf(spark, sf_dir):
     return pacf3(hourly, si_ms=HOUR_MS)
 
 
+
+def q_temporal_entropy(spark, sf_dir):
+    """Hour-of-day activity entropy (operators/analytics.py
+    temporal_entropy): bits of spread across the 24 daily phases per
+    series off the compressed store; shared log2_int_stages trees,
+    phase-ascending fold."""
+    from modelardb_dynamic_spark.operators.analytics import temporal_entropy
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return temporal_entropy(pts)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -2805,6 +2820,7 @@ QUERIES = {
     "mann_kendall": q_mann_kendall,
     "slo_burn": q_slo_burn,
     "pacf": q_pacf,
+    "temporal_entropy": q_temporal_entropy,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7319,3 +7335,43 @@ ORACLES["pacf"] = f"""
            THEN {_PP3} END AS phi3
     FROM piv
 """
+
+
+def _temporal_entropy_oracle_sql() -> str:
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    ctes, prev = [], "ph"
+    for i, (name, expr) in enumerate(log2_int_stages("c", "l2c"), 1):
+        ctes.append(f"tc{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"tc{i}"
+    c_chain = ",\n        ".join(ctes)
+    ctes2, prev2 = [], "folded"
+    for i, (name, expr) in enumerate(log2_int_stages("n", "l2n"), 1):
+        ctes2.append(f"tn{i} AS (SELECT *, {expr} AS {name} FROM {prev2})")
+        prev2 = f"tn{i}"
+    n_chain = ",\n        ".join(ctes2)
+    return f"""
+    WITH m AS ({_MINUTE_BUCKETS}),
+    ph AS (
+        SELECT sid, (m // {HOUR_MS}) % 24 AS hb,
+               CAST(sum(v) AS BIGINT) AS c
+        FROM m GROUP BY 1, 2
+    ),
+    {c_chain},
+    folded AS (
+        SELECT sid,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(CAST(c AS DOUBLE) * l2c ORDER BY hb)),
+                   (a, x) -> a + x) AS tsum,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_phases_used
+        FROM {prev} GROUP BY sid
+    ),
+    {n_chain}
+    SELECT sid, n, n_phases_used,
+           l2n - tsum / CAST(n AS DOUBLE) AS h_bits
+    FROM {prev2}
+"""
+
+
+ORACLES["temporal_entropy"] = _temporal_entropy_oracle_sql()

@@ -1532,3 +1532,29 @@ def test_pacf3_matches_scalar_durbin_levinson(spark):
     p3 = (r3 - a21 * r2 - p2 * r1) / (1 - a21 * r1 - p2 * r2)
     assert r.phi3 == pytest.approx(p3, rel=1e-9)
     assert r.n_pairs_1 == 47
+
+
+def test_temporal_entropy_uniform_vs_point_mass(spark):
+    import math
+
+    from modelardb_dynamic_spark.operators.analytics import temporal_entropy
+
+    H = 3_600_000
+    rows = []
+    # uniform over all 24 phases, 2 per phase -> H = log2 24
+    for d in range(2):
+        for h in range(24):
+            rows.append(("uni", (d * 24 + h) * H, 1))
+    # point mass: everything at phase 3 -> H = 0
+    for d in range(5):
+        rows.append(("point", (d * 24 + 3) * H, 7))
+    # 50/50 two phases -> H = 1 bit
+    for d in range(4):
+        rows.append(("half", (d * 24) * H, 1))
+        rows.append(("half", (d * 24 + 12) * H, 1))
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    out = {r.sid: r for r in temporal_entropy(df).collect()}
+    assert out["uni"].h_bits == pytest.approx(math.log2(24), abs=1e-9)
+    assert out["uni"].n_phases_used == 24 and out["uni"].n == 48
+    assert out["point"].h_bits == pytest.approx(0.0, abs=1e-9)
+    assert out["half"].h_bits == pytest.approx(1.0, abs=1e-9)

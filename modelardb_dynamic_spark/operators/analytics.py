@@ -2190,7 +2190,10 @@ def mann_kendall(points: DataFrame, bucket_ms: int) -> DataFrame:
         .groupBy("sid")
         .agg(
             F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("long").alias("tt"),
-            F.sum(F.lit(1)).cast("long").alias("n_buckets"),
+            # n = sum of tie-group sizes (= bucket count), NOT the number
+            # of tie groups — a seeded scalar-differential fuzz caught the
+            # count(*) version, which the mirrored oracle couldn't.
+            F.sum("t").cast("long").alias("n_buckets"),
         )
     )
     return pairs.join(ties, "sid").selectExpr(

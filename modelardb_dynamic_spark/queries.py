@@ -7236,7 +7236,7 @@ ORACLES["mann_kendall"] = f'''
     ties AS (
         SELECT sid,
                CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt,
-               CAST(count(*) AS BIGINT) AS n_buckets
+               CAST(sum(t) AS BIGINT) AS n_buckets
         FROM tt GROUP BY sid
     )
     SELECT p.sid, n_buckets, s,

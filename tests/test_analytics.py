@@ -1558,3 +1558,43 @@ def test_temporal_entropy_uniform_vs_point_mass(spark):
     assert out["uni"].n_phases_used == 24 and out["uni"].n == 48
     assert out["point"].h_bits == pytest.approx(0.0, abs=1e-9)
     assert out["half"].h_bits == pytest.approx(1.0, abs=1e-9)
+
+
+def test_mann_kendall_fuzz_vs_scalar(spark):
+    import math
+    import random
+
+    from modelardb_dynamic_spark.operators.analytics import mann_kendall
+
+    D = 86_400_000
+    rows, want = [], {}
+    for seed in range(4):
+        rng = random.Random(1000 + seed)
+        n = rng.randint(5, 25)
+        vals = [rng.randint(0, 6) for _ in range(n)]  # heavy ties
+        sid = f"s{seed}"
+        rows += [(sid, i * D, v) for i, v in enumerate(vals)]
+        s = sum(
+            (0 if vals[j] == vals[i] else (1 if vals[j] > vals[i] else -1))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie_counts = {}
+        for v in vals:
+            tie_counts[v] = tie_counts.get(v, 0) + 1
+        tt = sum(t * (t - 1) * (2 * t + 5) for t in tie_counts.values())
+        var = (n * (n - 1) * (2 * n + 5) - tt) / 18
+        if var > 0:
+            z = (s - 1) / math.sqrt(var) if s > 0 else (
+                (s + 1) / math.sqrt(var) if s < 0 else 0.0)
+        else:
+            z = None
+        want[sid] = (n, s, z)
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    out = {r.sid: r for r in mann_kendall(df, D).collect()}
+    for sid, (n, s, z) in want.items():
+        assert out[sid].n_buckets == n and out[sid].s == s
+        if z is None:
+            assert out[sid].z is None
+        else:
+            assert out[sid].z == pytest.approx(z, rel=1e-12, abs=1e-12)

@@ -1598,3 +1598,110 @@ def test_mann_kendall_fuzz_vs_scalar(spark):
             assert out[sid].z is None
         else:
             assert out[sid].z == pytest.approx(z, rel=1e-12, abs=1e-12)
+
+
+def test_new_analytics_fuzz_vs_scalar(spark):
+    """Seeded scalar differentials for the round's counting operators —
+    the discipline that caught the Mann-Kendall n bug (a mirrored
+    oracle can't catch a shared mistake; an independent reference
+    can)."""
+    import math
+    import random
+
+    from modelardb_dynamic_spark.operators.analytics import (
+        dispersion_index,
+        flatline_runs,
+        peak_concurrency,
+        temporal_entropy,
+    )
+
+    H = 3_600_000
+    rng = random.Random(7)
+
+    # --- dispersion + temporal entropy on one random table -------------
+    rows = []
+    series = {}
+    for s in range(4):
+        sid = f"d{s}"
+        vals = {}
+        for _ in range(rng.randint(5, 40)):
+            h = rng.randint(0, 200)
+            vals[h] = vals.get(h, 0) + rng.randint(1, 9)
+        series[sid] = vals
+        rows += [(sid, h * H, v) for h, v in vals.items()]
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+
+    disp = {r.sid: r for r in dispersion_index(df, H).collect()}
+    for sid, vals in series.items():
+        xs = list(vals.values())
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        want = (
+            (n * sxx - sx * sx) / ((n - 1) * sx) if n >= 2 and sx > 0 else None
+        )
+        got = disp[sid].dispersion
+        if want is None:
+            assert got is None
+        else:
+            assert got == pytest.approx(want, rel=1e-12)
+
+    ent = {r.sid: r for r in temporal_entropy(df).collect()}
+    for sid, vals in series.items():
+        ph = {}
+        for h, v in vals.items():
+            ph[h % 24] = ph.get(h % 24, 0) + v
+        n = sum(ph.values())
+        want = math.log2(n) - sum(c * math.log2(c) for c in ph.values()) / n
+        assert ent[sid].h_bits == pytest.approx(want, rel=1e-9, abs=1e-9)
+        assert ent[sid].n_phases_used == len(ph)
+
+    # --- peak concurrency vs brute-force boundary scan -----------------
+    sess = [
+        (rng.randint(0, 5000), rng.randint(1, 800)) for _ in range(60)
+    ]
+    sdf = spark.createDataFrame(
+        [(a, a + d) for a, d in sess], "start_ms long, end_ms long"
+    )
+    B = 1000
+    got = {r.bucket_ts: (r.peak, r.peak_at_ms)
+           for r in peak_concurrency(sdf, B).collect()}
+    bounds = sorted(
+        {a for a, d in sess} | {a + d + 1 for a, d in sess}
+    )
+    want_by_bucket = {}
+    for t in bounds:
+        c = sum(1 for a, d in sess if a <= t <= a + d)
+        b = (t // B) * B
+        cur = want_by_bucket.get(b)
+        if cur is None or c > cur[0]:
+            want_by_bucket[b] = (c, t)
+    assert got == want_by_bucket
+
+    # --- flatline runs vs brute force ----------------------------------
+    M = 60_000
+    frows, fwant = [], {}
+    for s in range(3):
+        sid = f"f{s}"
+        idxs = sorted(rng.sample(range(60), rng.randint(10, 40)))
+        vs = [rng.randint(0, 2) for _ in idxs]
+        frows += [(sid, i * M, v) for i, v in zip(idxs, vs)]
+        best = None
+        run_len, run_start = 0, None
+        for k, (i, v) in enumerate(zip(idxs, vs)):
+            if k > 0 and i == idxs[k - 1] + 1 and v == vs[k - 1]:
+                run_len += 1
+            else:
+                run_len, run_start = 1, i
+            key = (run_len, run_start * M, v)
+            if best is None or (
+                key[0] > best[0]
+                or (key[0] == best[0] and key[1] < best[1])
+                or (key[0] == best[0] and key[1] == best[1] and key[2] < best[2])
+            ):
+                best = key
+        fwant[sid] = best
+    fdf = spark.createDataFrame(frows, "sid string, ts_ms long, v long")
+    fgot = {
+        r.sid: (r.run_len, r.run_start_ms, r.run_value)
+        for r in flatline_runs(fdf, M).collect()
+    }
+    assert fgot == fwant

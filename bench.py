@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "slo_burn",
     "pacf",
     "temporal_entropy",
+    "stream_slo",
 ]
 
 

@@ -2393,6 +2393,50 @@ def q_temporal_entropy(spark, sf_dir):
     return temporal_entropy(pts)
 
 
+
+def q_stream_slo(spark, sf_dir):
+    """Streaming multi-window SLO burn pager under the value gate
+    (streaming/sloburn.py stream_slo_burn): the events table replayed
+    as an arriving file stream through the stateful pager. The oracle
+    is the batch slo_burn SQL restricted to CLOSED buckets (the stream
+    withholds the frontier hour until something follows it) with the
+    in-order feed's n_late_dropped = 0, so the gate pins
+    streamed == batch == DuckDB, float burns included."""
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid
+
+    from modelardb_dynamic_spark.streaming.sloburn import stream_slo_burn
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type")
+    d = tempfile.mkdtemp(prefix="mdbs_stream_slo_")
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(d, "chunk=0")
+        )
+        schema = spark.read.parquet(_os.path.join(d, "chunk=0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(d, "chunk=*"))
+        )
+        name = "stream_slo_" + uuid.uuid4().hex[:8]
+        q = (
+            stream_slo_burn(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).localCheckpoint()
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -2821,6 +2865,7 @@ QUERIES = {
     "slo_burn": q_slo_burn,
     "pacf": q_pacf,
     "temporal_entropy": q_temporal_entropy,
+    "stream_slo": q_stream_slo,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7375,3 +7420,34 @@ def _temporal_entropy_oracle_sql() -> str:
 
 
 ORACLES["temporal_entropy"] = _temporal_entropy_oracle_sql()
+
+
+ORACLES["stream_slo"] = f"""
+    WITH hb AS (
+        SELECT epoch_ms(ts) // {HOUR_MS} AS h,
+               CAST(count(*) AS BIGINT) AS tot,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS err
+        FROM events GROUP BY 1
+    ),
+    agg AS (
+        SELECT h,
+               CAST(sum(err) OVER (ORDER BY h RANGE BETWEEN 0 PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS err_s,
+               CAST(sum(tot) OVER (ORDER BY h RANGE BETWEEN 0 PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS tot_s,
+               CAST(sum(err) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS err_l,
+               CAST(sum(tot) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS tot_l
+        FROM hb
+    )
+    SELECT h * {HOUR_MS} AS bucket_ts, err_s, tot_s, err_l, tot_l,
+           {_SLO_BURN_S} AS burn_short,
+           {_SLO_BURN_L} AS burn_long,
+           {_SLO_BURN_S} > {_an_dlit(14.4)} AND {_SLO_BURN_L} > {_an_dlit(6.0)}
+               AS page,
+           CAST(0 AS BIGINT) AS n_late_dropped
+    FROM agg
+    WHERE h < (SELECT max(h) FROM hb)
+"""

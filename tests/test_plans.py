@@ -345,3 +345,78 @@ def test_bpe_encode_broadcasts_word_map(spark):
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_r4_late_analytics_ops_plan_shape(spark):
+    """The session's additions stay JVM-side and broadcast their tiny
+    frames: dispersion/mann_kendall/temporal_entropy/flatline plans
+    have zero Python eval nodes; benford's 9-digit frame and
+    decayed_counts' one-row anchor enter as broadcast joins (benford's
+    digit frame is a BroadcastNestedLoopJoin by construction — a
+    literal 9-row cross join); peak_concurrency has no cartesian."""
+    import pandas as pd
+
+    from modelardb_dynamic_spark.operators.analytics import (
+        benford_audit,
+        decayed_counts,
+        dispersion_index,
+        flatline_runs,
+        mann_kendall,
+        peak_concurrency,
+        temporal_entropy,
+    )
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sid": ["a"] * 30,
+                "ts_ms": [i * 3_600_000 for i in range(30)],
+                "v": [(i * 7) % 5 + 1 for i in range(30)],
+            }
+        )
+    )
+    for df in (
+        dispersion_index(pts, 3_600_000),
+        mann_kendall(pts, 86_400_000),
+        temporal_entropy(pts),
+        flatline_runs(pts, 3_600_000),
+    ):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, plan[:1200]
+        assert "ArrowEvalPython" not in plan, plan[:1200]
+        assert "CartesianProduct" not in plan, plan[:1200]
+
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), "t", 12.5 + i)
+            for i in range(40)
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    bf = benford_audit(ev)
+    bf.collect()
+    plan = bf._jdf.queryExecution().executedPlan().toString()
+    assert (
+        plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+        >= 2
+    ), plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    dc = decayed_counts(ev.selectExpr("ts", "1 AS user_id"))
+    dc.collect()
+    plan = dc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    sess = spark.createDataFrame(
+        [(i * 100, i * 100 + 500) for i in range(20)],
+        "start_ms long, end_ms long",
+    )
+    pc = peak_concurrency(sess, 86_400_000)
+    pc.collect()
+    plan = pc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -2280,11 +2280,10 @@ def q_dispersion(spark, sf_dir):
         dispersion_index,
     )
 
-    segs = _event_segments(spark, sf_dir)
-    pts = datapoint_view(segs).select(
-        "sid", "ts_ms", F.col("value").cast("long").alias("v")
-    )
-    return dispersion_index(pts, bucket_ms=HOUR_MS)
+    # served by the engine's own 1h rollup tier (value-identical at eb0:
+    # count sums are exact ints in float64; the oracle replays the
+    # point-level definition and stays green) instead of decode-all-points
+    return dispersion_index(_hourly_points(spark, sf_dir), bucket_ms=HOUR_MS)
 
 
 
@@ -2343,11 +2342,17 @@ def q_mann_kendall(spark, sf_dir):
     store. Exact int64 pair signs + ONE shared IEEE closing tree."""
     from modelardb_dynamic_spark.operators.analytics import mann_kendall
 
+    # tier path: the 1d tier composed from segments serves the daily
+    # sums directly (exact ints at eb0; oracle replays the point path)
+    from modelardb_dynamic_spark.operators.rollup import rollup
+
     segs = _event_segments(spark, sf_dir)
-    pts = datapoint_view(segs).select(
-        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    daily = rollup(segs, DAY_MS).select(
+        "sid",
+        F.col("bucket_ts").alias("ts_ms"),
+        F.col("vsum").cast("long").alias("v"),
     )
-    return mann_kendall(pts, bucket_ms=DAY_MS)
+    return mann_kendall(daily, bucket_ms=DAY_MS)
 
 
 def q_slo_burn(spark, sf_dir):
@@ -2368,14 +2373,7 @@ def q_pacf(spark, sf_dir):
     acf_lags' exact-moment r_k."""
     from modelardb_dynamic_spark.operators.analytics import pacf3
 
-    segs = _event_segments(spark, sf_dir)
-    pts = datapoint_view(segs).select(
-        "sid", "ts_ms", F.col("value").cast("long").alias("v")
-    )
-    hourly = pts.groupBy(
-        "sid", F.expr(f"(ts_ms DIV {HOUR_MS}) * {HOUR_MS}").alias("ts_ms")
-    ).agg(F.sum("v").cast("long").alias("v"))
-    return pacf3(hourly, si_ms=HOUR_MS)
+    return pacf3(_hourly_points(spark, sf_dir), si_ms=HOUR_MS)
 
 
 
@@ -2386,11 +2384,7 @@ def q_temporal_entropy(spark, sf_dir):
     phase-ascending fold."""
     from modelardb_dynamic_spark.operators.analytics import temporal_entropy
 
-    segs = _event_segments(spark, sf_dir)
-    pts = datapoint_view(segs).select(
-        "sid", "ts_ms", F.col("value").cast("long").alias("v")
-    )
-    return temporal_entropy(pts)
+    return temporal_entropy(_hourly_points(spark, sf_dir))
 
 
 

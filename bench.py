@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "pacf",
     "temporal_entropy",
     "stream_slo",
+    "stream_concurrency",
 ]
 
 

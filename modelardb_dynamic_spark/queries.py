@@ -2431,6 +2431,58 @@ def q_stream_slo(spark, sf_dir):
     return spark.table(name).localCheckpoint()
 
 
+
+def q_stream_concurrency(spark, sf_dir):
+    """Streaming peak-concurrency gauge under the value gate
+    (streaming/concurrency.py stream_concurrency): session boundary
+    deltas (from the same sessionization the batch operator uses)
+    replayed as an arriving stream through the O(1)-state gauge. The
+    oracle is the batch sweep restricted to CLOSED buckets with
+    n_late_dropped = 0 (in-order feed), pinning streamed == batch ==
+    DuckDB on the integer sweep."""
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid
+
+    from modelardb_dynamic_spark.streaming.concurrency import (
+        stream_concurrency,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sess = textstats.sessionize(ev, gap_ms=30 * 60_000)
+    deltas = (
+        sess.selectExpr("start_ms AS t", "CAST(1 AS INT) AS d")
+        .unionByName(sess.selectExpr("end_ms + 1 AS t", "CAST(-1 AS INT) AS d"))
+        .orderBy("t")
+    )
+    d = tempfile.mkdtemp(prefix="mdbs_stream_conc_")
+    try:
+        deltas.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(d, "chunk=0")
+        )
+        schema = spark.read.parquet(_os.path.join(d, "chunk=0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(d, "chunk=*"))
+        )
+        name = "stream_conc_" + uuid.uuid4().hex[:8]
+        q = (
+            stream_concurrency(stream, DAY_MS)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).localCheckpoint()
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -2860,6 +2912,7 @@ QUERIES = {
     "pacf": q_pacf,
     "temporal_entropy": q_temporal_entropy,
     "stream_slo": q_stream_slo,
+    "stream_concurrency": q_stream_concurrency,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7444,4 +7497,27 @@ ORACLES["stream_slo"] = f"""
            CAST(0 AS BIGINT) AS n_late_dropped
     FROM agg
     WHERE h < (SELECT max(h) FROM hb)
+"""
+
+
+ORACLES["stream_concurrency"] = f"""
+    WITH {_SESS_BOUNDS},
+    ev AS (
+        SELECT start_ms AS t, 1 AS d FROM bounds
+        UNION ALL SELECT end_ms + 1 AS t, -1 AS d FROM bounds
+    ),
+    net AS (SELECT t, sum(d) AS d FROM ev GROUP BY t),
+    run AS (
+        SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS c,
+               (t // {DAY_MS}) * {DAY_MS} AS b
+        FROM net
+    ),
+    swept AS (
+        SELECT b AS bucket_ts, CAST(c AS BIGINT) AS peak, t AS peak_at_ms
+        FROM run
+        QUALIFY row_number() OVER (PARTITION BY b ORDER BY c DESC, t ASC) = 1
+    )
+    SELECT bucket_ts, peak, peak_at_ms, CAST(0 AS BIGINT) AS n_late_dropped
+    FROM swept
+    WHERE bucket_ts < (SELECT max(bucket_ts) FROM swept)
 """

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "temporal_entropy",
     "stream_slo",
     "stream_concurrency",
+    "concurrency_occupancy",
 ]
 
 

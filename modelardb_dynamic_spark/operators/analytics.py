@@ -2360,3 +2360,45 @@ def temporal_entropy(points: DataFrame, bucket_ms: int = 3_600_000,
         "n_phases_used",
         "l2n - tsum / CAST(n AS DOUBLE) AS h_bits",
     )
+
+
+def concurrency_occupancy(
+    sessions: DataFrame,
+    start_col: str = "start_ms",
+    end_col: str = "end_ms",
+) -> DataFrame:
+    """Occupancy histogram of the concurrency gauge: for each level c,
+    the total milliseconds the system spent with exactly c sessions
+    active — the duration-weighted complement of peak_concurrency (a
+    peak says how bad the worst instant was; occupancy says how LONG it
+    was that bad, which is what capacity planning actually bills).
+
+    Sweep-line: net deltas per distinct boundary instant, running sum,
+    each level holds for [t, next_t) (the final boundary closes the last
+    interval at level 0 and emits nothing). All integer; share is one
+    shared division by the total span.
+
+    Scale notes: same shape as peak_concurrency — the running-sum window
+    carries one row per distinct boundary instant (span-bounded); the
+    occupancy groupBy is map-side-combinable onto |levels| rows."""
+    ends = sessions.select((F.col(end_col) + 1).alias("t"), F.lit(-1).alias("d"))
+    starts = sessions.select(F.col(start_col).alias("t"), F.lit(1).alias("d"))
+    net = starts.unionByName(ends).groupBy("t").agg(F.sum("d").alias("d"))
+    w = Window.orderBy("t")
+    run = net.select(
+        "t",
+        F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("c"),
+        F.lead("t").over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    occ = run.groupBy(F.col("c").cast("long").alias("level")).agg(
+        F.sum(F.col("t_next") - F.col("t")).cast("long").alias("ms")
+    )
+    total = occ.agg(F.sum("ms").cast("long").alias("total_ms"))
+    return (
+        occ.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "level",
+            "ms",
+            "CAST(ms AS DOUBLE) / CAST(total_ms AS DOUBLE) AS share",
+        )
+    )

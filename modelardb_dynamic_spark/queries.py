@@ -2483,6 +2483,21 @@ def q_stream_concurrency(spark, sf_dir):
     return spark.table(name).localCheckpoint()
 
 
+
+def q_concurrency_occupancy(spark, sf_dir):
+    """Concurrency occupancy histogram (operators/analytics.py
+    concurrency_occupancy): total ms spent at each simultaneous-session
+    level over the user-session sweep — exact integer interval algebra,
+    share as one shared division."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        concurrency_occupancy,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sess = textstats.sessionize(ev, gap_ms=30 * 60_000)
+    return concurrency_occupancy(sess)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -2913,6 +2928,7 @@ QUERIES = {
     "temporal_entropy": q_temporal_entropy,
     "stream_slo": q_stream_slo,
     "stream_concurrency": q_stream_concurrency,
+    "concurrency_occupancy": q_concurrency_occupancy,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7520,4 +7536,28 @@ ORACLES["stream_concurrency"] = f"""
     SELECT bucket_ts, peak, peak_at_ms, CAST(0 AS BIGINT) AS n_late_dropped
     FROM swept
     WHERE bucket_ts < (SELECT max(bucket_ts) FROM swept)
+"""
+
+
+ORACLES["concurrency_occupancy"] = f"""
+    WITH {_SESS_BOUNDS},
+    ev AS (
+        SELECT start_ms AS t, 1 AS d FROM bounds
+        UNION ALL SELECT end_ms + 1 AS t, -1 AS d FROM bounds
+    ),
+    net AS (SELECT t, sum(d) AS d FROM ev GROUP BY t),
+    run AS (
+        SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS c,
+               lead(t) OVER (ORDER BY t) AS t_next
+        FROM net
+    ),
+    occ AS (
+        SELECT CAST(c AS BIGINT) AS level,
+               CAST(sum(t_next - t) AS BIGINT) AS ms
+        FROM run WHERE t_next IS NOT NULL GROUP BY 1
+    )
+    SELECT level, ms,
+           CAST(ms AS DOUBLE) /
+           CAST((SELECT sum(ms) FROM occ) AS DOUBLE) AS share
+    FROM occ
 """

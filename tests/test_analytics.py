@@ -1705,3 +1705,22 @@ def test_new_analytics_fuzz_vs_scalar(spark):
         for r in flatline_runs(fdf, M).collect()
     }
     assert fgot == fwant
+
+
+def test_concurrency_occupancy_hand_values(spark):
+    from modelardb_dynamic_spark.operators.analytics import (
+        concurrency_occupancy,
+    )
+
+    # [0,99] and [50,149]: levels 1 (0-49), 2 (50-99), 1 (100-149), 0 gap
+    # then [200,299]: level 1. Boundaries: 0,50,100,150,200,300.
+    df = spark.createDataFrame(
+        [(0, 99), (50, 149), (200, 299)], "start_ms long, end_ms long"
+    )
+    out = {r.level: r for r in concurrency_occupancy(df).collect()}
+    assert out[2].ms == 50            # [50, 100)
+    assert out[1].ms == 50 + 50 + 100  # [0,50) + [100,150) + [200,300)
+    assert out[0].ms == 50            # the [150, 200) gap
+    total = 300
+    assert out[1].share == pytest.approx(200 / total)
+    assert out[2].share == pytest.approx(50 / total)

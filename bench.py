@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "stream_slo",
     "stream_concurrency",
     "concurrency_occupancy",
+    "graph_triangles",
 ]
 
 

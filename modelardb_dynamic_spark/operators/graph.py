@@ -99,3 +99,61 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_census(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Exact per-node triangle count and local clustering coefficient
+    over an undirected edge list (one row per edge, a < b) — the
+    community-structure verdict PageRank can't give: a high-degree tool
+    whose neighbors never co-occur (a pure hub, clustering ~ 0) versus a
+    clique member (clustering ~ 1).
+
+    Ordered-wedge join: triangles a < b < c are found once each by
+    joining (a,b)x(b,c) wedges against the (a,c) edge; each triangle
+    then credits its three corners. All counts exact int64; clustering
+    = 2*T / (deg*(deg-1)) is one shared division, NULL for deg < 2.
+
+    Scale notes: the wedge join keys on the shared endpoint and the
+    closing join on the (a,c) pair — both plain hash joins, no
+    cartesian; with edges ordered a < b every wedge is generated once
+    (no factor-6 duplication). Cost is sum of deg(v)^2 over the
+    LOW-ordered endpoint — the standard ordered-triangle bound; on
+    key-bounded graphs (tools, sources) the whole thing is broadcast-
+    sized."""
+    e = edges.selectExpr(f"{a_col} AS a", f"{b_col} AS b")
+    w1 = e.selectExpr("a AS x", "b AS y")
+    w2 = e.selectExpr("a AS y", "b AS z")
+    tri = (
+        w1.join(w2, ["y"])
+        .join(
+            e.selectExpr("a AS x", "b AS z", "CAST(1 AS INT) AS hit"),
+            ["x", "z"],
+        )
+        .select("x", "y", "z")
+    )
+    corners = (
+        tri.selectExpr("x AS node")
+        .unionByName(tri.selectExpr("y AS node"))
+        .unionByName(tri.selectExpr("z AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        e.selectExpr("a AS node")
+        .unionByName(e.selectExpr("b AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.join(corners, ["node"], "left")
+        .fillna(0, ["n_triangles"])
+        .selectExpr(
+            "node",
+            "degree",
+            "n_triangles",
+            "CASE WHEN degree >= 2 THEN CAST(2 * n_triangles AS DOUBLE)"
+            " / CAST(degree * (degree - 1) AS DOUBLE) END AS clustering",
+        )
+    )

@@ -2498,6 +2498,32 @@ def q_concurrency_occupancy(spark, sf_dir):
     return concurrency_occupancy(sess)
 
 
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle census of the tool co-usage graph (operators/graph.py
+    triangle_census): per-tool triangle counts + local clustering over
+    the same min-support co-usage edges tool_affinity scores — hub
+    versus clique-member, exact."""
+    from modelardb_dynamic_spark.operators.graph import triangle_census
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    ct = (
+        tr.where(F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    edges = (
+        ct.selectExpr("conv_id", "tool AS a")
+        .join(ct.selectExpr("conv_id", "tool AS b"), ["conv_id"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= TOOL_AFF_MIN)
+        .select("a", "b")
+    )
+    return triangle_census(edges)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -2929,6 +2955,7 @@ QUERIES = {
     "stream_slo": q_stream_slo,
     "stream_concurrency": q_stream_concurrency,
     "concurrency_occupancy": q_concurrency_occupancy,
+    "graph_triangles": q_graph_triangles,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7560,4 +7587,49 @@ ORACLES["concurrency_occupancy"] = f"""
            CAST(ms AS DOUBLE) /
            CAST((SELECT sum(ms) FROM occ) AS DOUBLE) AS share
     FROM occ
+"""
+
+
+ORACLES["graph_triangles"] = f"""
+    WITH tr AS (
+        SELECT concat('conv', CAST(user_id AS VARCHAR)) AS conv_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) - 1
+                   AS INT) AS turn_idx,
+               event_type
+        FROM events
+    ),
+    ct AS (
+        SELECT DISTINCT conv_id, event_type AS tool
+        FROM tr WHERE turn_idx % 3 = 2
+    ),
+    e AS (
+        SELECT a.tool AS a, b.tool AS b
+        FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+        GROUP BY 1, 2
+        HAVING count(*) >= {TOOL_AFF_MIN}
+    ),
+    tri AS (
+        SELECT w1.a AS x, w1.b AS y, w2.b AS z
+        FROM e w1
+        JOIN e w2 ON w2.a = w1.b
+        JOIN e w3 ON w3.a = w1.a AND w3.b = w2.b
+    ),
+    corners AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY node
+    )
+    SELECT d.node, degree, coalesce(c.n_triangles, 0) AS n_triangles,
+           CASE WHEN degree >= 2 THEN CAST(2 * coalesce(c.n_triangles, 0)
+               AS DOUBLE) / CAST(degree * (degree - 1) AS DOUBLE) END
+               AS clustering
+    FROM deg d LEFT JOIN corners c ON c.node = d.node
 """

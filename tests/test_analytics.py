@@ -1724,3 +1724,25 @@ def test_concurrency_occupancy_hand_values(spark):
     total = 300
     assert out[1].share == pytest.approx(200 / total)
     assert out[2].share == pytest.approx(50 / total)
+
+
+def test_triangle_census_known_graph(spark):
+    from modelardb_dynamic_spark.operators.graph import triangle_census
+
+    # K4 on {a,b,c,d} plus pendant e attached to a:
+    # every K4 node: deg 3 within K4, 3 triangles... each node of K4 is
+    # in C(3,2)=3 triangles; a additionally has edge to e (deg 4).
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("a", "e"),
+    ]
+    df = spark.createDataFrame(edges, "a string, b string")
+    out = {r.node: r for r in triangle_census(df).collect()}
+    assert out["a"].degree == 4 and out["a"].n_triangles == 3
+    assert out["a"].clustering == pytest.approx(2 * 3 / (4 * 3))
+    for n in "bcd":
+        assert out[n].degree == 3 and out[n].n_triangles == 3
+        assert out[n].clustering == pytest.approx(1.0)
+    assert out["e"].degree == 1 and out["e"].n_triangles == 0
+    assert out["e"].clustering is None

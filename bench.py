@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "stream_concurrency",
     "concurrency_occupancy",
     "graph_triangles",
+    "hist_ks",
 ]
 
 

@@ -1415,3 +1415,108 @@ def duck_hist_psi_sql(
         SELECT per.*, psi_bits
         FROM per JOIN tt ON tt.{keys_sql} = per.{keys_sql}
     """
+
+
+def hist_ks(
+    tier: DataFrame, keys: list[str], ts_a: int, ts_b: int
+) -> DataFrame:
+    """Kolmogorov-Smirnov drift between two windows of the histogram
+    sketch tier, per key group: D = max over bucket boundaries of
+    |CDF_a - CDF_b|. The PSI companion (hist_psi) scores overall mass
+    movement; KS pins WHERE the distributions diverge most and is the
+    classic two-sample test statistic.
+
+    Exactness: the argmax runs entirely on exact int64 cross-products
+    |cum_a * n_b - cum_b * n_a| (no float compare can reorder winners;
+    ties broken by smallest bucket idx), and the returned D is ONE
+    shared division of the winning integer pair. NULL when either
+    window is empty for the key.
+
+    Scale notes: one full-outer join of the two |keys| x 256-bucket
+    slices, one cumulative window per key, one top-1 window — all
+    sketch-sized, never data-sized (the whole point of the tier)."""
+    from pyspark.sql import Window
+
+    a = tier.where(F.col("bucket_ts") == ts_a).select(
+        *keys, "idx", F.col("cnt").alias("ca")
+    )
+    b = tier.where(F.col("bucket_ts") == ts_b).select(
+        *keys, "idx", F.col("cnt").alias("cb")
+    )
+    u = (
+        a.join(b, [*keys, "idx"], "full_outer")
+        .fillna(0, ["ca", "cb"])
+    )
+    part = Window.partitionBy(*keys)
+    cum = u.select(
+        *keys,
+        "idx",
+        F.sum("ca").over(part.orderBy("idx")).cast("long").alias("cum_a"),
+        F.sum("cb").over(part.orderBy("idx")).cast("long").alias("cum_b"),
+        F.sum("ca").over(part).cast("long").alias("n_a"),
+        F.sum("cb").over(part).cast("long").alias("n_b"),
+    ).withColumn(
+        "diff", F.expr("abs(cum_a * n_b - cum_b * n_a)")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("diff"), F.asc("idx"))
+    return (
+        cum.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .selectExpr(
+            *keys,
+            "n_a",
+            "n_b",
+            "idx AS at_idx",
+            "CASE WHEN n_a > 0 AND n_b > 0 THEN "
+            "CAST(diff AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) END AS ks",
+        )
+    )
+
+
+def duck_hist_ks_sql(
+    table: str,
+    keys_sql: str,
+    value_expr: str,
+    bucket_sql: str,
+    ts_a_sql: str,
+    ts_b_sql: str,
+) -> str:
+    """DuckDB replay of hist_tier -> hist_ks (single key column)."""
+    v = f"CAST({value_expr} AS BIGINT)"
+    return f"""
+        WITH fine AS (
+            SELECT {keys_sql}, {bucket_sql} AS bucket_ts,
+                   {_hist_idx_sql(v)} AS idx, count(*) AS cnt
+            FROM {table} WHERE ({value_expr}) IS NOT NULL GROUP BY ALL
+        ),
+        aa AS (SELECT {keys_sql}, idx, cnt AS ca FROM fine
+               WHERE bucket_ts = ({ts_a_sql})),
+        bb AS (SELECT {keys_sql}, idx, cnt AS cb FROM fine
+               WHERE bucket_ts = ({ts_b_sql})),
+        u AS (
+            SELECT coalesce(aa.{keys_sql}, bb.{keys_sql}) AS {keys_sql},
+                   coalesce(aa.idx, bb.idx) AS idx,
+                   coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+            FROM aa FULL OUTER JOIN bb
+              ON aa.{keys_sql} = bb.{keys_sql} AND aa.idx = bb.idx
+        ),
+        cum AS (
+            SELECT {keys_sql}, idx,
+                   CAST(sum(ca) OVER (PARTITION BY {keys_sql} ORDER BY idx
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+                   CAST(sum(cb) OVER (PARTITION BY {keys_sql} ORDER BY idx
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+                   CAST(sum(ca) OVER (PARTITION BY {keys_sql})
+                       AS BIGINT) AS n_a,
+                   CAST(sum(cb) OVER (PARTITION BY {keys_sql})
+                       AS BIGINT) AS n_b
+            FROM u
+        ),
+        d AS (SELECT *, abs(cum_a * n_b - cum_b * n_a) AS diff FROM cum)
+        SELECT {keys_sql}, n_a, n_b, idx AS at_idx,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   CAST(diff AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) END AS ks
+        FROM d
+        QUALIFY row_number() OVER (
+            PARTITION BY {keys_sql} ORDER BY diff DESC, idx ASC) = 1
+    """

@@ -2524,6 +2524,33 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_census(edges)
 
 
+
+def q_hist_ks(spark, sf_dir):
+    """Kolmogorov-Smirnov drift off the histogram sketch tier
+    (operators/sketches.py hist_ks): max CDF gap between day 1 and day 0
+    of the events value per event_type, argmax on exact int64
+    cross-products, ONE shared division for the returned D."""
+    from modelardb_dynamic_spark.operators.sketches import (
+        hist_ks,
+        hist_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    daily = hist_tier(
+        ev, ["event_type"], "cents", f"(ts_ms DIV {DAY_MS}) * {DAY_MS}"
+    )
+    day0 = int(
+        ev.agg(
+            F.expr(f"min((ts_ms DIV {DAY_MS}) * {DAY_MS})").alias("d")
+        ).collect()[0]["d"]
+    )
+    return hist_ks(daily, ["event_type"], day0 + DAY_MS, day0)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -2956,6 +2983,7 @@ QUERIES = {
     "stream_concurrency": q_stream_concurrency,
     "concurrency_occupancy": q_concurrency_occupancy,
     "graph_triangles": q_graph_triangles,
+    "hist_ks": q_hist_ks,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7633,3 +7661,16 @@ ORACLES["graph_triangles"] = f"""
                AS clustering
     FROM deg d LEFT JOIN corners c ON c.node = d.node
 """
+
+
+from modelardb_dynamic_spark.operators.sketches import duck_hist_ks_sql  # noqa: E402
+
+ORACLES["hist_ks"] = duck_hist_ks_sql(
+    "events",
+    "event_type",
+    "CAST(floor(value * 100) AS BIGINT)",
+    f"(epoch_ms(ts) // {DAY_MS}) * {DAY_MS}",
+    f"(SELECT min((epoch_ms(ts) // {DAY_MS}) * {DAY_MS}) FROM events)"
+    f" + {DAY_MS}",
+    f"(SELECT min((epoch_ms(ts) // {DAY_MS}) * {DAY_MS}) FROM events)",
+)

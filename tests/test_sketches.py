@@ -741,3 +741,24 @@ def test_hist_psi_exact_and_directional(spark):
                 r["v_lo"] <= v <= r["v_hi"]
                 for v in (10, 200)
             ) or r["cnt_a"] == 0
+
+
+def test_hist_ks_known_shift(spark):
+    import pytest as _pt
+
+    from modelardb_dynamic_spark.operators.sketches import hist_ks, hist_tier
+
+    # window A: values 1..100 cents; window B: values 201..300 cents
+    # (disjoint supports -> KS = 1.0); window C == A shifted none -> 0
+    rows = []
+    for v in range(1, 101):
+        rows.append(("k", v, 0))
+        rows.append(("k", v + 200, 1000))
+        rows.append(("m", v, 0))
+        rows.append(("m", v, 1000))
+    df = spark.createDataFrame(rows, "k string, cents long, b long")
+    tier = hist_tier(df, ["k"], "cents", "b")
+    out = {r.k: r for r in hist_ks(tier, ["k"], 1000, 0).collect()}
+    assert out["k"].ks == _pt.approx(1.0)
+    assert out["m"].ks == _pt.approx(0.0)
+    assert out["k"].n_a == out["k"].n_b == 100

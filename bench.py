@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "concurrency_occupancy",
     "graph_triangles",
     "hist_ks",
+    "seasonal_strength",
 ]
 
 

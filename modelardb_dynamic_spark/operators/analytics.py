@@ -2402,3 +2402,61 @@ def concurrency_occupancy(
             "CAST(ms AS DOUBLE) / CAST(total_ms AS DOUBLE) AS share",
         )
     )
+
+
+def seasonal_strength(
+    points: DataFrame, bucket_ms: int = 3_600_000, n_phases: int = 24
+) -> DataFrame:
+    """One-way-ANOVA seasonality strength per series: eta^2 = the share
+    of bucket-count variance explained by the daily phase (hour-of-day)
+    — 0 = the hour tells you nothing, 1 = the hour determines the load.
+    The effect-SIZE companion to acf/pacf (which detect periodicity but
+    don't say how much it explains) and temporal_entropy (which scores
+    the marginal, not the variance split).
+
+    eta^2 = SS_between / SS_total with
+        SS_between = sum_p S_p^2/n_p - S^2/n
+        SS_total   = Q - S^2/n
+    over exact int64 phase sums (S_p, n_p) and totals (S, n, Q = sum
+    v^2). The <= n_phases S_p^2/n_p terms fold phase-ascending, and
+    S^2/n, the subtraction, and the final division are one shared tree
+    — deterministic in both engines. NULL when SS_total = 0 (constant
+    series).
+
+    Scale notes: two map-side-combinable groupBys (|series| x n_phases,
+    then |series|) + one bounded fold; no windows, no joins."""
+    b = points.groupBy(
+        "sid",
+        F.expr(f"ts_ms DIV {bucket_ms}").alias("hb"),
+    ).agg(F.sum("v").cast("long").alias("x"))
+    ph = b.groupBy(
+        "sid", F.expr(f"hb % {n_phases}").alias("p")
+    ).agg(
+        F.sum("x").cast("long").alias("sp"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("qp"),
+    )
+    return (
+        ph.groupBy("sid")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(p, "
+                "CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)"
+                " AS t))), CAST(0 AS DOUBLE), (a, x) -> a + x.t)"
+            ).alias("between_raw"),
+            F.sum("sp").cast("long").alias("s"),
+            F.sum("np").cast("long").alias("n"),
+            F.sum("qp").cast("long").alias("q"),
+            F.count(F.lit(1)).cast("long").alias("n_phases_used"),
+        )
+        .selectExpr(
+            "sid",
+            "n",
+            "n_phases_used",
+            "CASE WHEN CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            " / CAST(n AS DOUBLE) > 0 THEN "
+            "(between_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) END AS eta2",
+        )
+    )

@@ -2551,6 +2551,19 @@ def q_hist_ks(spark, sf_dir):
     return hist_ks(daily, ["event_type"], day0 + DAY_MS, day0)
 
 
+
+def q_seasonal_strength(spark, sf_dir):
+    """Seasonality effect size (operators/analytics.py
+    seasonal_strength): one-way-ANOVA eta^2 of hourly turn counts by
+    hour-of-day phase, off the rollup tier path; exact int64 phase
+    moments, phase-ascending fold, one shared closing tree."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        seasonal_strength,
+    )
+
+    return seasonal_strength(_hourly_points(spark, sf_dir))
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -2984,6 +2997,7 @@ QUERIES = {
     "concurrency_occupancy": q_concurrency_occupancy,
     "graph_triangles": q_graph_triangles,
     "hist_ks": q_hist_ks,
+    "seasonal_strength": q_seasonal_strength,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7674,3 +7688,40 @@ ORACLES["hist_ks"] = duck_hist_ks_sql(
     f" + {DAY_MS}",
     f"(SELECT min((epoch_ms(ts) // {DAY_MS}) * {DAY_MS}) FROM events)",
 )
+
+
+ORACLES["seasonal_strength"] = f"""
+    WITH m AS ({_MINUTE_BUCKETS}),
+    b AS (
+        SELECT sid, m // {HOUR_MS} AS hb,
+               CAST(sum(v) AS BIGINT) AS x
+        FROM m GROUP BY 1, 2
+    ),
+    ph AS (
+        SELECT sid, hb % 24 AS p,
+               CAST(sum(x) AS BIGINT) AS sp,
+               CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(x * x) AS BIGINT) AS qp
+        FROM b GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT sid,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+                        / CAST(np AS DOUBLE) ORDER BY p)),
+                   (a, x) -> a + x) AS between_raw,
+               CAST(sum(sp) AS BIGINT) AS s,
+               CAST(sum(np) AS BIGINT) AS n,
+               CAST(sum(qp) AS BIGINT) AS q,
+               CAST(count(*) AS BIGINT) AS n_phases_used
+        FROM ph GROUP BY sid
+    )
+    SELECT sid, n, n_phases_used,
+           CASE WHEN CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE) > 0 THEN
+           (between_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            / CAST(n AS DOUBLE))
+           / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n AS DOUBLE)) END AS eta2
+    FROM agg
+"""

@@ -1746,3 +1746,38 @@ def test_triangle_census_known_graph(spark):
         assert out[n].clustering == pytest.approx(1.0)
     assert out["e"].degree == 1 and out["e"].n_triangles == 0
     assert out["e"].clustering is None
+
+
+def test_seasonal_strength_pure_vs_none(spark):
+    from modelardb_dynamic_spark.operators.analytics import seasonal_strength
+
+    H = 3_600_000
+    rows = []
+    # pure: value is a deterministic function of the phase -> eta2 = 1
+    for d in range(3):
+        for h in range(24):
+            rows.append(("pure", (d * 24 + h) * H, 10 + h))
+    # flat: constant -> SS_total = 0 -> NULL
+    for d in range(3):
+        for h in range(24):
+            rows.append(("flat", (d * 24 + h) * H, 5))
+    # mixed: phase explains half... hand value via scalar ANOVA below
+    vals = {}
+    for d in range(2):
+        for h in range(24):
+            v = (3 if h < 12 else 9) + (d % 2)
+            vals[(d, h)] = v
+            rows.append(("mix", (d * 24 + h) * H, v))
+    df = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    out = {r.sid: r for r in seasonal_strength(df).collect()}
+    assert out["pure"].eta2 == pytest.approx(1.0, abs=1e-12)
+    assert out["flat"].eta2 is None
+    # scalar reference for mix
+    xs = list(vals.values())
+    n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+    by_p = {}
+    for (d, h), v in vals.items():
+        by_p.setdefault(h, []).append(v)
+    between = sum(sum(g) ** 2 / len(g) for g in by_p.values()) - s * s / n
+    total = q - s * s / n
+    assert out["mix"].eta2 == pytest.approx(between / total, rel=1e-12)

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "graph_triangles",
     "hist_ks",
     "seasonal_strength",
+    "type_hour_chi2",
 ]
 
 

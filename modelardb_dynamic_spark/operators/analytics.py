@@ -2460,3 +2460,61 @@ def seasonal_strength(
             " / CAST(n AS DOUBLE)) END AS eta2",
         )
     )
+
+
+def independence_chi2(
+    df: DataFrame, row_expr: str, col_expr: str
+) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    factorings of the same events (e.g. event_type x hour-of-day) plus
+    Cramer's V effect size — "does WHAT happens depend on WHEN" as one
+    auditable number, the contingency-table generalization of
+    benford_audit's one-dimensional fit.
+
+    chi2 = sum over the FULL R x C frame (absent cells count O = 0) of
+    (O - E)^2 / E with E = r_tot * c_tot / n; the cell terms fold in
+    (row, col)-ascending order so the float sum has ONE evaluation
+    order; V = sqrt(chi2 / (n * min(R-1, C-1))) is a shared tree on the
+    folded value (sqrt is correctly rounded). All counts exact int64.
+
+    Scale notes: one map-side-combinable groupBy to R x C cells, two
+    marginal re-aggregations, a broadcast R x C frame, one bounded
+    fold to a single row."""
+    cells = df.selectExpr(
+        f"({row_expr}) AS r", f"({col_expr}) AS c"
+    ).groupBy("r", "c").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rt = cells.groupBy("r").agg(F.sum("o").cast("long").alias("r_tot"))
+    ct = cells.groupBy("c").agg(F.sum("o").cast("long").alias("c_tot"))
+    frame = rt.crossJoin(F.broadcast(ct))
+    full = frame.join(cells, ["r", "c"], "left").fillna(0, ["o"])
+    n = df.count()
+    term = (
+        f"(CAST(o AS DOUBLE) - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)"
+        f" / CAST({n} AS DOUBLE))"
+    )
+    e = (
+        f"(CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)"
+        f" / CAST({n} AS DOUBLE))"
+    )
+    return (
+        full.selectExpr("r", "c", f"{term} * {term} / {e} AS t")
+        .groupBy()
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(r, c, t))), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x.t)"
+            ).alias("chi2"),
+            F.countDistinct("r").cast("long").alias("n_rows"),
+            F.countDistinct("c").cast("long").alias("n_cols"),
+        )
+        .selectExpr(
+            f"CAST({n} AS BIGINT) AS n",
+            "n_rows",
+            "n_cols",
+            "chi2",
+            "(n_rows - 1) * (n_cols - 1) AS dof",
+            "CASE WHEN least(n_rows, n_cols) >= 2 THEN "
+            f"sqrt(chi2 / (CAST({n} AS DOUBLE) * "
+            "CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))) END AS cramers_v",
+        )
+    )

@@ -2564,6 +2564,24 @@ def q_seasonal_strength(spark, sf_dir):
     return seasonal_strength(_hourly_points(spark, sf_dir))
 
 
+
+def q_type_hour_chi2(spark, sf_dir):
+    """Independence audit (operators/analytics.py independence_chi2):
+    does event TYPE depend on hour-of-day? Full-frame chi-square +
+    Cramer's V, cell terms folded (row, col)-ascending, exact int64
+    contingency counts."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        independence_chi2,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return independence_chi2(
+        ev,
+        "event_type",
+        f"(unix_millis(CAST(ts AS TIMESTAMP)) DIV {HOUR_MS}) % 24",
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -2998,6 +3016,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "hist_ks": q_hist_ks,
     "seasonal_strength": q_seasonal_strength,
+    "type_hour_chi2": q_type_hour_chi2,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7723,5 +7742,49 @@ ORACLES["seasonal_strength"] = f"""
             / CAST(n AS DOUBLE))
            / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
               / CAST(n AS DOUBLE)) END AS eta2
+    FROM agg
+"""
+
+
+ORACLES["type_hour_chi2"] = f"""
+    WITH base AS (
+        SELECT event_type AS r,
+               (epoch_ms(ts) // {HOUR_MS}) % 24 AS c
+        FROM events
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    cells AS (
+        SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS r_tot FROM cells GROUP BY r),
+    ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS c_tot FROM cells GROUP BY c),
+    filled AS (
+        SELECT rt.r, ct.c, r_tot, c_tot, coalesce(o, 0) AS o
+        FROM rt CROSS JOIN ct
+        LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+    ),
+    terms AS (
+        SELECT r, c,
+               (CAST(o AS DOUBLE) - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                / CAST((SELECT n FROM nn) AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                  / CAST((SELECT n FROM nn) AS DOUBLE))
+               / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                  / CAST((SELECT n FROM nn) AS DOUBLE)) AS t
+        FROM filled
+    ),
+    agg AS (
+        SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(t ORDER BY r, c)), (a, x) -> a + x) AS chi2,
+               CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT c) AS BIGINT) AS n_cols
+        FROM terms
+    )
+    SELECT (SELECT n FROM nn) AS n, n_rows, n_cols, chi2,
+           (n_rows - 1) * (n_cols - 1) AS dof,
+           CASE WHEN least(n_rows, n_cols) >= 2 THEN
+               sqrt(chi2 / (CAST((SELECT n FROM nn) AS DOUBLE)
+                   * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))) END
+               AS cramers_v
     FROM agg
 """

@@ -1781,3 +1781,33 @@ def test_seasonal_strength_pure_vs_none(spark):
     between = sum(sum(g) ** 2 / len(g) for g in by_p.values()) - s * s / n
     total = q - s * s / n
     assert out["mix"].eta2 == pytest.approx(between / total, rel=1e-12)
+
+
+def test_independence_chi2_hand_table(spark):
+    import math
+
+    from modelardb_dynamic_spark.operators.analytics import independence_chi2
+
+    # 2x2: rows A/B, cols 0/1 with O = [[10, 20], [30, 40]]
+    rows = (
+        [("A", 0)] * 10 + [("A", 1)] * 20 + [("B", 0)] * 30 + [("B", 1)] * 40
+    )
+    df = spark.createDataFrame(rows, "r string, c long")
+    out = independence_chi2(df, "r", "c").collect()[0]
+    n = 100
+    obs = {("A", 0): 10, ("A", 1): 20, ("B", 0): 30, ("B", 1): 40}
+    rt = {"A": 30, "B": 70}
+    ct = {0: 40, 1: 60}
+    chi2 = sum(
+        (o - rt[r] * ct[c] / n) ** 2 / (rt[r] * ct[c] / n)
+        for (r, c), o in obs.items()
+    )
+    assert out.n == 100 and out.dof == 1
+    assert out.chi2 == pytest.approx(chi2, rel=1e-12)
+    assert out.cramers_v == pytest.approx(math.sqrt(chi2 / 100), rel=1e-12)
+
+    # independent table -> chi2 ~ 0
+    rows2 = [("A", 0)] * 10 + [("A", 1)] * 10 + [("B", 0)] * 30 + [("B", 1)] * 30
+    df2 = spark.createDataFrame(rows2, "r string, c long")
+    out2 = independence_chi2(df2, "r", "c").collect()[0]
+    assert out2.chi2 == pytest.approx(0.0, abs=1e-12)

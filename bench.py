@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "hist_ks",
     "seasonal_strength",
     "type_hour_chi2",
+    "rate_shift",
+    "fk_audit",
 ]
 
 

@@ -2518,3 +2518,57 @@ def independence_chi2(
             "CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))) END AS cramers_v",
         )
     )
+
+
+def rate_shift_z(
+    events: DataFrame,
+    split_ms: int,
+    flag_expr: str = "event_type = 'error'",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Two-proportion z-test for a rate shift at a split point: per key,
+    did the flagged-event share change significantly between the before
+    and after windows? z = (p2 - p1) / sqrt(p*(1-p)*(1/n1 + 1/n2)) with
+    the pooled p — the significance layer on top of slo_burn's
+    thresholds (a burn says the rate is high; z says the CHANGE is not
+    noise).
+
+    key_col partitions the events; flag_expr is a boolean over any
+    columns (e.g. key = event_type, flag = value > x), so each key's
+    own flag share is tested across the split. All counts exact int64; p1/p2/pooled p and z are ONE shared tree (+ - *
+    / sqrt, correctly rounded); NULL when either window is empty or the
+    pooled variance is 0.
+
+    Scale notes: one map-side-combinable groupBy to |keys| x 2 cells,
+    then per-key column algebra — no windows, no joins."""
+    g = events.selectExpr(
+        f"{key_col} AS k",
+        f"CASE WHEN ts_ms < {split_ms} THEN 0 ELSE 1 END AS w",
+        f"CASE WHEN {flag_expr} THEN 1 ELSE 0 END AS f",
+    ).groupBy("k").agg(
+        F.sum(F.expr("CASE WHEN w = 0 THEN 1 ELSE 0 END")).cast("long").alias("n1"),
+        F.sum(F.expr("CASE WHEN w = 0 THEN f ELSE 0 END")).cast("long").alias("x1"),
+        F.sum(F.expr("CASE WHEN w = 1 THEN 1 ELSE 0 END")).cast("long").alias("n2"),
+        F.sum(F.expr("CASE WHEN w = 1 THEN f ELSE 0 END")).cast("long").alias("x2"),
+    )
+    pooled = (
+        "(CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    )
+    var = (
+        f"({pooled} * (CAST(1 AS DOUBLE) - {pooled})"
+        " * (CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " + CAST(1 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
+    )
+    return g.selectExpr(
+        "k",
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        "CASE WHEN n1 > 0 THEN CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS p1",
+        "CASE WHEN n2 > 0 THEN CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS p2",
+        f"CASE WHEN n1 > 0 AND n2 > 0 AND {var} > 0 THEN "
+        "(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
+        " - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+        f" / sqrt({var}) END AS z",
+    )

@@ -705,3 +705,54 @@ def profile_columns(
     for o in outs[1:]:
         res = res.union(o)
     return res
+
+
+def fk_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity audit of a foreign-key edge, both
+    directions at once: orphan child rows (key absent from the parent —
+    broken joins waiting to happen; NULL keys count as orphans, they
+    join to nothing) and childless parent keys (unreferenced dimension
+    rows — retention/bloat signal). The load-time contract check every
+    warehouse join silently assumes.
+
+    One row: n_child, n_orphan, n_parent_keys, n_childless_keys, and
+    the two shares as single shared divisions. All counts exact int64.
+
+    Scale notes: child rows collapse to per-key counts map-side first,
+    then ONE full-outer hash join against the distinct parent keys and
+    one global aggregation — a single shuffle each side, no windows, no
+    driver-side loops (NULL keys ride the join as a non-matching group,
+    which both engines treat identically)."""
+    pk = (
+        parent.selectExpr(f"{parent_key} AS k")
+        .where(F.col("k").isNotNull())
+        .distinct()
+        .withColumn("in_p", F.lit(1))
+    )
+    ckc = child.selectExpr(f"{child_key} AS k").groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    u = ckc.join(pk, ["k"], "full_outer")
+    return u.agg(
+        F.sum(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("n_child"),
+        F.sum(
+            F.expr("CASE WHEN in_p IS NULL THEN coalesce(cnt, 0) ELSE 0 END")
+        ).cast("long").alias("n_orphan"),
+        F.sum(F.expr("CASE WHEN in_p = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_parent_keys"),
+        F.sum(
+            F.expr("CASE WHEN in_p = 1 AND cnt IS NULL THEN 1 ELSE 0 END")
+        ).cast("long").alias("n_childless_keys"),
+    ).selectExpr(
+        "*",
+        "CASE WHEN n_child > 0 THEN CAST(n_orphan AS DOUBLE)"
+        " / CAST(n_child AS DOUBLE) END AS orphan_share",
+        "CASE WHEN n_parent_keys > 0 THEN CAST(n_childless_keys AS DOUBLE)"
+        " / CAST(n_parent_keys AS DOUBLE) END AS childless_share",
+    )

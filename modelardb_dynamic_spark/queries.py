@@ -2582,6 +2582,44 @@ def q_type_hour_chi2(spark, sf_dir):
     )
 
 
+
+MID_JAN_MS = 1_705_363_200_000  # 2024-01-16T00:00Z, the events-span midpoint
+
+
+def q_rate_shift(spark, sf_dir):
+    """Two-proportion z-test (operators/analytics.py rate_shift_z): per
+    event_type, did the share of high-value events (value > 100) shift
+    between the first and second half of January? Exact 2x2 counts, one
+    shared pooled-variance tree."""
+    from modelardb_dynamic_spark.operators.analytics import rate_shift_z
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return rate_shift_z(
+        ev, split_ms=MID_JAN_MS, flag_expr="value > 100",
+        key_col="event_type",
+    )
+
+
+
+def q_fk_audit(spark, sf_dir):
+    """Referential-integrity audit (operators/curation.py fk_audit):
+    the orders -> customer foreign-key edge, both directions (orphan
+    order rows + childless customers, TPC-H plants ~1/3 childless);
+    one full-outer aggregation, exact counts, two shared divisions."""
+    from modelardb_dynamic_spark.operators.curation import fk_audit
+
+    return fk_audit(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -3017,6 +3055,8 @@ QUERIES = {
     "hist_ks": q_hist_ks,
     "seasonal_strength": q_seasonal_strength,
     "type_hour_chi2": q_type_hour_chi2,
+    "rate_shift": q_rate_shift,
+    "fk_audit": q_fk_audit,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7786,5 +7826,69 @@ ORACLES["type_hour_chi2"] = f"""
                sqrt(chi2 / (CAST((SELECT n FROM nn) AS DOUBLE)
                    * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))) END
                AS cramers_v
+    FROM agg
+"""
+
+
+ORACLES["rate_shift"] = f"""
+    WITH g AS (
+        SELECT event_type AS k,
+               CAST(sum(CASE WHEN epoch_ms(ts) < {MID_JAN_MS}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN epoch_ms(ts) < {MID_JAN_MS}
+                   AND value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+               CAST(sum(CASE WHEN epoch_ms(ts) >= {MID_JAN_MS}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN epoch_ms(ts) >= {MID_JAN_MS}
+                   AND value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        FROM events GROUP BY 1
+    )
+    SELECT k, n1, x1, n2, x2,
+           CASE WHEN n1 > 0 THEN CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+               AS p1,
+           CASE WHEN n2 > 0 THEN CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) END
+               AS p2,
+           CASE WHEN n1 > 0 AND n2 > 0 AND
+                ((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (CAST(1 AS DOUBLE) - CAST(x1 + x2 AS DOUBLE)
+                    / CAST(n1 + n2 AS DOUBLE))
+                 * (CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    + CAST(1 AS DOUBLE) / CAST(n2 AS DOUBLE))) > 0 THEN
+           (CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+            - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (CAST(1 AS DOUBLE) - CAST(x1 + x2 AS DOUBLE)
+                     / CAST(n1 + n2 AS DOUBLE))
+                  * (CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     + CAST(1 AS DOUBLE) / CAST(n2 AS DOUBLE))) END AS z
+    FROM g
+"""
+
+
+ORACLES["fk_audit"] = """
+    WITH pk AS (
+        SELECT DISTINCT c_custkey AS k, 1 AS in_p
+        FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    ckc AS (
+        SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    u AS (SELECT * FROM ckc FULL OUTER JOIN pk USING (k)),
+    agg AS (
+        SELECT CAST(sum(coalesce(cnt, 0)) AS BIGINT) AS n_child,
+               CAST(sum(CASE WHEN in_p IS NULL THEN coalesce(cnt, 0)
+                   ELSE 0 END) AS BIGINT) AS n_orphan,
+               CAST(sum(CASE WHEN in_p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_parent_keys,
+               CAST(sum(CASE WHEN in_p = 1 AND cnt IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_childless_keys
+        FROM u
+    )
+    SELECT *,
+           CASE WHEN n_child > 0 THEN CAST(n_orphan AS DOUBLE)
+               / CAST(n_child AS DOUBLE) END AS orphan_share,
+           CASE WHEN n_parent_keys > 0 THEN CAST(n_childless_keys AS DOUBLE)
+               / CAST(n_parent_keys AS DOUBLE) END AS childless_share
     FROM agg
 """

@@ -1811,3 +1811,36 @@ def test_independence_chi2_hand_table(spark):
     df2 = spark.createDataFrame(rows2, "r string, c long")
     out2 = independence_chi2(df2, "r", "c").collect()[0]
     assert out2.chi2 == pytest.approx(0.0, abs=1e-12)
+
+
+def test_rate_shift_z_hand_values(spark):
+    import math
+
+    from modelardb_dynamic_spark.operators.analytics import rate_shift_z
+
+    rows = []
+    # before: 100 events, 10 flagged; after: 100 events, 30 flagged
+    rows += [("t", 150.0 if i < 10 else 50.0, i) for i in range(100)]
+    rows += [("t", 150.0 if i < 30 else 50.0, 1000 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_type string, value double, ts_ms long")
+    r = rate_shift_z(df, split_ms=1000, flag_expr="value > 100").collect()[0]
+    assert (r.n1, r.x1, r.n2, r.x2) == (100, 10, 100, 30)
+    p = 40 / 200
+    var = p * (1 - p) * (1 / 100 + 1 / 100)
+    assert r.z == pytest.approx((0.30 - 0.10) / math.sqrt(var), rel=1e-12)
+
+
+def test_fk_audit_hand_table(spark):
+    from modelardb_dynamic_spark.operators.curation import fk_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (None,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    r = fk_audit(child, parent, "k", "p").collect()[0]
+    assert r.n_child == 5
+    assert r.n_orphan == 2          # the 9 and the NULL
+    assert r.n_parent_keys == 3
+    assert r.n_childless_keys == 1  # the 3
+    assert r.orphan_share == pytest.approx(2 / 5)
+    assert r.childless_share == pytest.approx(1 / 3)

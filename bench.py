@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "type_hour_chi2",
     "rate_shift",
     "fk_audit",
+    "nation_revenue",
 ]
 
 

@@ -2620,6 +2620,46 @@ def q_fk_audit(spark, sf_dir):
     )
 
 
+
+def q_nation_revenue(spark, sf_dir):
+    """Q5-flavored supplier-nation revenue rollup: lineitem joined
+    through supplier -> nation -> region (the dims BROADCAST — Catalyst
+    plans three broadcast hash joins, no fact-side shuffle until the
+    final |nations|-sized groupBy). Revenue is ORDER-FREE exact: cents
+    x (100 - discount-cents) accumulates in int64 (headroom ~9e9 rows
+    per group at 1e9 scaled units/row) and ONE shared division by 1e4
+    closes it — no float sum to reorder, unlike the round(sum, 2)
+    masking tpch_q1 needs."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.selectExpr(
+            "r_name",
+            "n_name",
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_s",
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("rev_s").cast("long").alias("rev_scaled"),
+        )
+        .selectExpr(
+            "r_name",
+            "n_name",
+            "n_items",
+            "CAST(rev_scaled AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue",
+        )
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -3057,6 +3097,7 @@ QUERIES = {
     "type_hour_chi2": q_type_hour_chi2,
     "rate_shift": q_rate_shift,
     "fk_audit": q_fk_audit,
+    "nation_revenue": q_nation_revenue,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7891,4 +7932,19 @@ ORACLES["fk_audit"] = """
            CASE WHEN n_parent_keys > 0 THEN CAST(n_childless_keys AS DOUBLE)
                / CAST(n_parent_keys AS DOUBLE) END AS childless_share
     FROM agg
+"""
+
+
+ORACLES["nation_revenue"] = """
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS DOUBLE)
+           / CAST(10000 AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
 """

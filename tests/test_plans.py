@@ -420,3 +420,17 @@ def test_r4_late_analytics_ops_plan_shape(spark):
     plan = pc._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:1200]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nation_revenue_broadcasts_all_dims(spark):
+    """nation_revenue: the three dimension joins are broadcast hash
+    joins (no fact-side shuffle before the final groupBy) and the plan
+    is JVM-only."""
+    import __spark_entry__ as E
+
+    df = E.queries()["nation_revenue"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

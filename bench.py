@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "rate_shift",
     "fk_audit",
     "nation_revenue",
+    "order_percentiles",
 ]
 
 

@@ -2660,6 +2660,33 @@ def q_nation_revenue(spark, sf_dir):
     )
 
 
+
+def q_order_percentiles(spark, sf_dir):
+    """Exact order-value distribution per priority: P50/P90/P99 of
+    o_totalprice (cents) by the shared distributed-selection core
+    (operators/textstats.py gap_percentiles) — value-count table +
+    integer ceil-index picks, never a per-key sort of raw rows."""
+    from modelardb_dynamic_spark.operators.textstats import (
+        gap_percentiles,
+    )
+
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS gap_ms",
+    )
+    return gap_percentiles(o, "o_orderpriority").selectExpr(
+        "o_orderpriority",
+        "n",
+        "gap_sum_ms AS sum_cents",
+        "avg_gap_ms AS avg_cents",
+        "min_ms AS min_cents",
+        "p50_ms AS p50_cents",
+        "p90_ms AS p90_cents",
+        "p99_ms AS p99_cents",
+        "max_ms AS max_cents",
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -3098,6 +3125,7 @@ QUERIES = {
     "rate_shift": q_rate_shift,
     "fk_audit": q_fk_audit,
     "nation_revenue": q_nation_revenue,
+    "order_percentiles": q_order_percentiles,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -7947,4 +7975,41 @@ ORACLES["nation_revenue"] = """
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY 1, 2
+"""
+
+
+ORACLES["order_percentiles"] = """
+    WITH vals AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders
+    ),
+    counts AS (
+        SELECT o_orderpriority, v, CAST(count(*) AS BIGINT) AS c
+        FROM vals GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT *, CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM counts
+    ),
+    stats AS (
+        SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * v) AS BIGINT) AS s,
+               min(v) AS lo, max(v) AS hi
+        FROM counts GROUP BY 1
+    ),
+    picks AS (
+        SELECT cum.o_orderpriority,
+               min(CASE WHEN cum >= (1 * n + 1) // 2 THEN v END) AS p50,
+               min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS p90,
+               min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS p99
+        FROM cum JOIN stats ON stats.o_orderpriority = cum.o_orderpriority
+        GROUP BY 1
+    )
+    SELECT s.o_orderpriority, n, s AS sum_cents,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS avg_cents,
+           lo AS min_cents, p50 AS p50_cents, p90 AS p90_cents,
+           p99 AS p99_cents, hi AS max_cents
+    FROM stats s JOIN picks p ON p.o_orderpriority = s.o_orderpriority
 """

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "fk_audit",
     "nation_revenue",
     "order_percentiles",
+    "weighted_sample",
 ]
 
 

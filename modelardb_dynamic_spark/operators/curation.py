@@ -756,3 +756,52 @@ def fk_audit(
         "CASE WHEN n_parent_keys > 0 THEN CAST(n_childless_keys AS DOUBLE)"
         " / CAST(n_parent_keys AS DOUBLE) END AS childless_share",
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_expr: str,
+    id_col: str = "doc_id",
+    seed: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis): keep the k rows with the largest
+    u^(1/w) — computed in log space as log2(u)/w, so selection
+    probability tilts toward weight while every row keeps a chance.
+    The curation primitive for "give me 1M docs, proportional to
+    quality/length, reproducibly" — a thing rand()-ordering cannot do
+    (not weighted) and weight-proportional top-k cannot do either
+    (deterministic top-w only ever picks the heaviest).
+
+    Exactness/determinism: u is the shared 60-bit md5 hash of
+    (seed || id) + 1 (never 0); log2(u) comes from the shared
+    log2_int_stages IEEE tree; the E-S key is es = (l2u - 60) / w
+    (= log2(u / 2^60) / w, a monotone transform of u^(1/w)), one
+    division per row on exact inputs — bit-identical in both engines,
+    ranked (es DESC, id ASC). weight_expr must be a positive BIGINT
+    expression.
+
+    Scale notes: stateless per-row hashing + a global top-k
+    (TakeOrderedAndProject — no full sort, no shuffle of the corpus);
+    changing the seed string re-rolls the whole sample."""
+    from modelardb_dynamic_spark.operators.dedup import spark_h60
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    base = docs.selectExpr(
+        f"{id_col} AS id",
+        f"CAST({weight_expr} AS BIGINT) AS w",
+    ).where(F.col("w") > 0)
+    hashed = base.withColumn(
+        "u",
+        spark_h60(F.concat(F.lit(seed + "|"), F.col("id").cast("string")))
+        + F.lit(1),
+    )
+    for name, expr in log2_int_stages("u", "l2u"):
+        hashed = hashed.selectExpr("*", f"{expr} AS {name}")
+    scored = hashed.selectExpr(
+        "id",
+        "w",
+        "(l2u - CAST(60 AS DOUBLE)) / CAST(w AS DOUBLE) AS es_key",
+    )
+    return scored.orderBy(F.desc("es_key"), F.asc("id")).limit(k)

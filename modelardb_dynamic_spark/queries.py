@@ -2687,6 +2687,20 @@ def q_order_percentiles(spark, sf_dir):
     )
 
 
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/curation.py weighted_sample): 50 documents drawn
+    proportional to length by Efraimidis-Spirakis keys in log2 space —
+    shared md5 uniforms + shared log2 tree, reproducible across
+    engines."""
+    from modelardb_dynamic_spark.operators.curation import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), k=50, weight_expr="n_chars"
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -3126,6 +3140,7 @@ QUERIES = {
     "fk_audit": q_fk_audit,
     "nation_revenue": q_nation_revenue,
     "order_percentiles": q_order_percentiles,
+    "weighted_sample": q_weighted_sample,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -8013,3 +8028,30 @@ ORACLES["order_percentiles"] = """
            p99 AS p99_cents, hi AS max_cents
     FROM stats s JOIN picks p ON p.o_orderpriority = s.o_orderpriority
 """
+
+
+def _weighted_sample_oracle_sql() -> str:
+    from modelardb_dynamic_spark.operators.dedup import duck_h60
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    ctes, prev = [], "hashed"
+    for i, (name, expr) in enumerate(log2_int_stages("u", "l2u"), 1):
+        ctes.append(f"ws{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"ws{i}"
+    chain = ",\n        ".join(ctes)
+    h = duck_h60("concat('ws1|', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS w,
+               {h} + 1 AS u
+        FROM documents WHERE n_chars > 0
+    ),
+    {chain}
+    SELECT id, w,
+           (l2u - CAST(60 AS DOUBLE)) / CAST(w AS DOUBLE) AS es_key
+    FROM {prev}
+    ORDER BY es_key DESC, id LIMIT 50
+"""
+
+
+ORACLES["weighted_sample"] = _weighted_sample_oracle_sql()

@@ -2248,3 +2248,30 @@ def test_containment_catches_subset_jaccard_misses(spark):
     # symmetric Jaccard at the same 0.8 bar misses it
     jac = ngram_jaccard_pairs(docs, threshold=0.8, n=3).collect()
     assert not any(r.ida == 1 and r.idb == 2 for r in jac)
+
+
+def test_weighted_sample_tilts_and_reproduces(spark):
+    from modelardb_dynamic_spark.operators.curation import weighted_sample
+
+    # 200 light docs (w=10) + 200 heavy (w=1000): the heavy class should
+    # dominate the sample far beyond its 50% share
+    rows = [(i, 10) for i in range(200)] + [
+        (1000 + i, 1000) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    s1 = weighted_sample(df, k=40, weight_expr="n_chars").collect()
+    heavy = sum(1 for r in s1 if r.id >= 1000)
+    assert heavy >= 30  # weight-tilted (expected ~39)
+    assert len(s1) == 40
+    # reproducible: identical second run
+    s2 = weighted_sample(df, k=40, weight_expr="n_chars").collect()
+    assert [r.id for r in s1] == [r.id for r in s2]
+    # different seed -> different sample (overwhelmingly likely)
+    s3 = weighted_sample(df, k=40, weight_expr="n_chars", seed="other").collect()
+    assert [r.id for r in s3] != [r.id for r in s1]
+    # zero/negative weights excluded
+    df2 = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 7)], "doc_id long, n_chars long"
+    )
+    s4 = weighted_sample(df2, k=10, weight_expr="n_chars").collect()
+    assert [r.id for r in s4] == [3]

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "nation_revenue",
     "order_percentiles",
     "weighted_sample",
+    "hill_tail",
 ]
 
 

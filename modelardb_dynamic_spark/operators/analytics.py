@@ -2572,3 +2572,71 @@ def rate_shift_z(
         " - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
         f" / sqrt({var}) END AS z",
     )
+
+
+def hill_tail(
+    df: DataFrame,
+    key_col: str,
+    value_expr: str,
+    order_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Hill estimator of the heavy-tail index per key: over the k
+    largest values, H = mean(ln X_(i)) - ln X_(k+1), alpha = 1/H — the
+    "how heavy is the tail" number behind every capacity rule of thumb
+    (alpha < 2: variance is infinite, percentile SLOs are the only
+    honest summary; this operator tells you WHICH regime each key's
+    value distribution is in).
+
+    Exactness: values are exact positive int64 (value_expr); the top
+    k+1 per key are ranked deterministically (value DESC, order_col
+    ASC); every ln comes from the shared log2_int_stages tree times the
+    ln2 literal; the k log terms fold rank-ascending. NULL when a key
+    has fewer than k+1 positive values.
+
+    Scale notes: one window rank per key pruned to k+1 rows
+    immediately (rank <= k+1 filter pushes into the window's sort),
+    then a bounded fold — no full sort survives the plan."""
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+    import math as _m
+
+    w = Window.partitionBy("k_").orderBy(
+        F.desc("v_"), F.asc("o_")
+    )
+    ranked = (
+        df.selectExpr(
+            f"{key_col} AS k_",
+            f"CAST({value_expr} AS BIGINT) AS v_",
+            f"{order_col} AS o_",
+        )
+        .where(F.col("v_") > 0)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k + 1)
+    )
+    for name, expr in log2_int_stages("v_", "l2v"):
+        ranked = ranked.selectExpr("*", f"{expr} AS {name}")
+    ln2 = _dlit(_m.log(2.0))
+    return (
+        ranked.groupBy("k_")
+        .agg(
+            F.expr(
+                f"aggregate(array_sort(collect_list(CASE WHEN rnk <= {k} "
+                "THEN struct(rnk, l2v) END)), CAST(0 AS DOUBLE), "
+                "(a, x) -> a + x.l2v)"
+            ).alias("l2sum"),
+            F.expr(
+                f"max(CASE WHEN rnk = {k + 1} THEN l2v END)"
+            ).alias("l2_tail"),
+            F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        )
+        .selectExpr(
+            "k_ AS " + key_col,
+            "n_ranked",
+            f"CASE WHEN n_ranked >= {k + 1} THEN "
+            f"(l2sum / CAST({k} AS DOUBLE) - l2_tail) * {ln2} END AS hill_h",
+            f"CASE WHEN n_ranked >= {k + 1} AND "
+            f"(l2sum / CAST({k} AS DOUBLE) - l2_tail) * {ln2} > 0 THEN "
+            f"CAST(1 AS DOUBLE) / ((l2sum / CAST({k} AS DOUBLE) - l2_tail)"
+            f" * {ln2}) END AS alpha",
+        )
+    )

@@ -2701,6 +2701,22 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+
+def q_hill_tail(spark, sf_dir):
+    """Heavy-tail index per event_type (operators/analytics.py
+    hill_tail): Hill estimator over the top-100 order statistics of the
+    value cents, deterministic (value DESC, event_id) ranking, shared
+    log2 trees, rank-ascending fold."""
+    from modelardb_dynamic_spark.operators.analytics import hill_tail
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(floor(value * 100) AS BIGINT) AS cents",
+        "event_id",
+    )
+    return hill_tail(ev, "event_type", "cents", "event_id", k=100)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -3141,6 +3157,7 @@ QUERIES = {
     "nation_revenue": q_nation_revenue,
     "order_percentiles": q_order_percentiles,
     "weighted_sample": q_weighted_sample,
+    "hill_tail": q_hill_tail,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -8055,3 +8072,50 @@ def _weighted_sample_oracle_sql() -> str:
 
 
 ORACLES["weighted_sample"] = _weighted_sample_oracle_sql()
+
+
+def _hill_tail_oracle_sql() -> str:
+    import math as _m
+
+    from modelardb_dynamic_spark.operators.analytics import _dlit as _dl
+    from modelardb_dynamic_spark.operators.textstats import log2_int_stages
+
+    ctes, prev = [], "ranked"
+    for i, (name, expr) in enumerate(log2_int_stages("v_", "l2v"), 1):
+        ctes.append(f"hl{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"hl{i}"
+    chain = ",\n        ".join(ctes)
+    ln2 = _dl(_m.log(2.0))
+    return f"""
+    WITH ranked AS (
+        SELECT event_type AS k_,
+               CAST(floor(value * 100) AS BIGINT) AS v_,
+               event_id AS o_,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY CAST(floor(value * 100) AS BIGINT) DESC,
+                            event_id ASC) AS rnk
+        FROM events WHERE CAST(floor(value * 100) AS BIGINT) > 0
+        QUALIFY rnk <= 101
+    ),
+    {chain},
+    agg AS (
+        SELECT k_,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(l2v ORDER BY rnk) FILTER (rnk <= 100)),
+                   (a, x) -> a + x) AS l2sum,
+               max(CASE WHEN rnk = 101 THEN l2v END) AS l2_tail,
+               CAST(count(*) AS BIGINT) AS n_ranked
+        FROM {prev} GROUP BY k_
+    )
+    SELECT k_ AS event_type, n_ranked,
+           CASE WHEN n_ranked >= 101 THEN
+               (l2sum / CAST(100 AS DOUBLE) - l2_tail) * {ln2} END AS hill_h,
+           CASE WHEN n_ranked >= 101 AND
+                (l2sum / CAST(100 AS DOUBLE) - l2_tail) * {ln2} > 0 THEN
+               CAST(1 AS DOUBLE) / ((l2sum / CAST(100 AS DOUBLE) - l2_tail)
+                   * {ln2}) END AS alpha
+    FROM agg
+"""
+
+
+ORACLES["hill_tail"] = _hill_tail_oracle_sql()

@@ -1844,3 +1844,34 @@ def test_fk_audit_hand_table(spark):
     assert r.n_childless_keys == 1  # the 3
     assert r.orphan_share == pytest.approx(2 / 5)
     assert r.childless_share == pytest.approx(1 / 3)
+
+
+def test_hill_tail_pareto_recovers_alpha(spark):
+    import math
+
+    from modelardb_dynamic_spark.operators.analytics import hill_tail
+
+    # exact Pareto(alpha=2) quantile grid: x_q = (1-q)^(-1/2), q uniform
+    # -> Hill on the top-k should recover alpha ~ 2
+    n, k = 2000, 100
+    rows = []
+    for i in range(1, n + 1):
+        q = i / (n + 1)
+        x = int(round(1e6 * (1 - q) ** (-0.5)))
+        rows.append(("p", x, i))
+    df = spark.createDataFrame(rows, "event_type string, cents long, event_id long")
+    r = hill_tail(df, "event_type", "cents", "event_id", k=k).collect()[0]
+    assert r.n_ranked == k + 1
+    # scalar reference with the same top-k definition
+    vals = sorted((x for _, x, _ in rows), reverse=True)
+    h = sum(math.log(v) for v in vals[:k]) / k - math.log(vals[k])
+    assert r.hill_h == pytest.approx(h, rel=1e-9)
+    assert r.alpha == pytest.approx(1 / h, rel=1e-9)
+    assert 1.6 < r.alpha < 2.4  # recovers the planted exponent
+    # short key -> NULL
+    df2 = spark.createDataFrame(
+        [("s", 10 + i, i) for i in range(50)],
+        "event_type string, cents long, event_id long",
+    )
+    r2 = hill_tail(df2, "event_type", "cents", "event_id", k=100).collect()[0]
+    assert r2.hill_h is None and r2.alpha is None

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "order_percentiles",
     "weighted_sample",
     "hill_tail",
+    "ann_pq",
 ]
 
 

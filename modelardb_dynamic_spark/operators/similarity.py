@@ -496,3 +496,127 @@ def rrf_fuse(
         *[f"rank_{n}" for n, _ in arms],
         " + ".join(terms) + " AS rrf_score",
     )
+
+
+def sqdist_fold(a, b) -> "F.Column":
+    """Sequential left-fold squared L2 distance in float64 — the
+    dot_fold discipline for distances: (x-y)^2 terms accumulate
+    strictly left-to-right, replayed verbatim by the DuckDB oracle."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def train_pq_codebooks(
+    X: np.ndarray, m: int = 8, ksub: int = 16, iters: int = 10
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks: per subspace, plain
+    Lloyd k-means in float64 with evenly-spaced-row init over the
+    id-SORTED matrix and a fixed iteration count — a pure function of
+    the table contents, so the oracle generator retrains bit-identical
+    codebooks from the same parquet (the train_kmeans_exact contract).
+    Returns (m, ksub, dim//m)."""
+    n, dim = X.shape
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    d = dim // m
+    books = np.zeros((m, ksub, d), dtype=np.float64)
+    Xd = X.astype(np.float64)
+    for mi in range(m):
+        sub = Xd[:, mi * d : (mi + 1) * d]
+        idx = (np.arange(ksub, dtype=np.int64) * n) // ksub
+        cent = sub[idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lowest index
+            for j in range(ksub):
+                pts = sub[assign == j]
+                if len(pts):
+                    cent[j] = pts.mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def pq_topk_exact(
+    corpus: DataFrame,
+    query_ids: list[int],
+    books: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC), the
+    compressed-index scale path beside IVF: every corpus vector is
+    encoded as m sub-codes (argmin fold-sqdist against its subspace
+    codebook, ties to the lowest code); a query scores candidates as
+    the sum over subspaces of its PRECOMPUTED distance to each chosen
+    codeword — at 100 TB the corpus ships m bytes per vector instead
+    of 4*dim, and scoring is a table lookup, never a full-vector scan.
+
+    Exactness: codebooks are broadcast literals (deterministic
+    training, train_pq_codebooks); assignment and query-to-codeword
+    distances are sequential fold-sqdist; the m ADC terms fold
+    subspace-ascending — every step replayed verbatim by the DuckDB
+    oracle, so ranks are bit-deterministic (rank by adc ASC, id ASC,
+    self excluded).
+
+    Scale notes: encode = one broadcast join (|m*ksub| rows) + one
+    argmin window per (vector, subspace); ADC = codes join the
+    |queries| x m x ksub lookup table on (m, code) then a bounded
+    m-term fold per candidate; top-k per query is a window over the
+    candidate set."""
+    spark = corpus.sparkSession
+    m, ksub, d = books.shape
+    cb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "m": np.repeat(np.arange(m, dtype=np.int64), ksub),
+                "j": np.tile(np.arange(ksub, dtype=np.int64), m),
+                "cvec": [
+                    [float(x) for x in books[mi, j]]
+                    for mi in range(m)
+                    for j in range(ksub)
+                ],
+            }
+        ),
+        schema="m long, j long, cvec array<double>",
+    )
+    e = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    dists = e.crossJoin(F.broadcast(cb)).select(
+        "id",
+        "m",
+        "j",
+        sqdist_fold(
+            F.expr(f"slice(vec, CAST(m * {d} + 1 AS INT), {d})"),
+            F.col("cvec"),
+        ).alias("sqd"),
+    )
+    wa = Window.partitionBy("id", "m").orderBy(F.asc("sqd"), F.asc("j"))
+    codes = (
+        dists.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("id", "m", "j")
+    )
+    qd = dists.where(F.col("id").isin(query_ids)).selectExpr(
+        "id AS qid", "m", "j", "sqd"
+    )
+    cand = (
+        qd.join(codes, ["m", "j"])
+        .where(F.col("qid") != F.col("id"))
+        .groupBy("qid", "id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(m, sqd))), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x.sqd)"
+            ).alias("adc")
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("id").alias("nid"), "rank")
+    )

@@ -2717,6 +2717,21 @@ def q_hill_tail(spark, sf_dir):
     return hill_tail(ev, "event_type", "cents", "event_id", k=100)
 
 
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ADC top-k, VALUE-GATED like ann_ivf_kmeans:
+    codebooks are a pure function of the parquet (deterministic
+    per-subspace Lloyd, similarity.train_pq_codebooks), so the oracle
+    generator retrains them and replays encode + ADC as DuckDB SQL over
+    codeword literals; every distance is a sequential fold."""
+    _, X = similarity.load_embeddings_sorted(f"{sf_dir}/embeddings.parquet")
+    books = similarity.train_pq_codebooks(X, m=8, ksub=16)
+    return similarity.pq_topk_exact(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(20)),
+        books=books, k=5,
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (operators/dedup.py
     containment_pairs): subset/superset document pairs symmetric
@@ -3158,6 +3173,7 @@ QUERIES = {
     "order_percentiles": q_order_percentiles,
     "weighted_sample": q_weighted_sample,
     "hill_tail": q_hill_tail,
+    "ann_pq": q_ann_pq,
     "trend_ols": q_trend_ols,
     "theil_sen": q_theil_sen,
     "mad_outliers": q_mad_outliers,
@@ -5868,6 +5884,7 @@ def build_oracles() -> dict[str, str]:
     out = dict(ORACLES)
     try:
         out["ann_ivf_kmeans"] = _kmeans_oracle_sql()
+        out["ann_pq"] = _pq_oracle_sql()
     except Exception:
         pass  # embeddings parquet unavailable -> rows-only fallback
     try:
@@ -8119,3 +8136,54 @@ def _hill_tail_oracle_sql() -> str:
 
 
 ORACLES["hill_tail"] = _hill_tail_oracle_sql()
+
+
+def _pq_oracle_sql() -> str:
+    """Generated oracle for ann_pq: retrains the deterministic PQ
+    codebooks from the same parquet and replays encode (argmin
+    fold-sqdist, ties to lowest code) + subspace-ascending ADC fold +
+    (adc ASC, id ASC) ranking as DuckDB SQL over codeword literals."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    _, X = similarity.load_embeddings_sorted(f"{sf_dir}/embeddings.parquet")
+    books = similarity.train_pq_codebooks(X, m=8, ksub=16)
+    m, ksub, d = books.shape
+    values = ",\n            ".join(
+        f"({mi}, {j}, [{', '.join(repr(float(x)) for x in books[mi, j])}])"
+        for mi in range(m)
+        for j in range(ksub)
+    )
+    sqd = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[(CAST(vec[m * {d} + i] AS DOUBLE) - c[i])"
+        f" * (CAST(vec[m * {d} + i] AS DOUBLE) - c[i])"
+        f" FOR i IN range(1, {d + 1})]), (a, x) -> a + x)"
+    )
+    return f"""
+        WITH cb(m, j, c) AS (VALUES {values}),
+        e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        dists AS (
+            SELECT id, m, j, {sqd} AS sqd
+            FROM e CROSS JOIN cb
+        ),
+        codes AS (
+            SELECT id, m, j FROM dists
+            QUALIFY row_number() OVER (PARTITION BY id, m
+                ORDER BY sqd ASC, j ASC) = 1
+        ),
+        qd AS (SELECT id AS qid, m, j, sqd FROM dists WHERE id < 20),
+        cand AS (
+            SELECT qid, id,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(sqd ORDER BY m)), (a, x) -> a + x) AS adc
+            FROM qd JOIN codes USING (m, j)
+            WHERE qid != id
+            GROUP BY qid, id
+        )
+        SELECT qid, id AS nid, CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY adc ASC, id ASC) AS INT) AS rank
+        FROM cand QUALIFY rank <= 5
+    """

@@ -2275,3 +2275,43 @@ def test_weighted_sample_tilts_and_reproduces(spark):
     )
     s4 = weighted_sample(df2, k=10, weight_expr="n_chars").collect()
     assert [r.id for r in s4] == [3]
+
+
+def test_pq_adc_retrieves_cluster_neighbors(spark):
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.similarity import (
+        pq_topk_exact,
+        train_pq_codebooks,
+    )
+
+    # 4 well-separated clusters in 64-dim; PQ top-5 must stay in-cluster
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 64)) * 10
+    rows, X = [], []
+    for i in range(120):
+        c = i % 4
+        v = centers[c] + rng.normal(size=64) * 0.1
+        X.append(v)
+        rows.append((i, [float(x) for x in v]))
+    X = np.array(X)
+    # train on the id-sorted matrix, like the oracle generator
+    books = train_pq_codebooks(X.astype(np.float32).astype(np.float64), m=8, ksub=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_topk_exact(df, query_ids=[0, 1, 2, 3], books=books, k=5).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.nid % 4 == r.qid % 4, (r.qid, r.nid)  # same cluster
+
+
+def test_pq_codebooks_deterministic(spark):
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.similarity import train_pq_codebooks
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(300, 64))
+    b1 = train_pq_codebooks(X, m=8, ksub=16)
+    b2 = train_pq_codebooks(X.copy(), m=8, ksub=16)
+    assert (b1 == b2).all()
+    assert b1.shape == (8, 16, 8)

@@ -2640,3 +2640,147 @@ def hill_tail(
             f" * {ln2}) END AS alpha",
         )
     )
+
+
+def ljung_box(points: DataFrame, max_lag: int = 4, si_ms: int = 3_600_000) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test per series: is there ANY
+    autocorrelation in the first max_lag lags, as one audited number —
+    the sanity gate in front of acf/pacf model-order reading (if Q
+    cannot reject white noise, a fitted AR order is noise-chasing).
+
+        Q = n (n + 2) * sum_{k=1..max_lag} r_k^2 / (n - k)
+
+    r_k comes from acf_lags (sparse-ACF convention, exact int64
+    moments, the shared _ACF_EXPR tree — already value-gated by the
+    acf_turnrate oracle), n is the series' observed bucket count. The
+    max_lag squared-correlation terms fold lag-ascending and the
+    n(n+2) closing product is one shared tree, so Q is bit-identical
+    in both engines. reject_white compares Q against the chi-square
+    0.95 critical literal for max_lag dof (exact-double compare).
+    Series missing any of the max_lag lags (too short / too sparse for
+    a pair at some k) are excluded — the statistic is undefined there.
+
+    Scale notes: acf_lags' bounded lag joins + two map-side-combinable
+    groupBys; the fold is over max_lag elements per series.
+    """
+    # chi-square 0.95 critical values per dof (scipy.stats.chi2.ppf)
+    crit = {
+        1: 3.841458820694124,
+        2: 5.991464547107979,
+        3: 7.814727903251179,
+        4: 9.487729036781154,
+        5: 11.070497693516351,
+        6: 12.591587243743977,
+    }[max_lag]
+    pts = _materialize(points)
+    acf = acf_lags(pts, max_lag=max_lag, si_ms=si_ms, materialize=False)
+    base = pts.groupBy("sid").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    terms = acf.join(base, "sid").selectExpr(
+        "sid",
+        "n",
+        "lag",
+        "(acf * acf) / CAST(n - lag AS DOUBLE) AS t",
+    )
+    return (
+        terms.groupBy("sid")
+        .agg(
+            F.first("n").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("m_got"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(lag, t))), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x.t)"
+            ).alias("acc"),
+        )
+        .where(F.col("m_got") == max_lag)
+        .selectExpr(
+            "sid",
+            "n",
+            "CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * acc AS q_lb",
+            f"CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * acc"
+            f" > {_dlit(crit)} AS reject_white",
+        )
+    )
+
+
+def _twiddle_case(col: str, n_phases: int, fn) -> str:
+    """CASE expression mapping an integer phase column to the literal
+    twiddle double fn(2*pi*p/n_phases) — the SAME text is rendered into
+    the Spark expression and the DuckDB oracle, so both engines parse
+    identical correctly-rounded literals instead of calling their own
+    libm (whose cos/sin may differ by an ulp)."""
+    import math as _m
+
+    arms = " ".join(
+        f"WHEN {p} THEN {_dlit(fn(2.0 * _m.pi * p / n_phases))}"
+        for p in range(n_phases)
+    )
+    return f"(CASE {col} {arms} END)"
+
+
+def spectral_daily(
+    points: DataFrame, bucket_ms: int = 3_600_000, n_phases: int = 24
+) -> DataFrame:
+    """First-harmonic DFT of the daily cycle per series: the amplitude
+    AND phase of the 24-hour fundamental — the directional complement
+    of seasonal_strength (eta^2 says how much the hour explains;
+    this says the shape: one daily peak, where, how big).
+
+        X_1 = sum_p S_p e^(-2*pi*i*p/24)  over hour-of-day phase sums
+
+    S_p are exact int64 phase sums over observed buckets (absent
+    phases contribute no term — the engine's gap semantics). The
+    twiddles are 24 shared correctly-rounded literals (_twiddle_case),
+    the real/imaginary folds run phase-ascending, and amp/rel_amp
+    close in one shared sqrt/divide tree — bit-identical cross-engine.
+    peak_phase is the exact integer argmax phase (smallest phase wins
+    ties), computed by integer max + min, no floats.
+
+    Returns (sid, n, n_phases_used, a1, b1, amp, rel_amp, peak_phase);
+    rel_amp = amp / total mass, NULL on zero-mass series.
+
+    Scale notes: two map-side-combinable groupBys to |series| x 24,
+    then bounded folds and a broadcast-sized self-join for the argmax.
+    """
+    cos_case = _twiddle_case("p", n_phases, __import__("math").cos)
+    sin_case = _twiddle_case("p", n_phases, __import__("math").sin)
+    b = points.groupBy(
+        "sid", F.expr(f"ts_ms DIV {bucket_ms}").alias("hb")
+    ).agg(F.sum("v").cast("long").alias("x"))
+    ph = b.groupBy("sid", F.expr(f"hb % {n_phases}").alias("p")).agg(
+        F.sum("x").cast("long").alias("sp"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    ph = _materialize(ph)
+    mx = ph.groupBy("sid").agg(F.max("sp").alias("mx"))
+    peak = (
+        ph.join(mx, "sid")
+        .where(F.col("sp") == F.col("mx"))
+        .groupBy("sid")
+        .agg(F.min("p").cast("long").alias("peak_phase"))
+    )
+    agg = ph.groupBy("sid").agg(
+        F.sum("np").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_phases_used"),
+        F.sum("sp").cast("long").alias("s"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(p, "
+            f"CAST(sp AS DOUBLE) * {cos_case} AS t))), "
+            "CAST(0 AS DOUBLE), (a, x) -> a + x.t)"
+        ).alias("a1"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(p, "
+            f"CAST(sp AS DOUBLE) * {sin_case} AS t))), "
+            "CAST(0 AS DOUBLE), (a, x) -> a + x.t)"
+        ).alias("nb1"),
+    )
+    return agg.join(peak, "sid").selectExpr(
+        "sid",
+        "n",
+        "n_phases_used",
+        "a1",
+        "-nb1 AS b1",
+        "sqrt(a1 * a1 + nb1 * nb1) AS amp",
+        "CASE WHEN s != 0 THEN sqrt(a1 * a1 + nb1 * nb1)"
+        " / CAST(s AS DOUBLE) END AS rel_amp",
+        "peak_phase",
+    )

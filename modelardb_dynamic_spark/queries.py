@@ -2565,6 +2565,28 @@ def q_seasonal_strength(spark, sf_dir):
 
 
 
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau whiteness test (operators/analytics.py
+    ljung_box) over the hourly turn-rate series, lags 1-4: Q =
+    n(n+2) * sum r_k^2/(n-k) on acf_lags' exact-moment correlations
+    (the shared _ACF_EXPR tree acf_turnrate already pins), lag-ascending
+    fold, one closing product, chi-square 0.95 literal verdict."""
+    from modelardb_dynamic_spark.operators.analytics import ljung_box
+
+    return ljung_box(_hourly_points(spark, sf_dir), max_lag=4, si_ms=HOUR_MS)
+
+
+def q_spectral_daily(spark, sf_dir):
+    """Daily-cycle DFT fundamental (operators/analytics.py
+    spectral_daily): amplitude + phase of the 24-hour harmonic per
+    series off the rollup tier path — exact int64 phase sums, 24 shared
+    correctly-rounded twiddle literals, phase-ascending folds, integer
+    argmax peak phase."""
+    from modelardb_dynamic_spark.operators.analytics import spectral_daily
+
+    return spectral_daily(_hourly_points(spark, sf_dir))
+
+
 def q_type_hour_chi2(spark, sf_dir):
     """Independence audit (operators/analytics.py independence_chi2):
     does event TYPE depend on hour-of-day? Full-frame chi-square +
@@ -3166,6 +3188,8 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "hist_ks": q_hist_ks,
     "seasonal_strength": q_seasonal_strength,
+    "ljung_box": q_ljung_box,
+    "spectral_daily": q_spectral_daily,
     "type_hour_chi2": q_type_hour_chi2,
     "rate_shift": q_rate_shift,
     "fk_audit": q_fk_audit,
@@ -8187,3 +8211,88 @@ def _pq_oracle_sql() -> str:
                    PARTITION BY qid ORDER BY adc ASC, id ASC) AS INT) AS rank
         FROM cand QUALIFY rank <= 5
     """
+
+
+# --- ljung_box / spectral_daily oracles (hourly tier replay) ------------------
+
+from modelardb_dynamic_spark.operators.analytics import (  # noqa: E402
+    _dlit as _adlit,
+    _twiddle_case,
+)
+
+_LB_CLOSE = "CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * acc"
+
+ORACLES["ljung_box"] = f"""
+    WITH b AS ({_HOURLY_POINTS}),
+    base AS (
+        SELECT sid, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(v * v) AS BIGINT) AS q
+        FROM b GROUP BY sid
+    ),
+    lags AS (SELECT * FROM (VALUES (1), (2), (3), (4)) t(lag)),
+    p AS (
+        SELECT a.sid, l.lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(a.v) AS BIGINT) AS sa,
+               CAST(sum(c.v) AS BIGINT) AS sb,
+               CAST(sum(a.v * c.v) AS BIGINT) AS sab
+        FROM b a CROSS JOIN lags l
+        JOIN b c ON c.sid = a.sid AND c.hm = a.hm + l.lag * {HOUR_MS}
+        GROUP BY 1, 2
+    ),
+    acf AS (
+        SELECT p.sid, p.lag, base.n, {_ACF_EXPR} AS acf
+        FROM p JOIN base ON base.sid = p.sid
+        WHERE q * n != s * s
+    ),
+    agg AS (
+        SELECT sid, max(n) AS n, CAST(count(*) AS BIGINT) AS m_got,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list((acf * acf) / CAST(n - lag AS DOUBLE)
+                        ORDER BY lag)),
+                   (a, x) -> a + x) AS acc
+        FROM acf GROUP BY sid
+    )
+    SELECT sid, n, {_LB_CLOSE} AS q_lb,
+           {_LB_CLOSE} > {_adlit(9.487729036781154)} AS reject_white
+    FROM agg WHERE m_got = 4
+"""
+
+_SPD_COS = _twiddle_case("p", 24, __import__("math").cos)
+_SPD_SIN = _twiddle_case("p", 24, __import__("math").sin)
+
+ORACLES["spectral_daily"] = f"""
+    WITH b AS ({_HOURLY_POINTS}),
+    ph AS (
+        SELECT sid, (hm // {HOUR_MS}) % 24 AS p,
+               CAST(sum(v) AS BIGINT) AS sp,
+               CAST(count(*) AS BIGINT) AS np
+        FROM b GROUP BY 1, 2
+    ),
+    mx AS (SELECT sid, max(sp) AS mx FROM ph GROUP BY sid),
+    peak AS (
+        SELECT ph.sid, CAST(min(p) AS BIGINT) AS peak_phase
+        FROM ph JOIN mx ON mx.sid = ph.sid AND ph.sp = mx.mx
+        GROUP BY ph.sid
+    ),
+    agg AS (
+        SELECT sid,
+               CAST(sum(np) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_phases_used,
+               CAST(sum(sp) AS BIGINT) AS s,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(CAST(sp AS DOUBLE) * {_SPD_COS} ORDER BY p)),
+                   (a, x) -> a + x) AS a1,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(CAST(sp AS DOUBLE) * {_SPD_SIN} ORDER BY p)),
+                   (a, x) -> a + x) AS nb1
+        FROM ph GROUP BY sid
+    )
+    SELECT agg.sid, n, n_phases_used, a1, -nb1 AS b1,
+           sqrt(a1 * a1 + nb1 * nb1) AS amp,
+           CASE WHEN s != 0 THEN sqrt(a1 * a1 + nb1 * nb1)
+                / CAST(s AS DOUBLE) END AS rel_amp,
+           peak_phase
+    FROM agg JOIN peak ON peak.sid = agg.sid
+"""

@@ -1875,3 +1875,76 @@ def test_hill_tail_pareto_recovers_alpha(spark):
     )
     r2 = hill_tail(df2, "event_type", "cents", "event_id", k=100).collect()[0]
     assert r2.hill_h is None and r2.alpha is None
+
+
+def test_ljung_box_rejects_trend_not_noise(spark):
+    # strongly autocorrelated series (slow ramp) vs white-ish noise
+    rng = np.random.default_rng(11)
+    grid = [i * 3_600_000 for i in range(200)]
+    ramp = [int(10 + i // 4) for i in range(200)]
+    noise = [int(x) for x in rng.integers(0, 1_000_000, size=200)]
+    rows = [("ramp", t, v) for t, v in zip(grid, ramp)] + [
+        ("noise", t, v) for t, v in zip(grid, noise)
+    ]
+    from modelardb_dynamic_spark.operators.analytics import ljung_box
+
+    out = {
+        r.sid: r
+        for r in ljung_box(_points(spark, rows), max_lag=4).collect()
+    }
+    assert out["ramp"].reject_white
+    assert out["ramp"].q_lb > out["noise"].q_lb
+    assert out["ramp"].n == 200
+    # scalar reference: Q = n(n+2) sum r_k^2/(n-k) with sparse-ACF r_k
+    x = np.array(ramp, dtype=np.float64)
+    n = len(x)
+    mu = x.mean()
+    energy = ((x - mu) ** 2).sum()
+    q_ref = 0.0
+    for k in range(1, 5):
+        r_k = ((x[:-k] - mu) * (x[k:] - mu)).sum() / energy
+        q_ref += r_k * r_k / (n - k)
+    q_ref *= n * (n + 2)
+    assert abs(out["ramp"].q_lb - q_ref) < 1e-6 * abs(q_ref)
+
+
+def test_ljung_box_excludes_short_series(spark):
+    rows = [("short", i * 3_600_000, i + 1) for i in range(3)]
+    from modelardb_dynamic_spark.operators.analytics import ljung_box
+
+    # 3 buckets cannot produce a lag-4 pair -> excluded, not NULL-filled
+    assert ljung_box(_points(spark, rows), max_lag=4).count() == 0
+
+
+def test_spectral_daily_recovers_planted_cycle(spark):
+    import math
+
+    # sid "cyc": clean 24h cosine peaking at phase 6; "flat": constant
+    rows = []
+    for d in range(4):
+        for p in range(24):
+            t = (d * 24 + p) * 3_600_000
+            rows.append(
+                ("cyc", t, int(100 + 50 * math.cos(2 * math.pi * (p - 6) / 24)))
+            )
+            rows.append(("flat", t, 7))
+    from modelardb_dynamic_spark.operators.analytics import spectral_daily
+
+    out = {r.sid: r for r in spectral_daily(_points(spark, rows)).collect()}
+    cyc, flat = out["cyc"], out["flat"]
+    assert cyc.peak_phase == 6 and cyc.n == 96 and cyc.n_phases_used == 24
+    # numpy DFT reference over the phase sums
+    sp = np.zeros(24)
+    for d in range(4):
+        for p in range(24):
+            sp[p] += int(100 + 50 * math.cos(2 * math.pi * (p - 6) / 24))
+    X = np.fft.fft(sp)[1]
+    assert abs(cyc.a1 - X.real) < 1e-6 * abs(X.real)
+    assert abs(cyc.b1 - X.imag) < 1e-6 * abs(X.imag)
+    assert abs(cyc.amp - abs(X)) < 1e-6 * abs(X)
+    # constant series: fundamental cancels to ~0 relative to mass
+    assert flat.rel_amp < 1e-12
+    # phase readout: peak at hour 6 means angle(X1) ~ -2*pi*6/24
+    ang = math.atan2(cyc.b1, cyc.a1)
+    # int-rounded inputs shift the angle slightly; 0.01 rad ~ 2 min of day
+    assert abs(ang - (-2 * math.pi * 6 / 24)) < 0.01

@@ -2784,3 +2784,81 @@ def spectral_daily(
         " / CAST(s AS DOUBLE) END AS rel_amp",
         "peak_phase",
     )
+
+
+_LEAGUE_WINNER = (
+    "CASE WHEN sse_hw < CASE WHEN sse_holt < sse_ewma THEN sse_holt"
+    " ELSE sse_ewma END THEN 'hw'"
+    " WHEN sse_holt < sse_ewma THEN 'holt' ELSE 'ewma' END"
+)
+_LEAGUE_BEST = (
+    "CASE WHEN sse_hw < CASE WHEN sse_holt < sse_ewma THEN sse_holt"
+    " ELSE sse_ewma END THEN sse_hw"
+    " WHEN sse_holt < sse_ewma THEN sse_holt ELSE sse_ewma END"
+)
+
+
+def forecast_league(
+    points: DataFrame,
+    bucket_ms: int,
+    period_buckets: int = 24,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Which forecaster earns each series: the EWMA / Holt /
+    Holt-Winters one-step backtests raced per sid on squared forecast
+    error — the model-selection layer on top of the smoother family
+    (a flat series should NOT pay for a trend term; a diurnal one
+    should). The operator that answers "which model do we materialize
+    for this series' continuous aggregate".
+
+    SSE per model folds abs_err^2 bucket-ascending over the scored
+    buckets (first bucket has no forecast and is skipped identically
+    everywhere); the winner is a fixed-precedence nested CASE on the
+    exact doubles (ties prefer the simpler model: ewma, then holt,
+    then hw) — every double in the verdict replayed bit-identically
+    by the oracle because the three backtests are themselves
+    value-gated folds.
+
+    Returns (sid, n_scored, sse_ewma, sse_holt, sse_hw, winner,
+    best_sse). Scale: three window+groupBy passes over bucket rows
+    (each |series| x |buckets|-sized), then |series|-sized joins.
+    """
+    pts = _materialize(points)
+
+    def _sse(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.where(F.col("abs_err").isNotNull())
+            .groupBy("sid")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_scored_{name}"),
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(bucket_ts, "
+                    "abs_err * abs_err AS t))), CAST(0 AS DOUBLE), "
+                    "(a, x) -> a + x.t)"
+                ).alias(f"sse_{name}"),
+            )
+        )
+
+    se = _sse(ewma_levels(pts, bucket_ms, alpha=alpha), "ewma")
+    sh = _sse(holt_levels(pts, bucket_ms, alpha=alpha, beta=beta), "holt")
+    sw = _sse(
+        holt_winters_levels(
+            pts, bucket_ms, period_buckets=period_buckets,
+            alpha=alpha, beta=beta,
+        ),
+        "hw",
+    )
+    return (
+        se.join(sh, "sid")
+        .join(sw, "sid")
+        .selectExpr(
+            "sid",
+            "n_scored_ewma AS n_scored",
+            "sse_ewma",
+            "sse_holt",
+            "sse_hw",
+            f"{_LEAGUE_WINNER} AS winner",
+            f"{_LEAGUE_BEST} AS best_sse",
+        )
+    )

@@ -2565,6 +2565,21 @@ def q_seasonal_strength(spark, sf_dir):
 
 
 
+def q_forecast_league(spark, sf_dir):
+    """Forecast model selection (operators/analytics.py
+    forecast_league): the value-gated EWMA/Holt/Holt-Winters backtests
+    raced per series on bucket-ascending SSE folds; fixed-precedence
+    winner CASE on exact doubles (ties prefer the simpler model). The
+    oracle composes the three backtest replays verbatim."""
+    from modelardb_dynamic_spark.operators.analytics import forecast_league
+
+    segs = _event_segments(spark, sf_dir)
+    pts = datapoint_view(segs).select(
+        "sid", "ts_ms", F.col("value").cast("long").alias("v")
+    )
+    return forecast_league(pts, bucket_ms=HOUR_MS, period_buckets=24)
+
+
 def q_ljung_box(spark, sf_dir):
     """Ljung-Box portmanteau whiteness test (operators/analytics.py
     ljung_box) over the hourly turn-rate series, lags 1-4: Q =
@@ -3188,6 +3203,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "hist_ks": q_hist_ks,
     "seasonal_strength": q_seasonal_strength,
+    "forecast_league": q_forecast_league,
     "ljung_box": q_ljung_box,
     "spectral_daily": q_spectral_daily,
     "type_hour_chi2": q_type_hour_chi2,
@@ -8295,4 +8311,31 @@ ORACLES["spectral_daily"] = f"""
                 / CAST(s AS DOUBLE) END AS rel_amp,
            peak_phase
     FROM agg JOIN peak ON peak.sid = agg.sid
+"""
+
+
+from modelardb_dynamic_spark.operators.analytics import (  # noqa: E402
+    _LEAGUE_BEST,
+    _LEAGUE_WINNER,
+)
+
+_LEAGUE_SSE = """
+        SELECT sid, CAST(count(*) AS BIGINT) AS n_scored,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(abs_err * abs_err ORDER BY bucket_ts)),
+                   (a, x) -> a + x) AS {col}
+        FROM {src} WHERE abs_err IS NOT NULL GROUP BY sid
+"""
+
+ORACLES["forecast_league"] = f"""
+    WITH e AS ({ORACLES["ewma_backtest"]}),
+    h AS ({ORACLES["holt_backtest"]}),
+    hw AS ({ORACLES["hw_backtest"]}),
+    se AS ({_LEAGUE_SSE.format(col="sse_ewma", src="e")}),
+    sh AS ({_LEAGUE_SSE.format(col="sse_holt", src="h")}),
+    sw AS ({_LEAGUE_SSE.format(col="sse_hw", src="hw")})
+    SELECT se.sid, se.n_scored, sse_ewma, sse_holt, sse_hw,
+           {_LEAGUE_WINNER} AS winner,
+           {_LEAGUE_BEST} AS best_sse
+    FROM se JOIN sh ON sh.sid = se.sid JOIN sw ON sw.sid = se.sid
 """

@@ -1948,3 +1948,42 @@ def test_spectral_daily_recovers_planted_cycle(spark):
     ang = math.atan2(cyc.b1, cyc.a1)
     # int-rounded inputs shift the angle slightly; 0.01 rad ~ 2 min of day
     assert abs(ang - (-2 * math.pi * 6 / 24)) < 0.01
+
+
+def test_forecast_league_prefers_right_model(spark):
+    import math
+
+    # flat+noise -> ewma; steady ramp -> holt (in-bucket trend carries
+    # into the next-bucket forecast); strong diurnal -> hw. Buckets need
+    # several points: the smoothers fold WITHIN the bucket, so a
+    # single-point bucket makes holt degenerate to ewma.
+    rng = np.random.default_rng(5)
+    rows = []
+    for d in range(6):
+        for p in range(24):
+            for m in range(12):
+                t = ((d * 24 + p) * 12 + m) * 300_000  # 5-min grid
+                gi = (d * 24 + p) * 12 + m
+                rows.append(("flat", t, int(50 + rng.integers(0, 3))))
+                rows.append(("ramp", t, int(10 + 3 * gi)))
+                rows.append(
+                    (
+                        "diur",
+                        t,
+                        int(100 + 80 * math.cos(2 * math.pi * p / 24) + m),
+                    )
+                )
+    from modelardb_dynamic_spark.operators.analytics import forecast_league
+
+    out = {
+        r.sid: r
+        for r in forecast_league(
+            _points(spark, rows), bucket_ms=3_600_000
+        ).collect()
+    }
+    assert out["ramp"].winner == "holt"
+    assert out["diur"].winner == "hw"
+    assert out["flat"].winner == "ewma"
+    for r in out.values():
+        assert r.best_sse == min(r.sse_ewma, r.sse_holt, r.sse_hw)
+        assert r.n_scored == 6 * 24 - 1

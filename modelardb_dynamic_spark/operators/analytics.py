@@ -2862,3 +2862,30 @@ def forecast_league(
             f"{_LEAGUE_BEST} AS best_sse",
         )
     )
+
+
+def ohlc_bars(points: DataFrame, bucket_ms: int) -> DataFrame:
+    """Candlestick (OHLC) bars per (sid, bucket): open/close = the
+    values at the bucket's first/last timestamps, plus min/max/count/
+    sum — the render-ready reduction a live dashboard draws, and the
+    batch contract streaming/ohlc.stream_ohlc must equal at the
+    frontier. The engine grid makes ts_ms unique per sid, so
+    open/close are deterministic without tie rules; every column is
+    exact int64 (no floats anywhere).
+
+    Scale: ONE map-side-combinable groupBy on (sid, bucket) — min_by/
+    max_by carry (ts, v) through the partial aggregation, so this is
+    the same shuffle shape as the tier build, never a window.
+    """
+    return points.groupBy(
+        "sid", F.expr(f"(ts_ms DIV {bucket_ms}) * {bucket_ms}").alias("bucket_ts")
+    ).agg(
+        F.min("ts_ms").alias("ts_first"),
+        F.max("ts_ms").alias("ts_last"),
+        F.expr("min_by(v, ts_ms)").cast("long").alias("v_open"),
+        F.expr("max_by(v, ts_ms)").cast("long").alias("v_close"),
+        F.min("v").cast("long").alias("v_min"),
+        F.max("v").cast("long").alias("v_max"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("vsum"),
+    )

@@ -2565,6 +2565,81 @@ def q_seasonal_strength(spark, sf_dir):
 
 
 
+def _minute_points(spark, sf_dir):
+    """Per-user per-minute turn-rate points (the Spark twin of the
+    oracle's _MINUTE_BUCKETS CTE) — shared by the OHLC pair."""
+    return (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "CAST(user_id AS STRING) AS sid",
+            f"(unix_millis(CAST(ts AS TIMESTAMP)) DIV {SI_MS}) * {SI_MS}"
+            " AS ts_ms",
+        )
+        .groupBy("sid", "ts_ms")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+
+
+def q_ohlc_1h(spark, sf_dir):
+    """Hourly OHLC candlestick bars (operators/analytics.py ohlc_bars):
+    open/close at the bucket's first/last instants via min_by/max_by,
+    exact int64 everywhere, one map-side-combinable groupBy. Oracle
+    replays with arg_min/arg_max."""
+    from modelardb_dynamic_spark.operators.analytics import ohlc_bars
+
+    return ohlc_bars(_minute_points(spark, sf_dir), bucket_ms=HOUR_MS)
+
+
+def q_stream_ohlc(spark, sf_dir):
+    """Streaming OHLC bars under the value gate (streaming/ohlc.py
+    stream_ohlc): the minute points replayed as a TWO-chunk arriving
+    file stream through the O(1)-per-series bar state, closed-bucket
+    emission. The oracle is the batch bars minus each series' frontier
+    bucket with n_late_dropped pinned 0 (in-order feed), so the gate
+    pins streamed == batch == DuckDB on every exact integer column."""
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid
+
+    from modelardb_dynamic_spark.streaming.ohlc import stream_ohlc
+
+    pts = _minute_points(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="mdbs_stream_ohlc_")
+    try:
+        # two time-ordered chunks -> two micro-batches, so bars span
+        # and close across a real state handoff
+        mid = pts.agg(
+            F.expr("percentile_approx(ts_ms, 0.5)").alias("m")
+        ).collect()[0]["m"]
+        pts.where(F.col("ts_ms") <= mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(d, "chunk=0"))
+        pts.where(F.col("ts_ms") > mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(d, "chunk=1"))
+        schema = spark.read.parquet(_os.path.join(d, "chunk=0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(d, "chunk=*"))
+        )
+        name = "stream_ohlc_" + uuid.uuid4().hex[:8]
+        q = (
+            stream_ohlc(stream, bucket_ms=HOUR_MS)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).localCheckpoint()
+
+
 def q_forecast_league(spark, sf_dir):
     """Forecast model selection (operators/analytics.py
     forecast_league): the value-gated EWMA/Holt/Holt-Winters backtests
@@ -3204,6 +3279,8 @@ QUERIES = {
     "hist_ks": q_hist_ks,
     "seasonal_strength": q_seasonal_strength,
     "forecast_league": q_forecast_league,
+    "ohlc_1h": q_ohlc_1h,
+    "stream_ohlc": q_stream_ohlc,
     "ljung_box": q_ljung_box,
     "spectral_daily": q_spectral_daily,
     "type_hour_chi2": q_type_hour_chi2,
@@ -8338,4 +8415,28 @@ ORACLES["forecast_league"] = f"""
            {_LEAGUE_WINNER} AS winner,
            {_LEAGUE_BEST} AS best_sse
     FROM se JOIN sh ON sh.sid = se.sid JOIN sw ON sw.sid = se.sid
+"""
+
+
+_OHLC_BARS = f"""
+        SELECT sid, (m // {HOUR_MS}) * {HOUR_MS} AS bucket_ts,
+               CAST(min(m) AS BIGINT) AS ts_first,
+               CAST(max(m) AS BIGINT) AS ts_last,
+               CAST(arg_min(v, m) AS BIGINT) AS v_open,
+               CAST(arg_max(v, m) AS BIGINT) AS v_close,
+               CAST(min(v) AS BIGINT) AS v_min,
+               CAST(max(v) AS BIGINT) AS v_max,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS vsum
+        FROM ({_MINUTE_BUCKETS}) GROUP BY 1, 2
+"""
+
+ORACLES["ohlc_1h"] = f"SELECT * FROM ({_OHLC_BARS})"
+
+ORACLES["stream_ohlc"] = f"""
+    WITH bars AS ({_OHLC_BARS}),
+    frontier AS (SELECT sid, max(bucket_ts) AS mx FROM bars GROUP BY sid)
+    SELECT bars.*, CAST(0 AS BIGINT) AS n_late_dropped
+    FROM bars JOIN frontier ON frontier.sid = bars.sid
+    WHERE bucket_ts != mx
 """

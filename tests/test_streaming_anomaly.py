@@ -116,3 +116,109 @@ def test_streamed_zscore_drops_late_rows(spark, tmp_path):
     # carries the cumulative late counter
     assert rows[9_000].n_late_dropped == 1
     assert rows[7_000].n_late_dropped == 0  # first chunk saw no lateness
+
+
+def test_stream_ohlc_matches_batch_at_frontier(spark, tmp_path):
+    """Streamed closed-bucket bars equal the batch operator's rows for
+    every non-frontier bucket, across a two-chunk state handoff."""
+    import os
+
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import ohlc_bars
+    from modelardb_dynamic_spark.streaming.ohlc import stream_ohlc
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for sid in ("a", "b"):
+        for i in range(500):
+            # irregular minute-ish grid with gaps
+            t = i * 60_000 + (7_000 if sid == "b" else 0)
+            if rng.integers(0, 10) == 0:
+                continue
+            rows.append((sid, t, int(rng.integers(1, 100))))
+    pts = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    mid = 250 * 60_000
+    d = str(tmp_path / "ohlc")
+    pts.where(f"ts_ms <= {mid}").coalesce(1).write.parquet(
+        os.path.join(d, "chunk=0")
+    )
+    pts.where(f"ts_ms > {mid}").coalesce(1).write.parquet(
+        os.path.join(d, "chunk=1")
+    )
+    schema = spark.read.parquet(os.path.join(d, "chunk=0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "chunk=*"))
+    )
+    q = (
+        stream_ohlc(stream, bucket_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("t_ohlc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.sid, r.bucket_ts): r for r in spark.table("t_ohlc").collect()
+    }
+    batch = ohlc_bars(pts, bucket_ms=3_600_000)
+    frontier = {
+        r.sid: r.mx
+        for r in batch.groupBy("sid").agg(
+            F.max("bucket_ts").alias("mx")
+        ).collect()
+    }
+    want = {
+        (r.sid, r.bucket_ts): r
+        for r in batch.collect()
+        if r.bucket_ts != frontier[r.sid]
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        for c in (
+            "ts_first", "ts_last", "v_open", "v_close", "v_min", "v_max",
+            "n", "vsum",
+        ):
+            assert getattr(g, c) == getattr(w, c), (k, c)
+        assert g.n_late_dropped == 0
+
+
+def test_stream_ohlc_counts_late_rows(spark, tmp_path):
+    import os
+
+    from modelardb_dynamic_spark.streaming.ohlc import stream_ohlc
+
+    rows0 = [("a", t * 60_000, t + 1) for t in range(120)]
+    rows1 = [("a", 30 * 60_000, 99), ("a", 200 * 60_000, 7)]  # one late
+    p0 = spark.createDataFrame(rows0, "sid string, ts_ms long, v long")
+    p1 = spark.createDataFrame(rows1, "sid string, ts_ms long, v long")
+    d = str(tmp_path / "late")
+    p0.coalesce(1).write.parquet(os.path.join(d, "chunk=0"))
+    p1.coalesce(1).write.parquet(os.path.join(d, "chunk=1"))
+    schema = spark.read.parquet(os.path.join(d, "chunk=0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "chunk=*"))
+    )
+    q = (
+        stream_ohlc(stream, bucket_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("t_ohlc_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = {r.bucket_ts: r for r in spark.table("t_ohlc_late").collect()}
+    # the late row (ts 30min <= hwm 119min) was dropped and counted on
+    # the bar emitted after it
+    assert out[3_600_000].n_late_dropped == 1
+    # and it did NOT mutate the already-closed first bar's values
+    assert out[0].n == 60 and out[0].v_open == 1 and out[0].v_close == 60

@@ -2889,3 +2889,68 @@ def ohlc_bars(points: DataFrame, bucket_ms: int) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v").cast("long").alias("vsum"),
     )
+
+
+def anomaly_consensus(
+    points: DataFrame,
+    window_buckets: int = 24,
+    min_periods: int = 12,
+    zk: int = 3,
+    mad_k: float = 5.0,
+    h_mult: int = 2,
+) -> DataFrame:
+    """Anomaly-detector ensemble verdict per series: the alert-fatigue
+    layer. rolling_zscore (trailing-window spikes), mad_outliers
+    (corpus-median spikes the spike itself cannot corrupt) and
+    cusum_changepoints (sustained level shifts) each answer a different
+    question; paging on any single one over-fires. This operator counts
+    each detector's firings per series and issues one verdict:
+    'alert' when >= 2 independent detectors fired, 'watch' on exactly
+    one, 'ok' on none.
+
+    Every input to the verdict is an exact integer (the z and MAD flags
+    are integer predicates; CUSUM is integer end-to-end), so the
+    composition is value-gatable with no new float algebra — the CASE
+    on counts is the only logic this layer adds.
+
+    Returns (sid, n_buckets, n_z, n_mad, n_shifts, n_detectors,
+    verdict). Scale: the three detectors' own shapes (bounded windows,
+    rank selections, one sid window) + |series|-sized joins.
+    """
+    pts = _materialize(points)
+    z = (
+        rolling_zscore(pts, window_buckets, min_periods, zk)
+        .groupBy("sid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.col("is_anomaly").cast("long")).cast("long").alias("n_z"),
+        )
+    )
+    m = (
+        mad_outliers(pts, mad_k)
+        .groupBy("sid")
+        .agg(
+            F.sum(F.col("is_outlier").cast("long")).cast("long").alias("n_mad")
+        )
+    )
+    c = cusum_changepoints(pts, h_mult).selectExpr(
+        "sid", "n_up_shifts + n_dn_shifts AS n_shifts"
+    )
+    return (
+        z.join(m, "sid")
+        .join(c, "sid")
+        .selectExpr(
+            "sid",
+            "n_buckets",
+            "n_z",
+            "n_mad",
+            "n_shifts",
+            "CAST(n_z > 0 AS BIGINT) + CAST(n_mad > 0 AS BIGINT)"
+            " + CAST(n_shifts > 0 AS BIGINT) AS n_detectors",
+            "CASE WHEN CAST(n_z > 0 AS BIGINT) + CAST(n_mad > 0 AS BIGINT)"
+            " + CAST(n_shifts > 0 AS BIGINT) >= 2 THEN 'alert'"
+            " WHEN CAST(n_z > 0 AS BIGINT) + CAST(n_mad > 0 AS BIGINT)"
+            " + CAST(n_shifts > 0 AS BIGINT) = 1 THEN 'watch'"
+            " ELSE 'ok' END AS verdict",
+        )
+    )

@@ -2655,6 +2655,19 @@ def q_forecast_league(spark, sf_dir):
     return forecast_league(pts, bucket_ms=HOUR_MS, period_buckets=24)
 
 
+def q_anomaly_consensus(spark, sf_dir):
+    """Detector-ensemble verdict (operators/analytics.py
+    anomaly_consensus): rolling z-score + MAD + CUSUM firings counted
+    per series over the hourly tier, one alert/watch/ok verdict on the
+    integer counts. Every flag is an exact integer predicate, so the
+    oracle replays all three detectors and the CASE verbatim."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        anomaly_consensus,
+    )
+
+    return anomaly_consensus(_hourly_points(spark, sf_dir))
+
+
 def q_ljung_box(spark, sf_dir):
     """Ljung-Box portmanteau whiteness test (operators/analytics.py
     ljung_box) over the hourly turn-rate series, lags 1-4: Q =
@@ -3281,6 +3294,7 @@ QUERIES = {
     "forecast_league": q_forecast_league,
     "ohlc_1h": q_ohlc_1h,
     "stream_ohlc": q_stream_ohlc,
+    "anomaly_consensus": q_anomaly_consensus,
     "ljung_box": q_ljung_box,
     "spectral_daily": q_spectral_daily,
     "type_hour_chi2": q_type_hour_chi2,
@@ -8439,4 +8453,96 @@ ORACLES["stream_ohlc"] = f"""
     SELECT bars.*, CAST(0 AS BIGINT) AS n_late_dropped
     FROM bars JOIN frontier ON frontier.sid = bars.sid
     WHERE bucket_ts != mx
+"""
+
+
+ORACLES["anomaly_consensus"] = f"""
+    WITH b AS ({_HOURLY_POINTS}),
+    zt AS (
+        SELECT sid, v,
+               count(*) OVER wf AS n_w,
+               sum(v) OVER wf AS s_w,
+               sum(v * v) OVER wf AS ss_w
+        FROM b
+        WINDOW wf AS (PARTITION BY sid ORDER BY hm
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT sid, CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN n_w IS NULL OR n_w < 12 THEN 0
+                   WHEN n_w * ss_w - s_w * s_w <= 0 THEN 0
+                   WHEN (v * n_w - s_w) * (v * n_w - s_w)
+                        > 9 * (n_w * ss_w - s_w * s_w) THEN 1
+                   ELSE 0 END) AS BIGINT) AS n_z
+        FROM zt GROUP BY sid
+    ),
+    rk AS (SELECT sid, v, row_number() OVER (
+               PARTITION BY sid ORDER BY v) AS r,
+               count(*) OVER (PARTITION BY sid) AS n FROM b),
+    med AS (SELECT sid,
+               (CAST(min(v) AS DOUBLE) + CAST(max(v) AS DOUBLE))
+                   / CAST(2 AS DOUBLE) AS med
+            FROM rk WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+            GROUP BY sid),
+    dv AS (SELECT b.sid, b.v, med.med,
+               abs(CAST(b.v AS DOUBLE) - med.med) AS dev
+           FROM b JOIN med USING (sid)),
+    rk2 AS (SELECT sid, dev, row_number() OVER (
+               PARTITION BY sid ORDER BY dev) AS r,
+               count(*) OVER (PARTITION BY sid) AS n FROM dv),
+    mad AS (SELECT sid,
+               (min(dev) + max(dev)) / CAST(2 AS DOUBLE) AS mad
+            FROM rk2 WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+            GROUP BY sid),
+    md AS (
+        SELECT dv.sid,
+               CAST(sum(CASE WHEN mad.mad > 0 AND
+                   dv.dev > CAST(5.0 AS DOUBLE) * mad.mad
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_mad
+        FROM dv JOIN mad USING (sid) GROUP BY dv.sid
+    ),
+    cbase AS (
+        SELECT sid, hm AS ts_ms, v,
+               count(*) OVER (PARTITION BY sid) AS n,
+               sum(v) OVER (PARTITION BY sid) AS s
+        FROM b
+    ),
+    cc AS (
+        SELECT *, sum(n * v - s) OVER (PARTITION BY sid ORDER BY ts_ms
+                       ROWS UNBOUNDED PRECEDING) AS c
+        FROM cbase
+    ),
+    ud AS (
+        SELECT sid, ts_ms, s,
+               c - least(0, min(c) OVER (PARTITION BY sid ORDER BY ts_ms
+                       ROWS UNBOUNDED PRECEDING)) AS up,
+               greatest(0, max(c) OVER (PARTITION BY sid ORDER BY ts_ms
+                       ROWS UNBOUNDED PRECEDING)) - c AS dn
+        FROM cc
+    ),
+    a AS (SELECT *, up > s * 2 AS up_a, dn > s * 2 AS dn_a FROM ud),
+    st AS (
+        SELECT *,
+               up_a AND NOT coalesce(lag(up_a) OVER (PARTITION BY sid
+                   ORDER BY ts_ms), FALSE) AS up_start,
+               dn_a AND NOT coalesce(lag(dn_a) OVER (PARTITION BY sid
+                   ORDER BY ts_ms), FALSE) AS dn_start
+        FROM a
+    ),
+    cs AS (
+        SELECT sid,
+               CAST(sum(CASE WHEN up_start THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN dn_start THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_shifts
+        FROM st GROUP BY sid
+    )
+    SELECT z.sid, n_buckets, n_z, n_mad, n_shifts,
+           CAST(n_z > 0 AS BIGINT) + CAST(n_mad > 0 AS BIGINT)
+               + CAST(n_shifts > 0 AS BIGINT) AS n_detectors,
+           CASE WHEN CAST(n_z > 0 AS BIGINT) + CAST(n_mad > 0 AS BIGINT)
+               + CAST(n_shifts > 0 AS BIGINT) >= 2 THEN 'alert'
+               WHEN CAST(n_z > 0 AS BIGINT) + CAST(n_mad > 0 AS BIGINT)
+               + CAST(n_shifts > 0 AS BIGINT) = 1 THEN 'watch'
+               ELSE 'ok' END AS verdict
+    FROM z JOIN md ON md.sid = z.sid JOIN cs ON cs.sid = z.sid
 """

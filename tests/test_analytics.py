@@ -1987,3 +1987,29 @@ def test_forecast_league_prefers_right_model(spark):
     for r in out.values():
         assert r.best_sse == min(r.sse_ewma, r.sse_holt, r.sse_hw)
         assert r.n_scored == 6 * 24 - 1
+
+
+def test_anomaly_consensus_verdicts(spark):
+    # quiet: no detector fires; spike: z+mad fire (2 -> alert);
+    # shift: cusum fires alone (1 -> watch)
+    rows = []
+    for i in range(96):
+        t = i * 3_600_000
+        rows.append(("quiet", t, 50 + (i % 2)))
+        rows.append(("spike", t, 5_000 if i == 80 else 50 + (i % 2)))
+        rows.append(("shift", t, 10 if i < 48 else 200))
+    from modelardb_dynamic_spark.operators.analytics import (
+        anomaly_consensus,
+    )
+
+    out = {
+        r.sid: r
+        for r in anomaly_consensus(_points(spark, rows)).collect()
+    }
+    assert out["quiet"].verdict == "ok" and out["quiet"].n_detectors == 0
+    assert out["spike"].verdict == "alert"
+    assert out["spike"].n_z > 0 and out["spike"].n_mad > 0
+    assert out["shift"].verdict in ("watch", "alert")
+    assert out["shift"].n_shifts > 0
+    for r in out.values():
+        assert r.n_buckets == 96

@@ -153,6 +153,11 @@ BENCH_QUERIES = [
     "graph_triangles",
     "hist_ks",
     "seasonal_strength",
+    "ljung_box",
+    "spectral_daily",
+    "forecast_league",
+    "ohlc_1h",
+    "anomaly_consensus",
     "type_hour_chi2",
     "rate_shift",
     "fk_audit",

@@ -118,21 +118,39 @@ class TierPipeline:
                 .parquet(tmp)
             )
             stats = {}
-            tmp_df = self.spark.read.parquet(tmp)
-            # timestamp OR timestamp_ntz (NTZ parquet reads interpret in
-            # the session tz, pinned UTC) -> epoch-ms high-water mark;
-            # anything else is already a long
-            hw_col = (
-                F.unix_millis(F.col(ts_col).cast("timestamp"))
-                if dict(tmp_df.dtypes).get(ts_col, "").startswith("timestamp")
-                else F.col(ts_col)
+            # a rewrite can legitimately produce ZERO rows for a whole
+            # chunk (retain/purge to empty): partitionBy writes no part
+            # files then, and reading the bare tmp dir would fail schema
+            # inference — every pending bucket is simply empty
+            tmp_nonempty = any(
+                f.endswith(".parquet")
+                for d in (
+                    os.listdir(tmp) if os.path.isdir(tmp) else ()
+                )
+                if os.path.isdir(os.path.join(tmp, d))
+                for f in os.listdir(os.path.join(tmp, d))
             )
-            for r in (
-                tmp_df.groupBy("sbucket")
-                .agg(F.count(F.lit(1)).alias("rows"), F.max(hw_col).alias("hw"))
-                .collect()
-            ):
-                stats[r["sbucket"]] = (r["rows"], r["hw"])
+            if tmp_nonempty:
+                tmp_df = self.spark.read.parquet(tmp)
+                # timestamp OR timestamp_ntz (NTZ parquet reads interpret
+                # in the session tz, pinned UTC) -> epoch-ms high-water
+                # mark; anything else is already a long
+                hw_col = (
+                    F.unix_millis(F.col(ts_col).cast("timestamp"))
+                    if dict(tmp_df.dtypes)
+                    .get(ts_col, "")
+                    .startswith("timestamp")
+                    else F.col(ts_col)
+                )
+                for r in (
+                    tmp_df.groupBy("sbucket")
+                    .agg(
+                        F.count(F.lit(1)).alias("rows"),
+                        F.max(hw_col).alias("hw"),
+                    )
+                    .collect()
+                ):
+                    stats[r["sbucket"]] = (r["rows"], r["hw"])
             wall = time.time() - t0
             for b in pending:
                 src = os.path.join(tmp, f"sbucket={b}")
@@ -568,6 +586,168 @@ class TierPipeline:
             "affected_buckets": aff, "n_buckets": nb,
             "rejected_below_retention": rejected,
         }
+
+    # -- right-to-be-forgotten ------------------------------------------------
+
+    def purge(self, conv_ids, batch_id: str) -> dict:
+        """Delete EVERY trace of the given conversations from EVERY
+        stage — the GDPR/right-to-be-forgotten path, priced like
+        append(): only the hash(conv_id) buckets the purge set maps to
+        are rewritten, untouched buckets keep data and manifests
+        byte-for-byte, so at 10^12 turns deleting k users' conversations
+        re-rolls k-ish of 4096 buckets, not the table.
+
+        Mechanics per stage family:
+        - sid-keyed tables (raw, series, segments, tier_1m/1h/1d,
+          series_arch, hist_1h/1d, hll_1d): a bucket-local broadcast
+          anti-join filter rewrite — exact, no kernel recompute, and it
+          works BELOW a retention floor too (filtering preserved rows is
+          always possible; recomputing them is not).
+        - sbucket-MERGED sketches (cms_1d, kmv_1d, bloom_1d): a merged
+          sketch cannot subtract a member (the purged conv would still
+          answer membership/frequency probes), so affected buckets are
+          REBUILT from the post-purge raw. If raw retention already
+          dropped sub-floor turns, those sketch rows cannot be rebuilt
+          without the purged member — they are conservatively DROPPED
+          for affected buckets (compliance outranks sketch coverage)
+          and the loss is reported in the metrics.
+
+        Idempotent + resumable like every stage: fingerprints carry
+        batch_id, a crashed purge resumes past completed buckets.
+        Iceberg deployment: the filter rewrites become DELETE FROM ...
+        WHERE on the bucket partition; lineage stays the progress record.
+
+        conv_ids: iterable of conv_id strings (the purge list is
+        user-supplied and bounded — broadcast-sized by construction).
+        Returns {"affected_buckets", "rows_removed": {stage: n}, ...}.
+        """
+        ids = sorted(set(conv_ids))
+        nb = self.wh.n_buckets
+        if not ids:
+            return {"affected_buckets": [], "rows_removed": {}}
+        id_df = self.spark.createDataFrame(
+            [(i,) for i in ids], "purge_id string"
+        ).localCheckpoint()
+        aff = sorted(
+            r["b"]
+            for r in id_df.select(
+                sid_bucket(F.col("purge_id"), nb).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        removed: dict[str, int] = {}
+
+        def _filter_stage(stage: str, key_expr: str, ts_col: str) -> None:
+            root = self.wh.path(stage)
+            if not os.path.exists(root):
+                return
+            # a fully-retained stage leaves empty bucket dirs (no parquet
+            # part files) — nothing to purge there, and reading them
+            # would fail schema inference
+            live = [
+                b
+                for b in aff
+                if os.path.isdir(os.path.join(root, f"sbucket={b}"))
+                and any(
+                    f.endswith(".parquet")
+                    for f in os.listdir(os.path.join(root, f"sbucket={b}"))
+                )
+            ]
+            if not live:
+                removed[stage] = 0
+                return
+            before = [0]
+
+            def build(bucket_ids: list[int]) -> DataFrame:
+                df = self._read_buckets(stage, bucket_ids)
+                before[0] += df.count()
+                return df.join(
+                    F.broadcast(id_df),
+                    F.expr(key_expr) == F.col("purge_id"),
+                    "left_anti",
+                )
+
+            self._run_stage(
+                stage, f"purge+{batch_id}", build, ts_col=ts_col,
+                only_buckets=live,
+            )
+            after = sum(
+                rows for b, (rows, _) in self._bucket_stats(stage, live).items()
+            )
+            removed[stage] = before[0] - after
+
+        _filter_stage("raw", "conv_id", "ts")
+        _filter_stage("series", "sid", "ts_ms")
+        _filter_stage("segments", "sid", "end_ts")
+        for tier_name, _ in TIERS:
+            _filter_stage(tier_name, "sid", "bucket_ts")
+        _filter_stage(
+            "series_arch",
+            f"substring_index(akey, '{self._AKEY_SEP}', 1)",
+            "hw_ts",
+        )
+        for sk in ("hist_1h", "hist_1d", "hll_1d"):
+            _filter_stage(sk, "sid", "bucket_ts")
+
+        # sbucket-merged sketches: rebuild affected buckets from the
+        # now-purged raw (no preserve floor — see docstring)
+        dropped_below_floor = 0
+        if os.path.exists(self.wh.path("cms_1d")):
+            from modelardb_dynamic_spark.operators.sketches import (
+                bloom_tier,
+                cms_tier,
+                kmv_tier,
+            )
+
+            raw_h = self.retention_horizon("raw")
+            for sk, tier_fn in (
+                ("cms_1d", cms_tier),
+                ("kmv_1d", kmv_tier),
+                ("bloom_1d", bloom_tier),
+            ):
+                if not os.path.exists(self.wh.path(sk)):
+                    continue
+                if raw_h is not None:
+                    floor = ((raw_h + DAY_MS - 1) // DAY_MS) * DAY_MS
+                    dropped_below_floor += (
+                        self._read_buckets(sk, aff)
+                        .where(f"bucket_ts < {floor}")
+                        .count()
+                    )
+
+                def build(bucket_ids: list[int], tier_fn=tier_fn) -> DataFrame:
+                    src = self._raw_turns(bucket_ids)
+                    return tier_fn(
+                        src.withColumn(
+                            "sbucket", sid_bucket(F.col("sid"), nb)
+                        ),
+                        ["sbucket"], "sid",
+                        f"(ts_ms DIV {DAY_MS}) * {DAY_MS}",
+                    )
+
+                self._run_stage(
+                    sk, f"purge+{batch_id}", build, ts_col="bucket_ts",
+                    only_buckets=aff,
+                )
+        return {
+            "affected_buckets": aff,
+            "n_buckets": nb,
+            "n_conv_ids": len(ids),
+            "rows_removed": removed,
+            "sketch_rows_dropped_below_floor": dropped_below_floor,
+        }
+
+    def _bucket_stats(self, stage: str, buckets: list[int]) -> dict:
+        """Post-rewrite row counts per bucket from the lineage manifests
+        (no rescan)."""
+        lineage = Lineage(self.wh.path(stage))
+        out = {}
+        for b in buckets:
+            m = lineage.get(b)
+            if m is not None:
+                out[b] = (m.rows, m.high_water_ts)
+        return out
 
     # -- retention -----------------------------------------------------------
 

@@ -962,3 +962,99 @@ def test_archive_series_demotes_and_restores_exactly(spark, transcripts, tmp_pat
 
     st = warehouse_status(str(tmp_path / "arch"))
     assert "series_arch" in st["tables"]
+
+
+def test_purge_removes_every_trace(spark, transcripts, tmp_path):
+    """Right-to-be-forgotten: purge() deletes the conversations from
+    EVERY stage (raw through tiers, archive, and all six sketch
+    tiers), rewrites ONLY the affected hash buckets, equals a
+    never-ingested build on the sid-keyed stages, and re-running the
+    same purge is a fingerprint no-op."""
+    import json
+    import os
+
+    from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+    wh = Warehouse(str(tmp_path / "purge"), n_buckets=8)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=8, salt_span_points=None)
+    p.run(transcripts, sketches=True)
+    victims = [r.conv_id for r in
+               transcripts.select("conv_id").distinct().limit(3).collect()]
+
+    # manifests of buckets the purge should NOT touch
+    from modelardb_dynamic_spark.plans.checkpoint import Lineage
+    from modelardb_dynamic_spark.sources.catalog import sid_bucket
+
+    aff_expect = sorted(
+        r.b for r in spark.createDataFrame(
+            [(v,) for v in victims], "c string"
+        ).select(sid_bucket(F.col("c"), 8).alias("b")).distinct().collect()
+    )
+    untouched = [b for b in range(8) if b not in aff_expect]
+    pre = {}
+    for stage in ("raw", "segments", "tier_1d", "hll_1d", "bloom_1d"):
+        lin = Lineage(wh.path(stage))
+        pre[stage] = {b: lin.get(b).committed_utc for b in untouched
+                      if lin.get(b) is not None}
+
+    m = p.purge(victims, batch_id="b1")
+    assert m["affected_buckets"] == aff_expect
+    assert m["rows_removed"]["raw"] > 0
+    assert m["sketch_rows_dropped_below_floor"] == 0
+
+    # 1. no sid-keyed stage contains a victim
+    for stage, key in (
+        ("raw", "conv_id"), ("series", "sid"), ("segments", "sid"),
+        ("tier_1m", "sid"), ("tier_1h", "sid"), ("tier_1d", "sid"),
+        ("hist_1h", "sid"), ("hist_1d", "sid"), ("hll_1d", "sid"),
+    ):
+        df = wh.read(spark, stage)
+        assert df.where(F.col(key).isin(victims)).count() == 0, stage
+
+    # 2. untouched buckets' manifests byte-identical (not re-committed)
+    for stage, mans in pre.items():
+        lin = Lineage(wh.path(stage))
+        for b, ts in mans.items():
+            assert lin.get(b).committed_utc == ts, (stage, b)
+
+    # 3. sid-keyed stages equal a build that never saw the victims
+    clean = transcripts.where(~F.col("conv_id").isin(victims))
+    wh_c = Warehouse(str(tmp_path / "clean"), n_buckets=8)
+    p_c = TierPipeline(spark, wh_c, CFG10, chunk_buckets=8,
+                       salt_span_points=None)
+    p_c.run(clean, sketches=True)
+    for table in ("raw", "series", "segments", "tier_1m", "tier_1h",
+                  "tier_1d", "hist_1h", "hist_1d", "hll_1d", "cms_1d",
+                  "kmv_1d", "bloom_1d"):
+        a = wh.read(spark, table).drop("sbucket")
+        b = wh_c.read(spark, table).drop("sbucket")
+        assert a.exceptAll(b).count() == 0, table
+        assert b.exceptAll(a).count() == 0, table
+
+    # 4. idempotent re-run: same fingerprint -> no bucket rebuilt
+    lin_raw = Lineage(wh.path("raw"))
+    stamps = {b: lin_raw.get(b).committed_utc for b in aff_expect}
+    m2 = p.purge(victims, batch_id="b1")
+    assert m2["affected_buckets"] == aff_expect
+    lin_raw2 = Lineage(wh.path("raw"))
+    for b, ts in stamps.items():
+        assert lin_raw2.get(b).committed_utc == ts
+
+
+def test_purge_covers_series_archive(spark, transcripts, tmp_path):
+    """A purge after archive_series scrubs the cold DoD+ALP blobs too."""
+    wh = Warehouse(str(tmp_path / "parch"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4, salt_span_points=None)
+    p.run(transcripts)
+    horizon = (
+        transcripts.agg(
+            F.expr("max(unix_millis(CAST(ts AS TIMESTAMP)))").alias("m")
+        ).collect()[0]["m"] + 60_000
+    )
+    p.archive_series(horizon)  # everything demoted to the cold archive
+    victims = [r.conv_id for r in
+               transcripts.select("conv_id").distinct().limit(2).collect()]
+    p.purge(victims, batch_id="arch1")
+    restored = p.restore_series_archive()
+    assert restored.where(F.col("sid").isin(victims)).count() == 0
+    assert restored.count() > 0  # other conversations still restorable

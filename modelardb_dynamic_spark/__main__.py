@@ -83,6 +83,11 @@ def main(argv: list[str] | None = None) -> None:
                          "conversation was active on the day (Bloom "
                          "membership from the bloom_1d tier; exact raw "
                          "fallback for unsealed days)")
+    ap.add_argument("--purge", default=None, metavar="CONV,CONV,...",
+                    help="right-to-be-forgotten: delete the listed "
+                         "conversations from EVERY stage of an existing "
+                         "warehouse (bucket-local rewrites, idempotent "
+                         "under --batch-id; skips the build)")
     args = ap.parse_args(argv)
 
     if args.status:
@@ -141,6 +146,12 @@ def main(argv: list[str] | None = None) -> None:
         else:
             batch = spark.read.parquet(args.append_input)
         out["append"] = pipe.append(batch, batch_id=args.batch_id)
+    elif args.purge is not None:
+        if not args.batch_id:
+            ap.error("--purge requires --batch-id")
+        out["purge"] = pipe.purge(
+            args.purge.split(","), batch_id=args.batch_id
+        )
     else:
         pipe.run(transcripts, sketches=args.sketches)
     if args.retain_raw_after_ms is not None:

@@ -2236,3 +2236,85 @@ def scd2_intervals(
         "n_events",
         F.lead("valid_from").over(wk).isNull().alias("is_current"),
     )
+
+
+def latency_trend(tr: DataFrame, bucket_ms: int) -> DataFrame:
+    """Is each tool getting SLOWER: per (tool, time bucket) exact-ceil
+    P95 of the tool-to-next-turn gap through the shared gap_percentiles
+    selection core, then a Theil-Sen median slope over the bucketed P95
+    points per tool — the robust drift detector on the tail, which is
+    where tool regressions live (means hide them, one bad day shouldn't
+    dominate them).
+
+    Exactness: P95 is an integer ms rank pick; x is the rebased integer
+    bucket index; every pairwise slope is one double division of exact
+    int64s; the median is the (m+1)//2 / (m+2)//2 rank average with the
+    shared (lo + hi)/2 tree (the theil_sen discipline); the verdict is a
+    sign compare on that exact double. Tools with < 3 buckets are
+    excluded (a two-point trend is a line, not a trend).
+
+    Returns (tool, n_weeks, m_pairs, slope_ms_per_bucket, verdict)
+    where verdict is degrading/improving/stable by slope sign.
+
+    Scale: the selection core's value-count shape per (tool, bucket);
+    the pair space is quadratic in BUCKETS per tool (span-bounded,
+    corpus-independent) — the same coarse-tier contract as theil_sen.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    g = (
+        tr.select("conv_id", "turn_idx", "tool", ms.alias("ts_ms"))
+        .withColumn("next_ms", F.lead("ts_ms").over(w))
+        .where(F.col("tool").isNotNull() & F.col("next_ms").isNotNull())
+        .select(
+            "tool",
+            F.expr(f"ts_ms DIV {bucket_ms}").alias("wk"),
+            (F.col("next_ms") - F.col("ts_ms")).alias("gap_ms"),
+        )
+    )
+    wkp = gap_percentiles(g, ["tool", "wk"], picks=(("p95_ms", 19, 20),))
+    base = wkp.groupBy("tool").agg(
+        F.min("wk").alias("w0"),
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+    )
+    p = wkp.join(base, "tool").select(
+        "tool",
+        (F.col("wk") - F.col("w0")).cast("long").alias("x"),
+        F.col("p95_ms").cast("long").alias("y"),
+    )
+    a = p.select("tool", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = p.select("tool", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pr = (
+        a.join(b, "tool")
+        .where(F.col("xa") < F.col("xb"))
+        .select(
+            "tool",
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("s"),
+        )
+    )
+    cnt = pr.groupBy("tool").agg(F.count(F.lit(1)).cast("long").alias("m_pairs"))
+    wr = Window.partitionBy("tool").orderBy("s")
+    sel = (
+        pr.withColumn("r", F.row_number().over(wr))
+        .join(F.broadcast(cnt), "tool")
+        .where(F.expr("r = (m_pairs + 1) DIV 2 OR r = (m_pairs + 2) DIV 2"))
+    )
+    med = sel.groupBy("tool", "m_pairs").agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi")
+    )
+    return (
+        med.join(base, "tool")
+        .where(F.col("n_weeks") >= 3)
+        .selectExpr(
+            "tool",
+            "n_weeks",
+            "m_pairs",
+            "(lo + hi) / CAST(2 AS DOUBLE) AS slope_ms_per_bucket",
+            "CASE WHEN (lo + hi) / CAST(2 AS DOUBLE) > 0 THEN 'degrading'"
+            " WHEN (lo + hi) / CAST(2 AS DOUBLE) < 0 THEN 'improving'"
+            " ELSE 'stable' END AS verdict",
+        )
+    )

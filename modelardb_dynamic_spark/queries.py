@@ -2162,6 +2162,20 @@ def q_tool_latency_pct(spark, sf_dir):
     ).orderBy("tool")
 
 
+def q_latency_trend(spark, sf_dir):
+    """Tool-latency drift verdict (operators/textstats.py
+    latency_trend): daily exact-ceil P95 per tool through the shared
+    selection core, Theil-Sen median slope over the daily P95 points,
+    degrading/improving/stable by exact-double sign. The oracle replays
+    the selection, the pairwise slope divisions, and the rank-average
+    median."""
+    from modelardb_dynamic_spark.operators.textstats import latency_trend
+
+    return latency_trend(
+        _events_as_transcripts(spark, sf_dir), bucket_ms=DAY_MS
+    ).orderBy("tool")
+
+
 def q_verbosity_latency(spark, sf_dir):
     """Per-role Pearson correlation between a turn's token count and the
     reply gap it induces (operators/textstats.py verbosity_latency):
@@ -3316,6 +3330,7 @@ QUERIES = {
     "agent_loops": q_agent_loops,
     "tool_latency": q_tool_latency,
     "tool_latency_pct": q_tool_latency_pct,
+    "latency_trend": q_latency_trend,
     "turn_echo": q_turn_echo,
     "conv_summary": q_conv_summary,
     "vocab_growth": q_vocab_growth,
@@ -8545,4 +8560,76 @@ ORACLES["anomaly_consensus"] = f"""
                + CAST(n_shifts > 0 AS BIGINT) = 1 THEN 'watch'
                ELSE 'ok' END AS verdict
     FROM z JOIN md ON md.sid = z.sid JOIN cs ON cs.sid = z.sid
+"""
+
+
+ORACLES["latency_trend"] = f"""
+    WITH tr AS ({_TR_FULL}),
+    g AS (
+        SELECT tool, ts_ms // {DAY_MS} AS wk, gap_ms FROM (
+            SELECT CASE WHEN turn_idx % 3 = 2 THEN event_type END AS tool,
+                   ts_ms,
+                   lead(ts_ms) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) - ts_ms
+                       AS gap_ms
+            FROM tr
+        ) WHERE tool IS NOT NULL AND gap_ms IS NOT NULL
+    ),
+    counts AS (
+        SELECT tool, wk, gap_ms, CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT tool, wk, gap_ms, c,
+               sum(c) OVER (PARTITION BY tool, wk ORDER BY gap_ms) AS cum
+        FROM counts
+    ),
+    stats AS (
+        SELECT tool, wk, CAST(sum(c) AS BIGINT) AS n
+        FROM counts GROUP BY 1, 2
+    ),
+    wkp AS (
+        SELECT cum.tool, cum.wk,
+               min(CASE WHEN cum >= (19 * n + 19) // 20 THEN gap_ms END)
+                   AS p95_ms
+        FROM cum JOIN stats ON stats.tool = cum.tool AND stats.wk = cum.wk
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT tool, min(wk) AS w0,
+               CAST(count(*) AS BIGINT) AS n_weeks
+        FROM wkp GROUP BY tool
+    ),
+    p AS (
+        SELECT wkp.tool, CAST(wkp.wk - base.w0 AS BIGINT) AS x,
+               CAST(p95_ms AS BIGINT) AS y
+        FROM wkp JOIN base ON base.tool = wkp.tool
+    ),
+    pr AS (
+        SELECT a.tool,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+        FROM p a JOIN p b ON b.tool = a.tool AND a.x < b.x
+    ),
+    cnt AS (SELECT tool, CAST(count(*) AS BIGINT) AS m_pairs
+            FROM pr GROUP BY tool),
+    sel AS (
+        SELECT pr.tool, m_pairs, s FROM (
+            SELECT tool, s, row_number() OVER (
+                PARTITION BY tool ORDER BY s) AS r
+            FROM pr
+        ) pr JOIN cnt ON cnt.tool = pr.tool
+        WHERE r = (m_pairs + 1) // 2 OR r = (m_pairs + 2) // 2
+    ),
+    med AS (
+        SELECT tool, m_pairs, min(s) AS lo, max(s) AS hi
+        FROM sel GROUP BY 1, 2
+    )
+    SELECT med.tool, n_weeks, m_pairs,
+           (lo + hi) / CAST(2 AS DOUBLE) AS slope_ms_per_bucket,
+           CASE WHEN (lo + hi) / CAST(2 AS DOUBLE) > 0 THEN 'degrading'
+                WHEN (lo + hi) / CAST(2 AS DOUBLE) < 0 THEN 'improving'
+                ELSE 'stable' END AS verdict
+    FROM med JOIN base ON base.tool = med.tool
+    WHERE n_weeks >= 3
+    ORDER BY med.tool
 """

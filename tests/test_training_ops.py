@@ -2315,3 +2315,43 @@ def test_pq_codebooks_deterministic(spark):
     b2 = train_pq_codebooks(X.copy(), m=8, ksub=16)
     assert (b1 == b2).all()
     assert b1.shape == (8, 16, 8)
+
+
+def test_latency_trend_detects_degradation(spark):
+    """Planted corpora: a tool whose daily P95 grows -> degrading; one
+    whose P95 shrinks -> improving; slope equals the hand Theil-Sen."""
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.textstats import latency_trend
+
+    day = 86_400_000
+    rows = []
+    # conv per (tool, day): tool turn at t0, next turn at t0+gap
+    for d in range(6):
+        for k in range(10):
+            t0 = d * day + k * 60_000
+            # slow: P95 grows 1000 ms/day; fast: shrinks 500 ms/day
+            rows.append((f"s{d}_{k}", 0, "assistant", "x", "slow",
+                         t0, 10_000 + 1000 * d))
+            rows.append((f"f{d}_{k}", 0, "assistant", "x", "fast",
+                         t0, 10_000 - 500 * d))
+    data = []
+    for conv, idx, role, text, tool, t0, gap in rows:
+        data.append((conv, idx, role, text, tool, t0))
+        data.append((conv, idx + 1, "user", "y", None, t0 + gap))
+    tr = spark.createDataFrame(
+        data,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts_ms long",
+    ).selectExpr(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        "CAST(ts_ms / 1000.0 AS TIMESTAMP) AS ts",
+    )
+    out = {r.tool: r for r in latency_trend(tr, bucket_ms=day).collect()}
+    assert out["slow"].verdict == "degrading"
+    assert out["fast"].verdict == "improving"
+    assert out["slow"].n_weeks == 6
+    # every pairwise slope is exactly 1000 (resp -500): median equals it
+    assert out["slow"].slope_ms_per_bucket == 1000.0
+    assert out["fast"].slope_ms_per_bucket == -500.0
+    assert out["slow"].m_pairs == 15

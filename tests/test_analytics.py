@@ -2013,3 +2013,110 @@ def test_anomaly_consensus_verdicts(spark):
     assert out["shift"].n_shifts > 0
     for r in out.values():
         assert r.n_buckets == 96
+
+
+def test_session8_ops_fuzz_vs_scalar(spark):
+    """Seeded random sparse series through ljung_box / spectral_daily /
+    anomaly_consensus vs independent numpy references (not the mirrored
+    oracle — independent references catch what replays cannot)."""
+    import math
+
+    H = 3_600_000
+    rng = np.random.default_rng(80)
+    rows = []
+    series = {}
+    for i in range(6):
+        sid = f"s{i}"
+        buckets = sorted(
+            int(x) for x in rng.choice(24 * 30, size=240, replace=False)
+        )
+        vals = [
+            int(
+                5
+                + rng.integers(0, 20)
+                + (10 * math.cos(2 * math.pi * (b % 24) / 24) if i % 2 else 0)
+            )
+            for b in buckets
+        ]
+        series[sid] = (buckets, vals)
+        rows.extend((sid, b * H, v) for b, v in zip(buckets, vals))
+    pts = _points(spark, rows)
+
+    from modelardb_dynamic_spark.operators.analytics import (
+        anomaly_consensus,
+        ljung_box,
+        spectral_daily,
+    )
+
+    # --- ljung_box vs scalar sparse-ACF reference
+    got_lb = {r.sid: r for r in ljung_box(pts, max_lag=4).collect()}
+    for sid, (buckets, vals) in series.items():
+        bv = dict(zip(buckets, vals))
+        x = np.array(vals, dtype=np.float64)
+        n = len(x)
+        mu = x.mean()
+        energy = ((x - mu) ** 2).sum()
+        q_ref, have_all = 0.0, True
+        for k in range(1, 5):
+            pairs = [
+                (bv[b] - mu) * (bv[b + k] - mu)
+                for b in buckets
+                if b + k in bv
+            ]
+            if not pairs:
+                have_all = False
+                break
+            q_ref += (sum(pairs) / energy) ** 2 / (n - k)
+        if not have_all:
+            assert sid not in got_lb
+            continue
+        q_ref *= n * (n + 2)
+        assert abs(got_lb[sid].q_lb - q_ref) < 1e-9 * max(1.0, abs(q_ref)), sid
+
+    # --- spectral_daily vs numpy DFT over the phase sums
+    got_sp = {r.sid: r for r in spectral_daily(pts).collect()}
+    for sid, (buckets, vals) in series.items():
+        sp = np.zeros(24)
+        for b, v in zip(buckets, vals):
+            sp[b % 24] += v
+        X = np.fft.fft(sp)[1]
+        r = got_sp[sid]
+        assert abs(r.a1 - X.real) < 1e-9 * max(1.0, abs(X.real)), sid
+        assert abs(r.b1 - X.imag) < 1e-9 * max(1.0, abs(X.imag)), sid
+        assert r.peak_phase == min(
+            p for p in range(24)
+            if sp[p] == max(sp[q] for q in range(24))
+        ), sid
+
+    # --- anomaly_consensus count columns vs scalar detectors
+    got_ac = {r.sid: r for r in anomaly_consensus(pts).collect()}
+    for sid, (buckets, vals) in series.items():
+        # rolling z flags (trailing 24, excl self, minp 12, k 3)
+        n_z = 0
+        for i in range(len(vals)):
+            w = vals[max(0, i - 24):i]
+            nw = len(w)
+            if nw < 12:
+                continue
+            s, ss = sum(w), sum(v * v for v in w)
+            var = nw * ss - s * s
+            if var > 0 and (vals[i] * nw - s) ** 2 > 9 * var:
+                n_z += 1
+        # MAD flags (k=5), rank-selection medians
+        sv = sorted(vals)
+        m = len(sv)
+        med = (sv[(m + 1) // 2 - 1] + sv[(m + 2) // 2 - 1]) / 2.0
+        devs = sorted(abs(v - med) for v in vals)
+        mad = (devs[(m + 1) // 2 - 1] + devs[(m + 2) // 2 - 1]) / 2.0
+        n_mad = sum(
+            1 for v in vals if mad > 0 and abs(v - med) > 5.0 * mad
+        )
+        r = got_ac[sid]
+        assert r.n_z == n_z, sid
+        assert r.n_mad == n_mad, sid
+        assert r.n_buckets == len(vals), sid
+        fired = int(r.n_z > 0) + int(r.n_mad > 0) + int(r.n_shifts > 0)
+        assert r.n_detectors == fired
+        assert r.verdict == (
+            "alert" if fired >= 2 else ("watch" if fired == 1 else "ok")
+        )

@@ -2654,6 +2654,56 @@ def q_stream_ohlc(spark, sf_dir):
     return spark.table(name).localCheckpoint()
 
 
+def q_stream_ewma(spark, sf_dir):
+    """Streaming EWMA level gauge under the value gate
+    (streaming/ewma.py stream_ewma): the minute points replayed as a
+    two-chunk arriving stream through the O(1)-per-series smoother
+    state, closed-bucket emission. Python floats perform the identical
+    IEEE ops as the batch fold, so the oracle — the ewma backtest
+    replay minus each series' frontier bucket, n_late_dropped pinned
+    0 — pins streamed == batch == DuckDB bit-for-bit including the
+    float level/forecast/abs_err."""
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid
+
+    from modelardb_dynamic_spark.streaming.ewma import stream_ewma
+
+    pts = _minute_points(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="mdbs_stream_ewma_")
+    try:
+        mid = pts.agg(
+            F.expr("percentile_approx(ts_ms, 0.5)").alias("m")
+        ).collect()[0]["m"]
+        pts.where(F.col("ts_ms") <= mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(d, "chunk=0"))
+        pts.where(F.col("ts_ms") > mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(d, "chunk=1"))
+        schema = spark.read.parquet(_os.path.join(d, "chunk=0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(d, "chunk=*"))
+        )
+        name = "stream_ewma_" + uuid.uuid4().hex[:8]
+        q = (
+            stream_ewma(stream, bucket_ms=HOUR_MS, alpha=0.3)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).localCheckpoint()
+
+
 def q_forecast_league(spark, sf_dir):
     """Forecast model selection (operators/analytics.py
     forecast_league): the value-gated EWMA/Holt/Holt-Winters backtests
@@ -3308,6 +3358,7 @@ QUERIES = {
     "forecast_league": q_forecast_league,
     "ohlc_1h": q_ohlc_1h,
     "stream_ohlc": q_stream_ohlc,
+    "stream_ewma": q_stream_ewma,
     "anomaly_consensus": q_anomaly_consensus,
     "ljung_box": q_ljung_box,
     "spectral_daily": q_spectral_daily,
@@ -8632,4 +8683,13 @@ ORACLES["latency_trend"] = f"""
     FROM med JOIN base ON base.tool = med.tool
     WHERE n_weeks >= 3
     ORDER BY med.tool
+"""
+
+
+ORACLES["stream_ewma"] = f"""
+    WITH e AS ({ORACLES["ewma_backtest"]}),
+    frontier AS (SELECT sid, max(bucket_ts) AS mx FROM e GROUP BY sid)
+    SELECT e.*, CAST(0 AS BIGINT) AS n_late_dropped
+    FROM e JOIN frontier ON frontier.sid = e.sid
+    WHERE bucket_ts != mx
 """

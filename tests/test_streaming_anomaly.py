@@ -222,3 +222,71 @@ def test_stream_ohlc_counts_late_rows(spark, tmp_path):
     assert out[3_600_000].n_late_dropped == 1
     # and it did NOT mutate the already-closed first bar's values
     assert out[0].n == 60 and out[0].v_open == 1 and out[0].v_close == 60
+
+
+def test_stream_ewma_matches_batch_at_frontier(spark, tmp_path):
+    """Streamed closed-bucket levels/forecasts equal the batch
+    ewma_levels rows (float-exact) for every non-frontier bucket."""
+    import math
+    import os
+
+    import numpy as np
+
+    from modelardb_dynamic_spark.operators.analytics import ewma_levels
+    from modelardb_dynamic_spark.streaming.ewma import stream_ewma
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for sid in ("a", "b"):
+        for i in range(400):
+            t = i * 60_000 + (11_000 if sid == "b" else 0)
+            if rng.integers(0, 8) == 0:
+                continue  # gaps
+            rows.append((sid, t, int(rng.integers(1, 500))))
+    pts = spark.createDataFrame(rows, "sid string, ts_ms long, v long")
+    d = str(tmp_path / "ewma")
+    mid = 200 * 60_000
+    pts.where(f"ts_ms <= {mid}").coalesce(1).write.parquet(
+        os.path.join(d, "chunk=0")
+    )
+    pts.where(f"ts_ms > {mid}").coalesce(1).write.parquet(
+        os.path.join(d, "chunk=1")
+    )
+    schema = spark.read.parquet(os.path.join(d, "chunk=0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "chunk=*"))
+    )
+    q = (
+        stream_ewma(stream, bucket_ms=3_600_000, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.sid, r.bucket_ts): r for r in spark.table("t_ewma").collect()}
+    batch = ewma_levels(pts, bucket_ms=3_600_000, alpha=0.3)
+    frontier = {
+        r.sid: r.mx
+        for r in batch.groupBy("sid").agg(
+            F.max("bucket_ts").alias("mx")
+        ).collect()
+    }
+    want = {
+        (r.sid, r.bucket_ts): r
+        for r in batch.collect()
+        if r.bucket_ts != frontier[r.sid]
+    }
+    assert set(got) == set(want) and len(want) > 6
+    for k, w in want.items():
+        g = got[k]
+        assert g.n == w.n, k
+        assert g.level == w.level, k  # bit-exact float
+        assert (g.forecast is None) == (w.forecast is None), k
+        if w.forecast is not None:
+            assert g.forecast == w.forecast and g.abs_err == w.abs_err, k
+        assert g.n_late_dropped == 0

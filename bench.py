@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "forecast_league",
     "ohlc_1h",
     "anomaly_consensus",
+    "binseg_split",
+    "latency_trend",
     "type_hour_chi2",
     "rate_shift",
     "fk_audit",

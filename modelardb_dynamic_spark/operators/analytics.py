@@ -2954,3 +2954,70 @@ def anomaly_consensus(
             " ELSE 'ok' END AS verdict",
         )
     )
+
+
+def binseg_split(points: DataFrame, min_seg: int = 2) -> DataFrame:
+    """Single-changepoint LOCALIZATION per series (binary segmentation,
+    first step of PELT-style pipelines): the split instant that
+    maximizes the between-segment variance reduction — the WHERE to
+    cusum_changepoints' WHETHER. Emits the best split, the exact
+    integer moments of both sides, and the share of total variance the
+    split explains (r2_split, the effect size).
+
+    cost(t) = n * (S_l*n - S*n_l)^2 / (n_l * n_r) maximized over
+    prefix positions with min_seg points on each side; S_l/n_l are
+    exact int64 prefix sums off ONE ordered window pass. The argmax is
+    taken on the cost DOUBLE via a deterministic (cost DESC, ts ASC)
+    rank — both engines compute the identical IEEE double from the
+    identical exact integers, so the winner (and every emitted column)
+    is value-gatable. int64 budget: |S_l*n - S*n_l| <= n^2*vmax, the
+    cusum_changepoints bound (documented there).
+
+    Returns (sid, n, split_ts, n_left, mean_left, mean_right,
+    r2_split) for series with >= 2*min_seg points and nonzero total
+    variance; mean/r2 close in shared division trees.
+
+    Scale: one sid-ordered window pass + one rank — no joins, no
+    quadratic term (the classic O(n) scan per series, distributed by
+    the engine's universal sid partitioning).
+    """
+    order = Window.partitionBy("sid").orderBy("ts_ms")
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    per = Window.partitionBy("sid")
+    p = points.select(
+        "sid", "ts_ms", F.col("v").cast("long").alias("v")
+    ).select(
+        "sid",
+        "ts_ms",
+        F.count("v").over(per).alias("n"),
+        F.sum("v").over(per).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(per).alias("q"),
+        F.sum("v").over(run).alias("sl"),
+        F.count("v").over(run).alias("nl"),
+    )
+    p = p.where(
+        (F.col("nl") >= min_seg) & (F.col("n") - F.col("nl") >= min_seg)
+    ).selectExpr(
+        "sid",
+        "ts_ms",
+        "n",
+        "s",
+        "q",
+        "sl",
+        "nl",
+        "(CAST(sl * n - s * nl AS DOUBLE) * CAST(sl * n - s * nl AS DOUBLE))"
+        " / CAST(nl * (n - nl) AS DOUBLE) AS cost",
+    )
+    r = Window.partitionBy("sid").orderBy(F.desc("cost"), F.asc("ts_ms"))
+    best = p.withColumn("rk", F.row_number().over(r)).where("rk = 1")
+    return best.where(F.expr("q * n != s * s")).selectExpr(
+        "sid",
+        "n",
+        "ts_ms AS split_ts",
+        "nl AS n_left",
+        "CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS mean_left",
+        "CAST(s - sl AS DOUBLE) / CAST(n - nl AS DOUBLE) AS mean_right",
+        "(cost / CAST(n AS DOUBLE))"
+        " / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) AS r2_split",
+    )

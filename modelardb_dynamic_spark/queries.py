@@ -2719,6 +2719,17 @@ def q_forecast_league(spark, sf_dir):
     return forecast_league(pts, bucket_ms=HOUR_MS, period_buckets=24)
 
 
+def q_binseg_split(spark, sf_dir):
+    """Changepoint localization (operators/analytics.py binseg_split):
+    the split instant maximizing between-segment variance reduction per
+    series over the hourly tier — exact int64 prefix moments, identical
+    cost double in both engines, deterministic (cost DESC, ts ASC)
+    argmax, shared mean/r2 closing trees."""
+    from modelardb_dynamic_spark.operators.analytics import binseg_split
+
+    return binseg_split(_hourly_points(spark, sf_dir))
+
+
 def q_anomaly_consensus(spark, sf_dir):
     """Detector-ensemble verdict (operators/analytics.py
     anomaly_consensus): rolling z-score + MAD + CUSUM firings counted
@@ -3360,6 +3371,7 @@ QUERIES = {
     "stream_ohlc": q_stream_ohlc,
     "stream_ewma": q_stream_ewma,
     "anomaly_consensus": q_anomaly_consensus,
+    "binseg_split": q_binseg_split,
     "ljung_box": q_ljung_box,
     "spectral_daily": q_spectral_daily,
     "type_hour_chi2": q_type_hour_chi2,
@@ -8692,4 +8704,41 @@ ORACLES["stream_ewma"] = f"""
     SELECT e.*, CAST(0 AS BIGINT) AS n_late_dropped
     FROM e JOIN frontier ON frontier.sid = e.sid
     WHERE bucket_ts != mx
+"""
+
+
+ORACLES["binseg_split"] = f"""
+    WITH b AS ({_HOURLY_POINTS}),
+    pre AS (
+        SELECT sid, hm AS ts_ms, v,
+               count(*) OVER (PARTITION BY sid) AS n,
+               sum(v) OVER (PARTITION BY sid) AS s,
+               sum(v * v) OVER (PARTITION BY sid) AS q,
+               sum(v) OVER w AS sl,
+               count(*) OVER w AS nl
+        FROM b
+        WINDOW w AS (PARTITION BY sid ORDER BY hm
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    cand AS (
+        SELECT sid, ts_ms, n, s, q, sl, nl,
+               (CAST(sl * n - s * nl AS DOUBLE)
+                * CAST(sl * n - s * nl AS DOUBLE))
+               / CAST(nl * (n - nl) AS DOUBLE) AS cost
+        FROM pre WHERE nl >= 2 AND n - nl >= 2
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY sid ORDER BY cost DESC, ts_ms ASC) AS rk
+            FROM cand
+        ) WHERE rk = 1
+    )
+    SELECT sid, n, ts_ms AS split_ts, nl AS n_left,
+           CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS mean_left,
+           CAST(s - sl AS DOUBLE) / CAST(n - nl AS DOUBLE) AS mean_right,
+           (cost / CAST(n AS DOUBLE))
+           / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n AS DOUBLE)) AS r2_split
+    FROM best WHERE q * n != s * s
 """

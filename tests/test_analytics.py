@@ -2120,3 +2120,37 @@ def test_session8_ops_fuzz_vs_scalar(spark):
         assert r.verdict == (
             "alert" if fired >= 2 else ("watch" if fired == 1 else "ok")
         )
+
+
+def test_binseg_split_localizes_planted_shift(spark):
+    # step at index 60 of 100; quadratic scan must find it exactly
+    rows = []
+    for i in range(100):
+        rows.append(("step", i * 3_600_000, 10 if i < 60 else 200))
+        rows.append(("flat", i * 3_600_000, 7))  # zero variance: excluded
+    from modelardb_dynamic_spark.operators.analytics import binseg_split
+
+    out = {r.sid: r for r in binseg_split(_points(spark, rows)).collect()}
+    assert set(out) == {"step"}
+    r = out["step"]
+    # best split = prefix ending at the last pre-shift point
+    assert r.n_left == 60 and r.split_ts == 59 * 3_600_000
+    assert r.mean_left == 10.0 and r.mean_right == 200.0
+    assert abs(r.r2_split - 1.0) < 1e-12  # clean step: all variance
+    # scalar argmax differential on a noisy series
+    rng = np.random.default_rng(21)
+    vals = [int(20 + rng.integers(0, 9) + (37 if i >= 33 else 0))
+            for i in range(80)]
+    rows2 = [("n", i * 3_600_000, v) for i, v in enumerate(vals)]
+    got = binseg_split(_points(spark, rows2)).collect()[0]
+    import numpy as np2
+    x = np2.array(vals, dtype=object)
+    n, S = len(vals), sum(vals)
+    best, bi = -1.0, None
+    for t in range(2, n - 1):  # nl = t in [2, n-2]
+        sl = int(sum(vals[:t]))
+        num = sl * n - S * t
+        c = float(num * num) / float(t * (n - t))
+        if c > best:
+            best, bi = c, t
+    assert got.n_left == bi

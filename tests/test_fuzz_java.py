@@ -320,3 +320,39 @@ def test_split_at_prefetched_last_tick_keeps_data():
     assert len(finals) == 2  # the two post-split singletons
     for s in finals:
         assert s.end_ts == last_ts and s.cnt == 2  # last tick KEPT
+
+
+def test_dropped_tick_forming_new_segment_keeps_data():
+    """Second shape of the same reference divergence-by-design, found
+    by tools/deep_fuzz.py (seed 20260821, grouped case 105): when the
+    final grid tick would have BEGUN a new segment for the split
+    members, the reference emits NOTHING for it (TimeSeriesGroup.java:
+    72-89 drops the prefetched tick on split), so our stream carries
+    got-only SINGLETONS with no shortened expected counterpart. This
+    pins our side: exact full coverage, and the two singleton finals
+    at the true last tick. deep_fuzz's reference_tail_drop_equivalent
+    accepts the reference's stream for exactly this pattern."""
+    import numpy as np
+
+    from modelardb_dynamic_spark.models.grouped import compress_group
+
+    rng = np.random.default_rng(20260821)
+    cases = [_gen_case(rng, force_g1=False) for _ in range(106)]
+    series, eb, sf = cases[105]
+    assert len(series) == 4
+    cfg = EngineConfig(
+        error_bound=eb, length_bound=LB, sampling_interval_ms=SI
+    )
+    ts, V, _ = _group_matrix(series)
+    segs = compress_group(ts, V, cfg, split_fraction=sf)
+    total = sum((len(series) - len(s.gaps)) * s.cnt for s in segs)
+    truth = sum(len(t) for t, _ in series)
+    assert total == truth  # every member-row covered exactly once
+    last_ts = max(int(t[-1]) for t, _ in series)
+    singles = [
+        s for s in segs
+        if s.start_ts == last_ts and s.end_ts == last_ts and s.cnt == 1
+    ]
+    assert len(singles) == 2  # the two post-split singleton finals
+    for s in singles:
+        assert len(s.gaps) == 3  # each covers exactly one member

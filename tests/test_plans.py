@@ -434,3 +434,35 @@ def test_nation_revenue_broadcasts_all_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 3, plan[:1500]
     assert "SortMergeJoin" not in plan, plan[:1500]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ohlc_bars_single_aggregation_no_window(spark):
+    """ohlc_1h: one map-side-combinable aggregation carries open/close
+    via min_by/max_by — no Window operator, no join, JVM-only, and at
+    most the aggregation's own exchange beyond the source read."""
+    import __spark_entry__ as E
+
+    df = E.queries()["ohlc_1h"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial aggregation before the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+
+
+def test_binseg_split_one_ordered_window_pass(spark):
+    """binseg_split: prefix moments and argmax run as sid-partitioned
+    windows over ONE exchange on sid — no join, no Python, no
+    quadratic self-join in the plan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["binseg_split"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, (
+        plan[:1500]
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") >= 2  # prefix pass + rank pass

@@ -1058,3 +1058,42 @@ def test_purge_covers_series_archive(spark, transcripts, tmp_path):
     restored = p.restore_series_archive()
     assert restored.where(F.col("sid").isin(victims)).count() == 0
     assert restored.count() > 0  # other conversations still restorable
+
+
+def test_purge_then_append_composes(spark, transcripts, tmp_path):
+    """Lifecycle composition: purge victims, then append NEW turns
+    (including new turns for a purged conversation — legitimate fresh
+    data). The warehouse must equal a clean build over
+    (original - victims) + batch, and the purged turns must not
+    resurrect."""
+    victims = [r.conv_id for r in
+               transcripts.select("conv_id").distinct().limit(2).collect()]
+    batch = transcripts.where(F.col("conv_id") == victims[0]).limit(5)
+    batch = batch.withColumn("text", F.concat(F.lit("NEW "), F.col("text")))
+
+    wh = Warehouse(str(tmp_path / "pa"), n_buckets=8)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=8, salt_span_points=None)
+    p.run(transcripts)
+    p.purge(victims, batch_id="pg1")
+    p.append(batch, batch_id="ap1")
+
+    clean_input = transcripts.where(
+        ~F.col("conv_id").isin(victims)
+    ).unionByName(batch)
+    wh_c = Warehouse(str(tmp_path / "pa_clean"), n_buckets=8)
+    p_c = TierPipeline(spark, wh_c, CFG10, chunk_buckets=8,
+                       salt_span_points=None)
+    p_c.run(clean_input)
+
+    for table in ("raw", "series", "segments", "tier_1m", "tier_1h",
+                  "tier_1d"):
+        a = wh.read(spark, table).drop("sbucket")
+        b = wh_c.read(spark, table).drop("sbucket")
+        assert a.exceptAll(b).count() == 0, table
+        assert b.exceptAll(a).count() == 0, table
+    raw = wh.read(spark, "raw")
+    # purged victim[1] fully gone; victim[0] has ONLY the new batch turns
+    assert raw.where(F.col("conv_id") == victims[1]).count() == 0
+    got0 = raw.where(F.col("conv_id") == victims[0])
+    assert got0.count() == batch.count()
+    assert got0.where(~F.col("text").startswith("NEW ")).count() == 0

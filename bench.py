@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "ohlc_1h",
     "anomaly_consensus",
     "binseg_split",
+    "percentile_bands",
     "latency_trend",
     "type_hour_chi2",
     "rate_shift",

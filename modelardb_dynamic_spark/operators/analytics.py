@@ -3021,3 +3021,37 @@ def binseg_split(points: DataFrame, min_seg: int = 2) -> DataFrame:
         " / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
         " / CAST(n AS DOUBLE)) AS r2_split",
     )
+
+
+def percentile_bands(
+    points: DataFrame, coarse_ms: int = 86_400_000
+) -> DataFrame:
+    """Per-series daily percentile envelope — the "normal range" band a
+    dashboard shades behind the live line: exact-ceil P10/P50/P90 of
+    the bucket values inside each coarse bucket (day), through the
+    shared distributed-selection core (value-count table + integer
+    ceil-index picks — never a per-key sort of raw rows; the
+    reply_latency / order_percentiles discipline).
+
+    points: (sid, ts_ms, v long). Returns (sid, day_ts, n, gap_sum_ms,
+    avg_gap_ms, min_ms, p10_ms, p50_ms, p90_ms, max_ms) — column names
+    come from the selection core (gap_* is its value naming); all
+    integers exact, the mean one shared division.
+
+    Scale: one groupBy to the value-count table per (sid, day) + one
+    bounded rank window — the selection core's 10^12-row shape.
+    """
+    from modelardb_dynamic_spark.operators.textstats import (
+        gap_percentiles,
+    )
+
+    g = points.select(
+        "sid",
+        F.expr(f"(ts_ms DIV {coarse_ms}) * {coarse_ms}").alias("day_ts"),
+        F.col("v").cast("long").alias("gap_ms"),
+    )
+    return gap_percentiles(
+        g,
+        ["sid", "day_ts"],
+        picks=(("p10_ms", 1, 10), ("p50_ms", 1, 2), ("p90_ms", 9, 10)),
+    )

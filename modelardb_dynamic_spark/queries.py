@@ -2719,6 +2719,18 @@ def q_forecast_league(spark, sf_dir):
     return forecast_league(pts, bucket_ms=HOUR_MS, period_buckets=24)
 
 
+def q_percentile_bands(spark, sf_dir):
+    """Daily percentile envelope (operators/analytics.py
+    percentile_bands): exact-ceil P10/P50/P90 of hourly turn counts per
+    (series, day) through the shared selection core, off the rollup
+    tier path. The oracle replays the identical value-count selection."""
+    from modelardb_dynamic_spark.operators.analytics import (
+        percentile_bands,
+    )
+
+    return percentile_bands(_hourly_points(spark, sf_dir))
+
+
 def q_binseg_split(spark, sf_dir):
     """Changepoint localization (operators/analytics.py binseg_split):
     the split instant maximizing between-segment variance reduction per
@@ -3371,6 +3383,7 @@ QUERIES = {
     "stream_ohlc": q_stream_ohlc,
     "stream_ewma": q_stream_ewma,
     "anomaly_consensus": q_anomaly_consensus,
+    "percentile_bands": q_percentile_bands,
     "binseg_split": q_binseg_split,
     "ljung_box": q_ljung_box,
     "spectral_daily": q_spectral_daily,
@@ -8741,4 +8754,47 @@ ORACLES["binseg_split"] = f"""
            / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
               / CAST(n AS DOUBLE)) AS r2_split
     FROM best WHERE q * n != s * s
+"""
+
+
+ORACLES["percentile_bands"] = f"""
+    WITH b AS ({_HOURLY_POINTS}),
+    g AS (
+        SELECT sid, (hm // {DAY_MS}) * {DAY_MS} AS day_ts,
+               v AS gap_ms
+        FROM b
+    ),
+    counts AS (
+        SELECT sid, day_ts, gap_ms, CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT sid, day_ts, gap_ms, c,
+               sum(c) OVER (PARTITION BY sid, day_ts ORDER BY gap_ms)
+                   AS cum
+        FROM counts
+    ),
+    stats AS (
+        SELECT sid, day_ts, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * gap_ms) AS BIGINT) AS gap_sum_ms,
+               min(gap_ms) AS min_ms, max(gap_ms) AS max_ms
+        FROM counts GROUP BY 1, 2
+    ),
+    picks AS (
+        SELECT cum.sid, cum.day_ts,
+               min(CASE WHEN cum >= (n + 9) // 10 THEN gap_ms END)
+                   AS p10_ms,
+               min(CASE WHEN cum >= (n + 1) // 2 THEN gap_ms END)
+                   AS p50_ms,
+               min(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap_ms END)
+                   AS p90_ms
+        FROM cum JOIN stats ON stats.sid = cum.sid
+            AND stats.day_ts = cum.day_ts
+        GROUP BY 1, 2
+    )
+    SELECT stats.sid, stats.day_ts, n, gap_sum_ms,
+           CAST(gap_sum_ms AS DOUBLE) / CAST(n AS DOUBLE) AS avg_gap_ms,
+           min_ms, p10_ms, p50_ms, p90_ms, max_ms
+    FROM stats JOIN picks ON picks.sid = stats.sid
+        AND picks.day_ts = stats.day_ts
 """

@@ -2154,3 +2154,19 @@ def test_binseg_split_localizes_planted_shift(spark):
         if c > best:
             best, bi = c, t
     assert got.n_left == bi
+
+
+def test_percentile_bands_exact_picks(spark):
+    # 1 day, 24 known hourly values -> P10/P50/P90 are exact rank picks
+    vals = list(range(1, 25))  # 1..24
+    rows = [("a", i * 3_600_000, v) for i, v in enumerate(vals)]
+    from modelardb_dynamic_spark.operators.analytics import (
+        percentile_bands,
+    )
+
+    r = percentile_bands(_points(spark, rows)).collect()[0]
+    n = 24
+    assert r.n == n and r.day_ts == 0
+    # ceil-index picks: ceil(n/10)=3, ceil(n/2)=12, ceil(9n/10)=22
+    assert r.p10_ms == 3 and r.p50_ms == 12 and r.p90_ms == 22
+    assert r.min_ms == 1 and r.max_ms == 24 and r.gap_sum_ms == sum(vals)

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "anomaly_consensus",
     "binseg_split",
     "percentile_bands",
+    "locf_fill",
     "latency_trend",
     "type_hour_chi2",
     "rate_shift",

@@ -3055,3 +3055,77 @@ def percentile_bands(
         ["sid", "day_ts"],
         picks=(("p10_ms", 1, 10), ("p50_ms", 1, 2), ("p90_ms", 9, 10)),
     )
+
+
+def locf_fill(
+    points: DataFrame, si_ms: int, chunk_buckets: int = 8192
+) -> DataFrame:
+    """Last-observation-carried-forward gap fill per series — the
+    gauge-semantics fill (a thermostat reading holds until the next
+    one) beside gap_fill's count-semantics zeros and interpolate_grid's
+    linear blend. Emits EVERY grid bucket in [first, last] per series
+    with the carried value, a filled flag, and the staleness (buckets
+    since the last real observation — the "how stale is this gauge"
+    column an SLO on data freshness reads).
+
+    All integer algebra: the grid is exact (two-level chunked explode,
+    the gap_fill discipline — no single giant sequence() row at
+    decade x minute scale), the carry is last(ignorenulls) over one
+    sid-ordered window, staleness an exact integer division.
+
+    Returns (sid, ts_ms, v long, filled boolean, staleness long).
+
+    Scale: one |series|-sized span aggregate, the bounded explode, one
+    left join on the engine's (sid, ts) co-partitioning, one window.
+    """
+    spans = points.groupBy("sid").agg(
+        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+    )
+    span_ms = int(si_ms) * int(chunk_buckets)
+    chunks = spans.select(
+        "sid",
+        "hi",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(span_ms))
+        ).alias("cstart"),
+    )
+    grid = chunks.select(
+        "sid",
+        F.explode(
+            F.sequence(
+                F.col("cstart"),
+                F.least(
+                    F.col("cstart") + (span_ms - int(si_ms)), F.col("hi")
+                ),
+                F.lit(int(si_ms)),
+            )
+        ).alias("ts_ms"),
+    )
+    j = grid.join(
+        points.select("sid", "ts_ms", F.col("v").cast("long").alias("v_obs")),
+        ["sid", "ts_ms"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("sid")
+        .orderBy("ts_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "sid",
+        "ts_ms",
+        F.last("v_obs", ignorenulls=True).over(w).alias("v"),
+        F.col("v_obs").isNull().alias("filled"),
+        (
+            (
+                F.col("ts_ms")
+                - F.last(
+                    F.when(F.col("v_obs").isNotNull(), F.col("ts_ms")),
+                    ignorenulls=True,
+                ).over(w)
+            )
+            / F.lit(int(si_ms))
+        )
+        .cast("long")
+        .alias("staleness"),
+    )

@@ -2719,6 +2719,16 @@ def q_forecast_league(spark, sf_dir):
     return forecast_league(pts, bucket_ms=HOUR_MS, period_buckets=24)
 
 
+def q_locf_fill(spark, sf_dir):
+    """LOCF gauge fill (operators/analytics.py locf_fill): every hourly
+    grid bucket per series with the last observation carried forward,
+    filled flag, and exact staleness. The oracle replays the grid
+    expansion and the IGNORE NULLS carry."""
+    from modelardb_dynamic_spark.operators.analytics import locf_fill
+
+    return locf_fill(_hourly_points(spark, sf_dir), si_ms=HOUR_MS)
+
+
 def q_percentile_bands(spark, sf_dir):
     """Daily percentile envelope (operators/analytics.py
     percentile_bands): exact-ceil P10/P50/P90 of hourly turn counts per
@@ -3384,6 +3394,7 @@ QUERIES = {
     "stream_ewma": q_stream_ewma,
     "anomaly_consensus": q_anomaly_consensus,
     "percentile_bands": q_percentile_bands,
+    "locf_fill": q_locf_fill,
     "binseg_split": q_binseg_split,
     "ljung_box": q_ljung_box,
     "spectral_daily": q_spectral_daily,
@@ -8797,4 +8808,31 @@ ORACLES["percentile_bands"] = f"""
            min_ms, p10_ms, p50_ms, p90_ms, max_ms
     FROM stats JOIN picks ON picks.sid = stats.sid
         AND picks.day_ts = stats.day_ts
+"""
+
+
+ORACLES["locf_fill"] = f"""
+    WITH b AS ({_HOURLY_POINTS}),
+    spans AS (
+        SELECT sid, min(hm) AS lo, max(hm) AS hi FROM b GROUP BY sid
+    ),
+    grid AS (
+        SELECT sid, unnest(generate_series(lo, hi, {HOUR_MS})) AS ts_ms
+        FROM spans
+    ),
+    j AS (
+        SELECT grid.sid, grid.ts_ms, b.v AS v_obs
+        FROM grid LEFT JOIN b
+            ON b.sid = grid.sid AND b.hm = grid.ts_ms
+    )
+    SELECT sid, ts_ms,
+           CAST(last_value(v_obs IGNORE NULLS) OVER w AS BIGINT) AS v,
+           v_obs IS NULL AS filled,
+           CAST((ts_ms - last_value(
+                   CASE WHEN v_obs IS NOT NULL THEN ts_ms END
+                   IGNORE NULLS) OVER w) // {HOUR_MS} AS BIGINT)
+               AS staleness
+    FROM j
+    WINDOW w AS (PARTITION BY sid ORDER BY ts_ms
+                 ROWS UNBOUNDED PRECEDING)
 """

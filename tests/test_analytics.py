@@ -2170,3 +2170,19 @@ def test_percentile_bands_exact_picks(spark):
     # ceil-index picks: ceil(n/10)=3, ceil(n/2)=12, ceil(9n/10)=22
     assert r.p10_ms == 3 and r.p50_ms == 12 and r.p90_ms == 22
     assert r.min_ms == 1 and r.max_ms == 24 and r.gap_sum_ms == sum(vals)
+
+
+def test_locf_fill_carries_and_counts_staleness(spark):
+    rows = [("a", 0, 10), ("a", 3 * 3_600_000, 40), ("a", 4 * 3_600_000, 7)]
+    from modelardb_dynamic_spark.operators.analytics import locf_fill
+
+    out = {
+        r.ts_ms: r
+        for r in locf_fill(_points(spark, rows), si_ms=3_600_000).collect()
+    }
+    assert len(out) == 5  # full grid [0, 4h]
+    assert [out[h * 3_600_000].v for h in range(5)] == [10, 10, 10, 40, 7]
+    assert [out[h * 3_600_000].filled for h in range(5)] == [
+        False, True, True, False, False,
+    ]
+    assert [out[h * 3_600_000].staleness for h in range(5)] == [0, 1, 2, 0, 0]

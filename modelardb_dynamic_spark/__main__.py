@@ -83,6 +83,10 @@ def main(argv: list[str] | None = None) -> None:
                          "conversation was active on the day (Bloom "
                          "membership from the bloom_1d tier; exact raw "
                          "fallback for unsealed days)")
+    ap.add_argument("--fsck", action="store_true",
+                    help="after the build (or resume no-op), verify "
+                         "every committed bucket's lineage manifest "
+                         "against the parquet actually on disk")
     ap.add_argument("--purge", default=None, metavar="CONV,CONV,...",
                     help="right-to-be-forgotten: delete the listed "
                          "conversations from EVERY stage of an existing "
@@ -164,6 +168,8 @@ def main(argv: list[str] | None = None) -> None:
     if args.compact:
         table, _, n = args.compact.partition(":")
         out["compact"] = pipe.compact(table, target_files=int(n) if n else 1)
+    if args.fsck:
+        out["fsck"] = pipe.fsck()
     metrics = {
         stage: Lineage(wh.path(stage)).metrics()
         for stage in ["raw", "series", "segments", "tier_1m", "tier_1h", "tier_1d"]

@@ -1097,3 +1097,32 @@ def test_purge_then_append_composes(spark, transcripts, tmp_path):
     got0 = raw.where(F.col("conv_id") == victims[0])
     assert got0.count() == batch.count()
     assert got0.where(~F.col("text").startswith("NEW ")).count() == 0
+
+
+def test_fsck_verifies_manifests_against_parquet(spark, transcripts, tmp_path):
+    """Clean warehouse: zero mismatches everywhere. Delete one bucket's
+    part files behind the lineage's back: fsck names exactly that
+    bucket with manifest vs actual counts."""
+    import glob
+    import os
+
+    wh = Warehouse(str(tmp_path / "fsck"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4, salt_span_points=None)
+    p.run(transcripts)
+    rep = p.fsck()
+    assert set(rep) >= {"raw", "series", "segments", "tier_1m", "tier_1h",
+                        "tier_1d"}
+    for table, r in rep.items():
+        assert r["mismatches"] == [], table
+        assert r["rows_manifest"] == r["rows_actual"], table
+        assert r["buckets_checked"] == 4, table
+
+    # simulate silent data loss in segments bucket 2
+    victim_rows = rep["segments"]["rows_manifest"]
+    for f in glob.glob(str(tmp_path / "fsck" / "segments" / "sbucket=2" / "*")):
+        os.remove(f)
+    rep2 = p.fsck(tables=["segments"])
+    mm = rep2["segments"]["mismatches"]
+    assert len(mm) == 1 and mm[0]["bucket"] == 2
+    assert mm[0]["actual_rows"] == 0 and mm[0]["manifest_rows"] > 0
+    assert rep2["segments"]["rows_actual"] < victim_rows

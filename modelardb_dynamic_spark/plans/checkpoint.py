@@ -33,6 +33,10 @@ class BucketManifest:
     input_fingerprint: str
     wall_s: float
     committed_utc: float
+    # name of the event-time column high_water_ts was computed from, so
+    # audits (fsck) can recompute and compare it without a per-stage
+    # schema registry; None on manifests written before this field existed
+    ts_col: str | None = None
 
 
 class Lineage:
@@ -62,10 +66,11 @@ class Lineage:
         high_water_ts: int | None,
         input_fingerprint: str,
         wall_s: float,
+        ts_col: str | None = None,
     ) -> None:
         m = BucketManifest(
             stage, bucket, rows, high_water_ts, input_fingerprint,
-            wall_s, time.time(),
+            wall_s, time.time(), ts_col,
         )
         tmp = self._path(bucket) + ".tmp"
         with open(tmp, "w") as f:

@@ -16,6 +16,7 @@ overwrite-by-filter / partition drop).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import time
@@ -162,21 +163,54 @@ class TierPipeline:
                 else:
                     os.makedirs(dst, exist_ok=True)  # empty bucket
                 rows, hw = stats.get(b, (0, None))
-                lineage.commit(stage, b, rows, hw, fingerprint, wall / len(pending))
+                lineage.commit(
+                    stage, b, rows, hw, fingerprint, wall / len(pending),
+                    ts_col=ts_col,
+                )
             shutil.rmtree(tmp, ignore_errors=True)
             done_chunks += 1
             if fail_after_chunks is not None and done_chunks >= fail_after_chunks:
                 raise RuntimeError(f"injected failure after {done_chunks} chunks")
 
+    def _live_buckets(self, table: str, bucket_ids: list[int]) -> list[int]:
+        """Buckets that actually hold parquet part files. A fully-retained
+        or never-written bucket leaves an empty dir (or none); feeding such
+        paths to spark.read.parquet fails schema inference, so every reader
+        of a bucket subset must filter through this first."""
+        root = self.wh.path(table)
+        out = []
+        for b in bucket_ids:
+            d = os.path.join(root, f"sbucket={b}")
+            if os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d)
+            ):
+                out.append(b)
+        return out
+
     def _read_buckets(self, table: str, bucket_ids: list[int]) -> DataFrame:
+        live = self._live_buckets(table, bucket_ids)
+        if not live:
+            # every requested bucket is committed-empty (e.g. a purge or
+            # retain emptied it): serve an empty frame with the table's
+            # schema taken from any live bucket — parquet schema inference
+            # needs at least one part file
+            any_live = self._live_buckets(
+                table, list(range(self.wh.n_buckets))
+            )
+            if not any_live:
+                raise ValueError(
+                    f"table {table!r} has no non-empty bucket to read"
+                )
+            live, limit0 = any_live[:1], True
+        else:
+            limit0 = False
         df = self.spark.read.option("basePath", self.wh.path(table)).parquet(
             *[
                 os.path.join(self.wh.path(table), f"sbucket={b}")
-                for b in bucket_ids
-                if os.path.exists(os.path.join(self.wh.path(table), f"sbucket={b}"))
+                for b in live
             ]
         )
-        return df
+        return df.limit(0) if limit0 else df
 
     # -- stages --------------------------------------------------------------
 
@@ -637,6 +671,14 @@ class TierPipeline:
             .collect()
         )
         removed: dict[str, int] = {}
+        # the fingerprint carries BOTH the batch id and a digest of the
+        # purge set: re-running the same batch_id with a different victim
+        # list must force a rewrite, not silently no-op against buckets
+        # committed for the earlier set
+        pfp = "purge+{}+{}".format(
+            batch_id,
+            hashlib.sha256(",".join(ids).encode("utf-8")).hexdigest()[:12],
+        )
 
         def _filter_stage(stage: str, key_expr: str, ts_col: str) -> None:
             root = self.wh.path(stage)
@@ -645,37 +687,34 @@ class TierPipeline:
             # a fully-retained stage leaves empty bucket dirs (no parquet
             # part files) — nothing to purge there, and reading them
             # would fail schema inference
-            live = [
-                b
-                for b in aff
-                if os.path.isdir(os.path.join(root, f"sbucket={b}"))
-                and any(
-                    f.endswith(".parquet")
-                    for f in os.listdir(os.path.join(root, f"sbucket={b}"))
-                )
-            ]
+            live = self._live_buckets(stage, aff)
             if not live:
                 removed[stage] = 0
                 return
-            before = [0]
+            # "before" comes from the pre-purge lineage manifests, not a
+            # count inside build(): build() is skipped for buckets already
+            # committed under this fingerprint, so a resumed/re-run purge
+            # would otherwise understate (or negate) rows_removed — and
+            # the manifests save a count() job per chunk
+            before = sum(
+                rows for b, (rows, _) in self._bucket_stats(stage, live).items()
+            )
 
             def build(bucket_ids: list[int]) -> DataFrame:
-                df = self._read_buckets(stage, bucket_ids)
-                before[0] += df.count()
-                return df.join(
+                return self._read_buckets(stage, bucket_ids).join(
                     F.broadcast(id_df),
                     F.expr(key_expr) == F.col("purge_id"),
                     "left_anti",
                 )
 
             self._run_stage(
-                stage, f"purge+{batch_id}", build, ts_col=ts_col,
+                stage, pfp, build, ts_col=ts_col,
                 only_buckets=live,
             )
             after = sum(
                 rows for b, (rows, _) in self._bucket_stats(stage, live).items()
             )
-            removed[stage] = before[0] - after
+            removed[stage] = before - after
 
         _filter_stage("raw", "conv_id", "ts")
         _filter_stage("series", "sid", "ts_ms")
@@ -701,6 +740,10 @@ class TierPipeline:
             )
 
             raw_h = self.retention_horizon("raw")
+            floor = (
+                ((raw_h + DAY_MS - 1) // DAY_MS) * DAY_MS
+                if raw_h is not None else None
+            )
             for sk, tier_fn in (
                 ("cms_1d", cms_tier),
                 ("kmv_1d", kmv_tier),
@@ -708,16 +751,25 @@ class TierPipeline:
             ):
                 if not os.path.exists(self.wh.path(sk)):
                     continue
-                if raw_h is not None:
-                    floor = ((raw_h + DAY_MS - 1) // DAY_MS) * DAY_MS
-                    dropped_below_floor += (
-                        self._read_buckets(sk, aff)
-                        .where(f"bucket_ts < {floor}")
-                        .count()
-                    )
+                if floor is not None:
+                    live_sk = self._live_buckets(sk, aff)
+                    if live_sk:
+                        dropped_below_floor += (
+                            self._read_buckets(sk, live_sk)
+                            .where(f"bucket_ts < {floor}")
+                            .count()
+                        )
 
-                def build(bucket_ids: list[int], tier_fn=tier_fn) -> DataFrame:
+                def build(
+                    bucket_ids: list[int], tier_fn=tier_fn
+                ) -> DataFrame:
                     src = self._raw_turns(bucket_ids)
+                    if floor is not None:
+                        # the raw tier has already dropped sub-floor turns,
+                        # so a straddling day can only be PARTIALLY rebuilt
+                        # — drop it entirely (documented conservative
+                        # behavior; the rows are counted above)
+                        src = src.where(f"ts_ms >= {floor}")
                     return tier_fn(
                         src.withColumn(
                             "sbucket", sid_bucket(F.col("sid"), nb)
@@ -727,7 +779,7 @@ class TierPipeline:
                     )
 
                 self._run_stage(
-                    sk, f"purge+{batch_id}", build, ts_col="bucket_ts",
+                    sk, pfp, build, ts_col="bucket_ts",
                     only_buckets=aff,
                 )
         return {
@@ -761,10 +813,12 @@ class TierPipeline:
 
         Returns {table: {"buckets_checked": n, "rows_manifest": n,
         "rows_actual": n, "mismatches": [{bucket, manifest_rows,
-        actual_rows}]}} — empty mismatch lists mean the lineage is an
-        exact description of the data. Cost: ONE count-by-bucket scan
-        per stage (metadata-only for parquet row counts), no shuffle of
-        data columns.
+        actual_rows, manifest_hw, actual_hw}]}} — empty mismatch lists
+        mean the lineage is an exact description of the data. The
+        high-water check uses the `ts_col` each manifest records; legacy
+        manifests without it (or buckets whose manifest says 0 rows) are
+        verified on row count only. Cost: ONE count+max-by-bucket scan
+        per stage, no shuffle of data columns.
         """
         out: dict = {}
         names = tables if tables is not None else sorted(
@@ -781,35 +835,50 @@ class TierPipeline:
                     "rows_actual": 0, "mismatches": [],
                 }
                 continue
-            actual = {b: 0 for b in buckets}
-            live = [
-                b for b in buckets
-                if os.path.isdir(os.path.join(root, f"sbucket={b}"))
-                and any(
-                    f.endswith(".parquet")
-                    for f in os.listdir(os.path.join(root, f"sbucket={b}"))
-                )
-            ]
+            manifests = {b: lineage.get(b) for b in buckets}
+            # every stage writes one ts_col for all its buckets; take any
+            ts_col = next(
+                (m.ts_col for m in manifests.values() if m and m.ts_col),
+                None,
+            )
+            actual: dict[int, int] = {b: 0 for b in buckets}
+            actual_hw: dict[int, int | None] = {b: None for b in buckets}
+            live = self._live_buckets(name, buckets)
             if live:
-                for r in (
-                    self._read_buckets(name, live)
-                    .groupBy("sbucket")
-                    .agg(F.count(F.lit(1)).alias("rows"))
-                    .collect()
-                ):
+                df = self._read_buckets(name, live)
+                aggs = [F.count(F.lit(1)).alias("rows")]
+                if ts_col is not None and ts_col in df.columns:
+                    hw_col = (
+                        F.unix_millis(F.col(ts_col).cast("timestamp"))
+                        if dict(df.dtypes)[ts_col].startswith("timestamp")
+                        else F.col(ts_col)
+                    )
+                    aggs.append(F.max(hw_col).alias("hw"))
+                for r in df.groupBy("sbucket").agg(*aggs).collect():
                     actual[int(r["sbucket"])] = int(r["rows"])
+                    if len(aggs) > 1 and r["hw"] is not None:
+                        actual_hw[int(r["sbucket"])] = int(r["hw"])
             mismatches = []
             rows_m = rows_a = 0
             for b in buckets:
-                m = lineage.get(b)
+                m = manifests[b]
                 rows_m += m.rows
                 rows_a += actual.get(b, 0)
-                if m.rows != actual.get(b, 0):
+                hw_checkable = (
+                    ts_col is not None and m.ts_col is not None
+                    and actual.get(b, 0) > 0
+                )
+                hw_bad = hw_checkable and (
+                    (m.high_water_ts or None) != actual_hw.get(b)
+                )
+                if m.rows != actual.get(b, 0) or hw_bad:
                     mismatches.append(
                         {
                             "bucket": b,
                             "manifest_rows": m.rows,
                             "actual_rows": actual.get(b, 0),
+                            "manifest_hw": m.high_water_ts,
+                            "actual_hw": actual_hw.get(b),
                         }
                     )
             out[name] = {
@@ -1115,6 +1184,12 @@ class TierPipeline:
         equality depends on these staying byte-identical."""
         from modelardb_dynamic_spark.sources.timeseries import to_ms
 
+        if not self._live_buckets("raw", list(range(self.wh.n_buckets))):
+            # retention/purge can legitimately empty the whole raw tier;
+            # the projection's schema is pinned, so serve it empty
+            return self.spark.createDataFrame(
+                [], "sid string, ts_ms long, tokens long, text string"
+            )
         raw = (
             self.wh.read(self.spark, "raw")
             if bucket_ids is None

@@ -1126,3 +1126,134 @@ def test_fsck_verifies_manifests_against_parquet(spark, transcripts, tmp_path):
     assert len(mm) == 1 and mm[0]["bucket"] == 2
     assert mm[0]["actual_rows"] == 0 and mm[0]["manifest_rows"] > 0
     assert rep2["segments"]["rows_actual"] < victim_rows
+
+
+def test_purge_sketch_rebuild_drops_straddling_day(spark, tmp_path):
+    """When the raw retention horizon falls mid-day, the purge-time sketch
+    rebuild must DROP the straddling day entirely — rebuilding it from
+    only the retained half and keeping it as if complete would undercount
+    frequency/membership answers (r4 ADVICE, medium)."""
+    from modelardb_dynamic_spark.plans.pipeline import DAY_MS
+    from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+    # multi-day span per conversation (default fixture spans ~hours)
+    txs = generate_transcripts(spark, n_convs=6, turns_base=2000)
+    wh = Warehouse(str(tmp_path / "straddle"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4, salt_span_points=None)
+    p.run(txs, sketches=True)
+
+    lo, hi = (
+        wh.read(spark, "raw")
+        .agg(F.min(to_ms("ts")), F.max(to_ms("ts")))
+        .collect()[0]
+    )
+    mid = lo + (hi - lo) // 2
+    h = (mid // DAY_MS) * DAY_MS + DAY_MS // 2  # strictly mid-day
+    floor = ((h + DAY_MS - 1) // DAY_MS) * DAY_MS
+    assert lo < (h // DAY_MS) * DAY_MS < floor <= hi  # data straddles
+    p.retain_raw(h)
+
+    victims = [r.conv_id for r in
+               txs.select("conv_id").distinct().limit(2).collect()]
+    m = p.purge(victims, batch_id="sb1")
+    aff = m["affected_buckets"]
+    # the straddling day's (and every sub-floor) sketch row is gone from
+    # the rebuilt buckets, and the loss was counted
+    assert m["sketch_rows_dropped_below_floor"] > 0
+    for sk in ("cms_1d", "kmv_1d", "bloom_1d"):
+        got = (
+            wh.read(spark, sk)
+            .where(F.col("sbucket").isin(aff))
+            .where(f"bucket_ts < {floor}")
+            .count()
+        )
+        assert got == 0, sk
+
+
+def test_purge_fingerprint_covers_conv_set(spark, transcripts, tmp_path):
+    """Re-running purge with the SAME batch_id but a DIFFERENT victim set
+    must rewrite, not silently no-op on buckets committed for the first
+    set (r4 ADVICE: fingerprint folds a digest of the conv_ids)."""
+    wh = Warehouse(str(tmp_path / "pfp"), n_buckets=2)  # 2 buckets ->
+    # both purge sets certainly share a bucket
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=2, salt_span_points=None)
+    p.run(transcripts)
+    convs = [r.conv_id for r in
+             transcripts.select("conv_id").distinct().limit(4).collect()]
+    a, b = convs[:2], convs[2:]
+    m1 = p.purge(a, batch_id="same")
+    assert m1["rows_removed"]["raw"] > 0
+    m2 = p.purge(b, batch_id="same")  # same batch_id, different set
+    assert m2["rows_removed"]["raw"] > 0
+    raw = wh.read(spark, "raw")
+    assert raw.where(F.col("conv_id").isin(convs)).count() == 0
+
+
+def test_purge_rerun_reports_zero_rows_removed(spark, transcripts, tmp_path):
+    """An idempotent re-run (same set, same batch_id) skips every bucket
+    and must report rows_removed == 0, not an understated/negative count
+    (r4 ADVICE: 'before' comes from pre-purge manifests)."""
+    wh = Warehouse(str(tmp_path / "prr"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4, salt_span_points=None)
+    p.run(transcripts)
+    victims = [r.conv_id for r in
+               transcripts.select("conv_id").distinct().limit(2).collect()]
+    m1 = p.purge(victims, batch_id="rr")
+    assert all(v >= 0 for v in m1["rows_removed"].values())
+    assert m1["rows_removed"]["raw"] > 0
+    m2 = p.purge(victims, batch_id="rr")
+    assert all(v == 0 for v in m2["rows_removed"].values()), m2["rows_removed"]
+
+
+def test_purge_survives_empty_sketch_buckets(spark, transcripts, tmp_path):
+    """If every affected sketch bucket dir is committed-empty (no part
+    files), the dropped-below-floor count must not feed fileless paths to
+    spark.read.parquet (schema-inference crash; r4 ADVICE)."""
+    import glob
+    import os
+
+    from modelardb_dynamic_spark.sources.timeseries import to_ms
+
+    wh = Warehouse(str(tmp_path / "pes"), n_buckets=2)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=2, salt_span_points=None)
+    p.run(transcripts, sketches=True)
+    lo, hi = (
+        wh.read(spark, "raw")
+        .agg(F.min(to_ms("ts")), F.max(to_ms("ts")))
+        .collect()[0]
+    )
+    p.retain_raw(lo + (hi - lo) // 2)  # raw horizon set -> floor is live
+    # hollow out every sketch bucket: dirs + manifests stay, parquet goes
+    for sk in ("cms_1d", "kmv_1d", "bloom_1d"):
+        for f in glob.glob(str(tmp_path / "pes" / sk / "sbucket=*" / "*")):
+            os.remove(f)
+    victims = [r.conv_id for r in
+               transcripts.select("conv_id").distinct().limit(1).collect()]
+    m = p.purge(victims, batch_id="es1")  # must not raise
+    assert m["sketch_rows_dropped_below_floor"] == 0
+
+
+def test_fsck_flags_corrupted_high_water(spark, transcripts, tmp_path):
+    """fsck verifies the manifest high-water mark, not only row counts: a
+    manifest whose high_water_ts was corrupted (rows intact) is named
+    (r4 ADVICE on the fsck docstring/implementation gap)."""
+    import json
+    import os
+
+    wh = Warehouse(str(tmp_path / "fhw"), n_buckets=4)
+    p = TierPipeline(spark, wh, CFG10, chunk_buckets=4, salt_span_points=None)
+    p.run(transcripts)
+    assert p.fsck(tables=["segments"])["segments"]["mismatches"] == []
+
+    man = str(tmp_path / "fhw" / "segments" / "_lineage" / "bucket=1.json")
+    with open(man) as f:
+        doc = json.load(f)
+    assert doc["rows"] > 0 and doc["high_water_ts"] is not None
+    doc["high_water_ts"] += 12_345  # stale/corrupted watermark, rows fine
+    with open(man, "w") as f:
+        json.dump(doc, f)
+
+    mm = p.fsck(tables=["segments"])["segments"]["mismatches"]
+    assert len(mm) == 1 and mm[0]["bucket"] == 1
+    assert mm[0]["manifest_rows"] == mm[0]["actual_rows"]
+    assert mm[0]["manifest_hw"] != mm[0]["actual_hw"]

@@ -656,7 +656,9 @@ def holt_winters_levels(
     )
 
 
-def theil_sen(points: DataFrame, unit_ms: int) -> DataFrame:
+def theil_sen(
+    points: DataFrame, unit_ms: int, max_points: int = 5000
+) -> DataFrame:
     """Per-series Theil–Sen robust trend: the MEDIAN of all pairwise
     slopes (y_j - y_i)/(x_j - x_i) over x_i < x_j — the
     breakdown-point-29% complement to trend_ols (one outlier bucket can
@@ -680,8 +682,27 @@ def theil_sen(points: DataFrame, unit_ms: int) -> DataFrame:
     tier: a year is 365 points -> 66k pairs per series, all generated
     map-side from one co-partitioned self-join on sid and reduced by
     one rank window; the sid-local quadratic never crosses series).
+    ENFORCED, not documented (the _validate_tz_exact precedent): any
+    series above `max_points` raises before the self-join is built —
+    feed a coarser tier or raise the cap deliberately.
     """
     first = points.groupBy("sid").agg(F.min("ts_ms").alias("first_ts"))
+    if max_points is not None:
+        worst = (
+            points.groupBy("sid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"))
+            .limit(1)
+            .collect()
+        )
+        if worst and worst[0]["n"] > max_points:
+            raise ValueError(
+                f"theil_sen: series {worst[0]['sid']!r} has "
+                f"{worst[0]['n']} points (> max_points={max_points}); "
+                f"the pairwise-slope space is quadratic per series — "
+                f"feed a coarser tier (daily instead of hourly) or "
+                f"raise max_points deliberately"
+            )
     p = points.join(first, "sid").select(
         "sid",
         ((F.col("ts_ms") - F.col("first_ts")) / F.lit(unit_ms))

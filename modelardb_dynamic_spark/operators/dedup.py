@@ -653,6 +653,7 @@ def editdist_verify(
     max_dist: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_cells: int = 25_000_000,
 ) -> DataFrame:
     """Exact edit-distance verification of near-dup CANDIDATE pairs —
     the verify stage the LSH recall story needs: MinHash/SimHash bucket
@@ -670,14 +671,36 @@ def editdist_verify(
     Scale notes (100 TB): the join fans each candidate pair to its two
     texts (candidate-set-sized, not corpus-sized); the O(len_a * len_b)
     DP runs JVM-side per pair. max_dist bounds nothing in the built-in
-    (no early-exit banding), so cap candidate text lengths upstream if
-    pairs can be arbitrarily long."""
+    (no early-exit banding), so the per-pair DP size is ENFORCED (the
+    _validate_tz_exact precedent): any pair whose len_a * len_b exceeds
+    `max_cells` raises before levenshtein runs — truncate/normalize
+    upstream or raise the cap deliberately."""
     t = docs.selectExpr(
         f"{id_col} AS id", f"{text_col} AS t"
     ).where(F.expr("t = regexp_replace(t, '[^\\\\x00-\\\\x7F]', '')"))
+    jt = candidates.join(
+        t.selectExpr("id AS ida", "t AS ta"), ["ida"]
+    ).join(t.selectExpr("id AS idb", "t AS tb"), ["idb"])
+    if max_cells is not None:
+        over = (
+            jt.where(
+                F.length("ta").cast("long") * F.length("tb").cast("long")
+                > max_cells
+            )
+            .selectExpr("ida", "idb", "length(ta) AS la", "length(tb) AS lb")
+            .limit(1)
+            .collect()
+        )
+        if over:
+            r = over[0]
+            raise ValueError(
+                f"editdist_verify: candidate pair ({r['ida']}, {r['idb']}) "
+                f"needs a {r['la']} x {r['lb']} Levenshtein DP "
+                f"(> max_cells={max_cells}); truncate or pre-filter long "
+                f"texts, or raise max_cells deliberately"
+            )
     j = (
-        candidates.join(t.selectExpr("id AS ida", "t AS ta"), ["ida"])
-        .join(t.selectExpr("id AS idb", "t AS tb"), ["idb"])
+        jt
         .selectExpr(
             "ida",
             "idb",

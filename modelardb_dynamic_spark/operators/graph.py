@@ -3,31 +3,37 @@ transition graphs, role flows): weighted PageRank by power iteration,
 engineered for bit-exact DuckDB replay.
 
 PageRank here is the standard damped random surfer over the
-row-normalized weighted adjacency, with dangling nodes completed by
-uniform out-edges to every node (mathematically identical to the usual
-"redistribute dangling mass uniformly" formulation, but it keeps each
-power step a single join + fold — one working-table reference, which is
-what a recursive-CTE oracle can replay):
+row-normalized weighted adjacency, with dangling mass redistributed
+uniformly via a per-iteration SCALAR aggregate folded into the base
+term (never materializing |dangling| x |nodes| completion edges):
 
-    r_{k+1}(v) = (1-d)/N + d * sum_{u->v} r_k(u) * w(u,v)
+    dm_k     = sum over dangling u of r_k(u)        (one scalar)
+    r_{k+1}(v) = (1-d)/N + d*(dm_k/N) + d * sum_{u->v} r_k(u) * w(u,v)
 
 Bit-exactness discipline (the repo's sorted-fold contract):
 - edge weights w = n_pairs / out_total and the initial rank 1/N are
   single IEEE divisions of exact int64s;
 - each node's incoming sum folds in ascending-src order (sort_array of
   a (src, contrib) struct here, list(c ORDER BY src) + list_reduce in
-  DuckDB);
+  DuckDB); the dangling-mass scalar folds the dangling nodes' ranks in
+  ascending-node order the same way;
 - damping literals go through _dlit (E-notation doubles — bare decimal
   literals parse as DECIMAL in both engines and DuckDB's
-  DECIMAL->DOUBLE conversion is not correctly rounded).
+  DECIMAL->DOUBLE conversion is not correctly rounded), and the
+  dangling-mass scalar re-enters the per-node expression as a _dlit
+  literal (repr round-trips the IEEE double exactly).
 
 Scale notes (100 TB): the corpus-sized work is whatever builds the edge
 list (one groupBy in tool_sequences); the iteration runs on the
 node/edge tables, which the operator's premise bounds (tools, roles —
 catalogs, not corpora). Each step is one broadcastable join + one
-fold-aggregation; localCheckpoint keeps the loop's plan flat. For
-web-scale graphs you would swap the fold for float-tolerant summation
-and drop the oracle — the exact fold is the price of the value gate.
+fold-aggregation + one scalar aggregate over the dangling subset — the
+dangling completion is O(|dangling|) per step, never an
+|dangling| x |nodes| join, so a dangling-heavy web graph costs the same
+per step as a dense one. localCheckpoint keeps the loop's plan flat.
+For web-scale graphs you would swap the fold for float-tolerant
+summation and drop the oracle — the exact fold is the price of the
+value gate.
 """
 
 from __future__ import annotations
@@ -50,8 +56,10 @@ def pagerank(
 ) -> DataFrame:
     """edges: (src string, dst string, n_pairs long) multigraph counts.
     Returns (node, r) after `iters` power steps from the uniform
-    start. Node set = union of srcs and dsts; dangling nodes receive
-    uniform out-edges to every node (including themselves)."""
+    start. Node set = union of srcs and dsts; dangling nodes' mass is
+    redistributed uniformly via a per-step scalar aggregate (identical
+    to completing them with uniform out-edges, without the
+    |dangling| x |nodes| edge materialization)."""
     spark = edges.sparkSession
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -63,26 +71,31 @@ def pagerank(
     out_tot = edges.groupBy("src").agg(
         F.sum(F.col("n_pairs").cast("long")).alias("out_n")
     )
-    real = edges.join(out_tot, ["src"]).selectExpr(
+    e = edges.join(out_tot, ["src"]).selectExpr(
         "src",
         "dst",
         "CAST(n_pairs AS DOUBLE) / CAST(out_n AS DOUBLE) AS w",
-    )
+    ).localCheckpoint()
     dang = nodes.join(
         out_tot.selectExpr("src AS node"), ["node"], "left_anti"
-    )
-    complete = dang.selectExpr("node AS src").crossJoin(
-        nodes.selectExpr("node AS dst")
-    ).selectExpr(
-        "src", "dst", f"CAST(1 AS DOUBLE) / CAST({n} AS DOUBLE) AS w"
-    )
-    e = real.union(complete).localCheckpoint()
+    ).localCheckpoint()
 
     ranks = nodes.selectExpr(
         "node", f"CAST(1 AS DOUBLE) / CAST({n} AS DOUBLE) AS r"
     ).localCheckpoint()
     base = f"{_dlit(1.0 - damping)} / CAST({n} AS DOUBLE)"
+    dm_fold = (
+        "COALESCE(aggregate(sort_array(collect_list(struct(node, r))), "
+        "CAST(0 AS DOUBLE), (a, s) -> a + s.r), CAST(0 AS DOUBLE))"
+    )
     for _ in range(int(iters)):
+        # scalar dangling mass, folded in ascending-node order so the
+        # oracle's list(r ORDER BY node) fold replays the same bits
+        dm = (
+            ranks.join(dang, ["node"], "left_semi")
+            .agg(F.expr(dm_fold).alias("dm"))
+            .collect()[0]["dm"]
+        )
         s = (
             ranks.join(e, ranks["node"] == e["src"])
             .selectExpr("dst", "src", "r * w AS c")
@@ -94,6 +107,8 @@ def pagerank(
             .selectExpr(
                 "node",
                 f"{base} + {_dlit(damping)} * "
+                f"({_dlit(dm)} / CAST({n} AS DOUBLE)) + "
+                f"{_dlit(damping)} * "
                 "COALESCE(s, CAST(0 AS DOUBLE)) AS r",
             )
             .localCheckpoint()

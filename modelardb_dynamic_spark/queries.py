@@ -7366,9 +7366,12 @@ ORACLES["skew_audit"] = """
 
 def _pagerank_oracle_sql(iters: int = 8) -> str:
     """Unrolled power-iteration replay of q_tool_pagerank: edge build
-    (the tool_sequences replay), dangling completion, then one CTE per
-    power step with the identical base/damping literals (_dlit) and the
-    ascending-src list_reduce fold."""
+    (the tool_sequences replay), then one CTE pair per power step — a
+    scalar dangling-mass fold (ascending-node list_reduce, mirroring
+    the operator's sort_array fold) and the rank update with the
+    identical base/damping literals (_dlit) and ascending-src fold.
+    Dangling mass enters as d*(dm/N) in the base term, exactly as
+    operators/graph.py pagerank computes it (no completion edges)."""
     from modelardb_dynamic_spark.operators.analytics import _dlit
 
     # 1.0-0.85 = 0.15000000000000002 in IEEE: must match the Spark
@@ -7377,11 +7380,19 @@ def _pagerank_oracle_sql(iters: int = 8) -> str:
     steps = []
     for k in range(iters):
         steps.append(f"""
-    pr{k + 1} AS (
+    dm{k} AS (
+        SELECT COALESCE(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(p.r ORDER BY p.node)),
+                   (a, x) -> a + x), CAST(0 AS DOUBLE)) AS dm
+        FROM pr{k} p
+        WHERE p.node IN (SELECT node FROM dang)
+    ),
+    pr{k + 1} AS MATERIALIZED (
         SELECT n2.node,
                {base} + {_dlit(0.85)} *
+               (dmt.dm / CAST(m.n AS DOUBLE)) + {_dlit(0.85)} *
                COALESCE(q.s, CAST(0 AS DOUBLE)) AS r
-        FROM nodes n2 CROSS JOIN meta m
+        FROM nodes n2 CROSS JOIN meta m CROSS JOIN dm{k} dmt
         LEFT JOIN (
             SELECT e.dst,
                    list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -7421,12 +7432,10 @@ def _pagerank_oracle_sql(iters: int = 8) -> str:
         SELECT src, dst,
                CAST(n_pairs AS DOUBLE) / CAST(out_n AS DOUBLE) AS w
         FROM e0 JOIN outt USING (src)
-        UNION ALL
-        SELECT d.node AS src, n2.node AS dst,
-               CAST(1 AS DOUBLE) / CAST(m.n AS DOUBLE) AS w
-        FROM (SELECT node FROM nodes
-              WHERE node NOT IN (SELECT src FROM outt)) d
-        CROSS JOIN nodes n2 CROSS JOIN meta m
+    ),
+    dang AS (
+        SELECT node FROM nodes
+        WHERE node NOT IN (SELECT src FROM outt)
     ),
     pr0 AS (
         SELECT node, CAST(1 AS DOUBLE) / CAST(m.n AS DOUBLE) AS r

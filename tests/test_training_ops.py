@@ -2355,3 +2355,32 @@ def test_latency_trend_detects_degradation(spark):
     assert out["slow"].slope_ms_per_bucket == 1000.0
     assert out["fast"].slope_ms_per_bucket == -500.0
     assert out["slow"].m_pairs == 15
+
+
+def test_theil_sen_enforces_points_per_series_cap(spark):
+    """The per-series quadratic is enforced, not documented: a series
+    above max_points raises before the pairwise self-join is built."""
+    from modelardb_dynamic_spark.operators.analytics import theil_sen
+
+    pts = spark.range(0, 30).selectExpr(
+        "'s1' AS sid", "id * 60000 AS ts_ms", "id AS v"
+    )
+    with pytest.raises(ValueError, match="max_points"):
+        theil_sen(pts, 60_000, max_points=10)
+    # at or under the cap: runs fine
+    assert theil_sen(pts, 60_000, max_points=30).count() == 1
+
+
+def test_editdist_verify_enforces_dp_cell_cap(spark):
+    """A candidate pair whose len_a * len_b DP exceeds max_cells raises
+    before levenshtein runs (quadratic per pair, enforced)."""
+    from modelardb_dynamic_spark.operators.dedup import editdist_verify
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 100)], "doc_id long, text string"
+    )
+    cands = spark.createDataFrame([(1, 2)], "ida long, idb long")
+    with pytest.raises(ValueError, match="max_cells"):
+        editdist_verify(docs, cands, max_cells=9_999)
+    assert editdist_verify(docs, cands, max_dist=200,
+                           max_cells=10_000).count() == 1

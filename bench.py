@@ -347,7 +347,6 @@ def main() -> None:
     spark = build_session("bench")
 
     registry = Q.QUERIES
-    timings: dict[str, float] = {}
     # warm the JVM/Arrow path once so q1 doesn't pay session startup
     _force(registry["seg_count_s"](spark, sf_dir))
     # best-of-2 per query: the sandbox VM has a bursty noisy neighbor
@@ -360,18 +359,37 @@ def main() -> None:
     # gets one tiebreak rep (bounded extra cost, only where contamination
     # is evident).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
-    for _ in range(repeats):
-        for name in BENCH_QUERIES:
-            t0 = time.time()
-            _force(registry[name](spark, sf_dir))
-            samples[name].append(time.time() - t0)
-    for name, ss in samples.items():
-        if len(ss) >= 2 and max(ss) > 1.6 * min(ss):
-            t0 = time.time()
-            _force(registry[name](spark, sf_dir))
-            ss.append(time.time() - t0)
-        timings[name] = round(min(ss), 3)
+
+    def run_passes() -> dict[str, float]:
+        out: dict[str, float] = {}
+        samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+        for _ in range(repeats):
+            for name in BENCH_QUERIES:
+                t0 = time.time()
+                _force(registry[name](spark, sf_dir))
+                samples[name].append(time.time() - t0)
+        for name, ss in samples.items():
+            if len(ss) >= 2 and max(ss) > 1.6 * min(ss):
+                t0 = time.time()
+                _force(registry[name](spark, sf_dir))
+                ss.append(time.time() - t0)
+            out[name] = round(min(ss), 3)
+        return out
+
+    # COLD: every query self-contained (re-derives its own segment table
+    # from the events parquet) — methodology identical to rounds 1-4, so
+    # the headline stays comparable across BENCH_r*.json.
+    os.environ["MDBS_BENCH_MEMO_SEGMENTS"] = "0"
+    timings = run_passes()
+    # WARM: the shared events->segments derivation memoized behind a
+    # localCheckpoint (queries._event_segments, opt-in env) — steady-state
+    # per-query cost with the ~1.5 s/query fixed re-compression removed
+    # (r4 VERDICT #4). Queries that don't touch the segment table are
+    # unaffected; their warm number is just a 3rd/4th repetition.
+    os.environ["MDBS_BENCH_MEMO_SEGMENTS"] = "1"
+    _force(registry["seg_count_s"](spark, sf_dir))  # builds the memo once
+    warm_timings = run_passes()
+    os.environ["MDBS_BENCH_MEMO_SEGMENTS"] = "0"
 
     pipe_best = None
     for _ in range(repeats):
@@ -384,6 +402,7 @@ def main() -> None:
     timings["pipeline"] = round(pipe_wall, 3)
 
     total = round(sum(timings.values()), 3)
+    warm_total = round(sum(warm_timings.values()), 3)
     print(
         json.dumps(
             {
@@ -391,6 +410,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm_timings,
+                "warm_total": warm_total,
                 "sf": sf,
                 "pipeline_turns": n_turns,
                 "turns_per_sec": round(n_turns / pipe_wall, 1),

@@ -68,10 +68,19 @@ class Warehouse:
         bucket_by: str | None = None,
         sort_by: list[str] | None = None,
         mode: str = "overwrite",
+        format: str = "parquet",
     ) -> str:
         """Write a table; if bucket_by is given, hash-bucket into sbucket=K
         directories and sort within files (co-locates each series, enables
-        partition pruning + near-sequential scans per series)."""
+        partition pruning + near-sequential scans per series).
+
+        format: "parquet" (default) or "orc" — the reference's two file
+        storage backends (storage/ParquetStorage.scala,
+        storage/ORCStorage.scala share one segment schema); read()
+        auto-detects from the part files, so mixed-format warehouses
+        round-trip without callers tracking the format."""
+        if format not in ("parquet", "orc"):
+            raise ValueError(f"unknown warehouse format {format!r}")
         final = self.path(table)
         tmp = final + "." + uuid.uuid4().hex[:8] + ".tmp"
         try:
@@ -80,9 +89,11 @@ class Warehouse:
                 out = out.repartition(self.n_buckets, "sbucket")
                 if sort_by:
                     out = out.sortWithinPartitions("sbucket", *sort_by)
-                out.write.mode("overwrite").partitionBy("sbucket").parquet(tmp)
+                out.write.mode("overwrite").partitionBy("sbucket").format(
+                    format
+                ).save(tmp)
             else:
-                df.write.mode("overwrite").parquet(tmp)
+                df.write.mode("overwrite").format(format).save(tmp)
             if mode == "overwrite" and os.path.exists(final):
                 shutil.rmtree(final)
             os.rename(tmp, final)
@@ -91,7 +102,19 @@ class Warehouse:
                 shutil.rmtree(tmp, ignore_errors=True)
         return final
 
+    def _detect_format(self, table: str) -> str:
+        for dirpath, _dirs, files in os.walk(self.path(table)):
+            for f in files:
+                if f.endswith(".orc"):
+                    return "orc"
+                if f.endswith(".parquet"):
+                    return "parquet"
+        return "parquet"
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
+        fmt = self._detect_format(table)
+        if fmt == "orc":
+            return spark.read.orc(self.path(table))
         return spark.read.parquet(self.path(table))
 
     def drop(self, table: str) -> None:

@@ -1257,3 +1257,23 @@ def test_fsck_flags_corrupted_high_water(spark, transcripts, tmp_path):
     assert len(mm) == 1 and mm[0]["bucket"] == 1
     assert mm[0]["manifest_rows"] == mm[0]["actual_rows"]
     assert mm[0]["manifest_hw"] != mm[0]["actual_hw"]
+
+
+def test_warehouse_orc_segment_sink_roundtrip(spark, series, tmp_path):
+    """ORC segment sink (ORCStorage.scala parity): segments written with
+    format='orc' read back row-identical to the parquet sink, including
+    the binary model payloads; read() auto-detects the format."""
+    segs = compress(series, CFG10)
+    wh = Warehouse(str(tmp_path / "orcwh"), n_buckets=4)
+    wh.write(segs, "segments_pq", bucket_by="sid", sort_by=["start_ts"])
+    wh.write(segs, "segments_orc", bucket_by="sid", sort_by=["start_ts"],
+             format="orc")
+    a = wh.read(spark, "segments_pq").drop("sbucket")
+    b = wh.read(spark, "segments_orc").drop("sbucket")
+    assert wh._detect_format("segments_orc") == "orc"
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert b.count() == segs.count() > 0
+    with pytest.raises(ValueError, match="format"):
+        wh.write(segs, "bad", format="avro")

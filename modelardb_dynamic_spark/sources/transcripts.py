@@ -65,6 +65,12 @@ def generate_transcripts(
             ),
         )
     )
+    # hash-distribute conversations BEFORE the explode: the Zipf head is
+    # range-concentrated (convs 0..k hold most turns), so contiguous
+    # range partitions skew brutally at large turns_base (measured: one
+    # task carrying ~1/3 of a 618M-turn synthesis). Row VALUES are pure
+    # (c, turn_idx) hash functions, so layout does not affect content.
+    convs = convs.repartition(parallelism, "c")
     turns = convs.select(
         "c",
         "conv_id",

@@ -224,8 +224,23 @@ class TierPipeline:
         byte-identically; verified by tests under ORDER BY conv_id, turn_idx)."""
 
         def build(bucket_ids: list[int]) -> DataFrame:
-            return transcripts.withColumn(
-                "sbucket", sid_bucket(F.col("conv_id"), self.wh.n_buckets)
+            # filter to the chunk, rebalance, and SORT each task by sbucket:
+            # with unsorted input every scan task holds an open parquet
+            # writer per bucket dir in the chunk simultaneously (writer
+            # page buffers x wide text rows x tasks OOMed the 618M-turn
+            # rehearsal at a 64 GB heap); sorted input lets the dynamic-
+            # partition writer close each bucket's file before opening the
+            # next — one open writer per task at full parallelism. The
+            # Iceberg deployment states the same requirement as the
+            # write.distribution-mode/sort-order table properties.
+            par = self.spark.sparkContext.defaultParallelism
+            return (
+                transcripts.withColumn(
+                    "sbucket", sid_bucket(F.col("conv_id"), self.wh.n_buckets)
+                )
+                .where(F.col("sbucket").isin(bucket_ids))
+                .repartition(max(len(bucket_ids), 2 * par))
+                .sortWithinPartitions("sbucket")
             )
 
         self._run_stage("raw", fingerprint, build, ts_col="ts",

@@ -65,7 +65,13 @@ def main() -> None:
     spark = build_session(
         "rehearsal10x",
         master=f"local[{args.cpus}]",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(port)},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(port),
+            # wide text rows (ramp conversations reach 100s of KB): the
+            # default 4096-row vectorized batch is GBs per task there
+            "spark.sql.parquet.columnarReaderBatchSize": "512",
+        },
     )
     app_id = spark.sparkContext.applicationId
     cfg = EngineConfig(
@@ -84,6 +90,11 @@ def main() -> None:
         p.run(tr)
         report["pipeline_wall_s"] = round(time.time() - t0, 1)
         report["turns_per_sec"] = round(n_turns / report["pipeline_wall_s"], 0)
+        # resume proof at scale: a second run over the same warehouse must
+        # skip every committed bucket via lineage fingerprints
+        t0 = time.time()
+        p.run(tr)
+        report["resume_wall_s"] = round(time.time() - t0, 1)
 
     # ---- per-stage shuffle bytes + skew + peak memory (REST) ----
     stages = [s for s in rest(port, app_id, "/stages")
@@ -138,11 +149,16 @@ def main() -> None:
     ]
 
     # ---- sampled-conversation oracle spot-check at full scale ----
-    # conv 0 is the ~3M-turn hot head (the salting path), plus a spread
-    sample = [f"conv{0:08d}"] + [
-        f"conv{int(k):08d}"
-        for k in (1, 7, 97, 997, 9973, 99991, 313371, 600011, 999983)
-    ][: args.sample - 1]
+    # derive the sample from the input itself: the lexicographic head
+    # (the Zipf-hot conversations — the salting path) plus a
+    # deterministic hash-spread across the id space
+    distinct = tr.select("conv_id").distinct()
+    head = [r.conv_id for r in
+            distinct.orderBy("conv_id").limit(args.sample // 2).collect()]
+    spread = [r.conv_id for r in
+              distinct.orderBy(F.xxhash64("conv_id"))
+              .limit(args.sample - len(head)).collect()]
+    sample = sorted(set(head + spread))
     checks: dict = {}
 
     raw_wh = wh.read(spark, "raw").where(F.col("conv_id").isin(sample))
@@ -182,10 +198,22 @@ def main() -> None:
     t1h = wh.read(spark, "tier_1h").where(F.col("sid").isin(sample)).select(
         "sid", "metric", "bucket_ts", "cnt", "vsum", "vmin", "vmax"
     )
-    checks["tier_1h_equal"] = (
-        t1h.exceptAll(direct_1h).count() == 0
-        and direct_1h.exceptAll(t1h).count() == 0
+    # cnt/vmin/vmax are order-free (exact ints, f32 extrema) — compared
+    # bit-exactly; vsum is a DOUBLE sum of f32 values whose summation
+    # order differs between the analytic tier rollup and this
+    # re-aggregation, so it gets a 1e-7 relative gate (measured order noise
+    # tops out ~3e-9 on 50-point sums of ~1e5-magnitude f32 values) (the engine's
+    # DuckDB value oracles pin tier vsum separately via identical-order
+    # folds; this check is about 618M-scale plumbing, not float order)
+    j = t1h.alias("t").join(
+        direct_1h.alias("d"), ["sid", "metric", "bucket_ts"], "full_outer"
     )
+    bad = j.where(
+        "t.cnt IS NULL OR d.cnt IS NULL OR t.cnt != d.cnt "
+        "OR t.vmin != d.vmin OR t.vmax != d.vmax "
+        "OR abs(t.vsum - d.vsum) > 1e-7 * greatest(abs(d.vsum), 1.0)"
+    ).count()
+    checks["tier_1h_equal"] = bad == 0
     checks["tier_1h_rows_sampled"] = t1h.count()
 
     # 4. reconstruction within the error bound vs the true series
@@ -203,15 +231,20 @@ def main() -> None:
         .collect()[0]
     )
     checks["reconstruction_points"] = err["n"]
-    checks["reconstruction_max_pct_err"] = round(float(err["max_pe"]), 4)
+    checks["reconstruction_max_pct_err"] = (
+        round(float(err["max_pe"]), 4) if err["max_pe"] is not None else None
+    )
     checks["reconstruction_within_bound"] = (
-        float(err["max_pe"]) <= args.error_bound + 1e-6
+        err["max_pe"] is not None
+        and err["n"] > 0
+        and float(err["max_pe"]) <= args.error_bound + 1e-6
     )
 
     report["oracle_spot_check"] = checks
-    report["all_green"] = all(
-        v for k, v in checks.items()
-        if isinstance(v, bool)
+    report["all_green"] = (
+        all(v for k, v in checks.items() if isinstance(v, bool))
+        and checks["raw_rows_sampled"] > 0
+        and checks["tier_1h_rows_sampled"] > 0
     )
     print(json.dumps(report))
     with open(os.path.join(REPO, "REHEARSAL_10X.json"), "w") as f:

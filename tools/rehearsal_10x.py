@@ -49,6 +49,8 @@ def main() -> None:
     ap.add_argument("--sample", type=int, default=10)
     ap.add_argument("--error-bound", type=float, default=10.0)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--salt-span", type=int, default=None,
+                    help="salt_span_points for TierPipeline (default: its 1<<20)")
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
@@ -79,9 +81,14 @@ def main() -> None:
         sampling_interval_ms=60_000,
     )
     wh = Warehouse(args.warehouse, n_buckets=args.buckets)
-    p = TierPipeline(spark, wh, cfg, chunk_buckets=16)
+    p = TierPipeline(
+        spark, wh, cfg, chunk_buckets=16,
+        **({'salt_span_points': args.salt_span}
+           if args.salt_span is not None else {}),
+    )
     tr = spark.read.parquet(args.input)
-    report: dict = {"input": args.input, "n_buckets": args.buckets}
+    report: dict = {"input": args.input, "n_buckets": args.buckets,
+               "salt_span": args.salt_span}
 
     if not args.skip_build:
         n_turns = tr.count()

@@ -360,10 +360,10 @@ def main() -> None:
     # is evident).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
-    def run_passes() -> dict[str, float]:
+    def run_passes(n_passes: int) -> dict[str, float]:
         out: dict[str, float] = {}
         samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
-        for _ in range(repeats):
+        for _ in range(n_passes):
             for name in BENCH_QUERIES:
                 t0 = time.time()
                 _force(registry[name](spark, sf_dir))
@@ -380,15 +380,18 @@ def main() -> None:
     # from the events parquet) — methodology identical to rounds 1-4, so
     # the headline stays comparable across BENCH_r*.json.
     os.environ["MDBS_BENCH_MEMO_SEGMENTS"] = "0"
-    timings = run_passes()
+    timings = run_passes(repeats)
     # WARM: the shared events->segments derivation memoized behind a
     # localCheckpoint (queries._event_segments, opt-in env) — steady-state
     # per-query cost with the ~1.5 s/query fixed re-compression removed
     # (r4 VERDICT #4). Queries that don't touch the segment table are
-    # unaffected; their warm number is just a 3rd/4th repetition.
+    # unaffected; their warm number is just one more repetition. ONE pass
+    # (memoized timings vary far less than cold ones, and the suite
+    # already ran 2x by now — the JVM is hot); the 1.6x tiebreak still
+    # reruns any noise-hit query.
     os.environ["MDBS_BENCH_MEMO_SEGMENTS"] = "1"
     _force(registry["seg_count_s"](spark, sf_dir))  # builds the memo once
-    warm_timings = run_passes()
+    warm_timings = run_passes(1)
     os.environ["MDBS_BENCH_MEMO_SEGMENTS"] = "0"
 
     pipe_best = None
